@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One registered engine query: the Spark plan plus (optionally) the
+  * equivalent DuckDB SQL the driver uses as a correctness oracle.
+  *
+  * Column names MUST match between `spark` and `oracle` — the driver
+  * sorts columns by name before hashing values.
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** benchmarked at sf0.1 by [[Bench]]; keep false for quadratic
+      * correctness-only demos that exist for oracle parity. */
+    headline: Boolean = true)
+
+object Tables {
+  /** All driver tables are parquet: `<sfDir>/<name>.parquet`. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+/** Helpers shared by operator modules. */
+object Core {
+  /** Exact-decimal sum rendered as double.
+    *
+    * Doubles summed in different orders differ in the last ulps, so a
+    * straight `sum(double)` can never hash-match a DuckDB oracle. Both
+    * engines instead cast the (2-decimal) inputs to exact DECIMAL,
+    * sum exactly, and cast the single exact result to double — a
+    * deterministic, order-independent value identical on both sides.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Oracle-side spelling of [[dsum]]. */
+  def oDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE)"
+  /** avg as exact-sum / count — deterministic double on both sides. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  def oDavg(x: String): String = s"(${oDsum(x)} / COUNT(*))"
+
+  /** Deterministic 31-base polynomial rolling hash of a string, mod
+    * 1e9+7. Expressible identically in Spark and DuckDB SQL (integer
+    * arithmetic stays < 2^63 on both sides: acc < 1e9+7, so
+    * acc*31+255 < 3.3e10). Used as the shared hash primitive for
+    * fingerprinting / MinHash / SimHash so the DuckDB oracle can
+    * recompute the exact same signatures.
+    */
+  val HashMod = 1000000007L
+  def polyHash(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % HashMod)
+  /** Oracle-side spelling of [[polyHash]] (DuckDB `list_reduce`). */
+  def oPolyHash(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % ${HashMod})"
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's entire program, re-expressed as one declarative
+  * Spark plan (reference: /root/reference/1.cpp — scan 248–264, clean
+  * 60–68, filter 84, two-phase sum 145–207, final sort 316–320).
+  *
+  * Pipeline: tokenize on whitespace → byte-level ASCII clean
+  * (`lower` + strip `[^a-z0-9]` — pinned semantics: `café`→`caf`,
+  * `c++`→`c`, `007` stays) → drop empty tokens → count per word →
+  * order by word in binary/ASCII order.
+  *
+  * Scale notes (100 TB posture):
+  *  - `groupBy.agg(count)` compiles to partial HashAggregate →
+  *    hash-Exchange → final HashAggregate — the exact structural twin
+  *    of the reference's shuffle-combine (1.cpp:145–158) + reducer
+  *    merge (1.cpp:183–207), with map-side combine absorbing Zipf
+  *    skew before any data moves.
+  *  - The whole scan→explode→project→filter→partial-agg prefix runs
+  *    inside one WholeStageCodegen loop; nothing materializes between
+  *    "phases" (unlike the reference's global arrays, 1.cpp:54–57).
+  *  - The final `orderBy` is a range-partitioned sort over the
+  *    *aggregated* (small) side only — cardinality is bounded by
+  *    vocabulary, not corpus size.
+  */
+object WordCount {
+
+  /** O2+O3+O4: tokenize a text column, apply the reference's
+    * `clean_word` (1.cpp:60–68), drop empties (1.cpp:84). */
+  def cleanTokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(regexp_replace(lower(col("tok")), "[^a-z0-9]", "").as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** O5–O10: count per word, binary-order sort. */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    cleanTokens(docs, textCol)
+      .groupBy("word")
+      .agg(count(lit(1)).as("count"))
+      .orderBy("word")
+
+  /** Top-k most frequent words; total order (count desc, word asc) so
+    * ties are deterministic for the oracle. */
+  def topK(docs: DataFrame, k: Int): DataFrame =
+    cleanTokens(docs, "text")
+      .groupBy("word")
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("word"))
+      .limit(k)
+
+  private val cleanedSql =
+    """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
+      |FROM documents""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "wordcount",
+      (s, dir) => wordCount(Tables(s, dir, "documents")),
+      Some(
+        s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q(
+      "wordcount_topk",
+      (s, dir) => topK(Tables(s, dir, "documents"), 20),
+      Some(
+        s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+           |WHERE word <> '' GROUP BY word
+           |ORDER BY count DESC, word LIMIT 20""".stripMargin)),
+  )
+}
