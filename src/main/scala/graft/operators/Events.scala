@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series surface over the `events` table: tumbling and
+  * sliding windows, gap-based sessionization, and JSON extraction.
+  * (The streaming lift of the same windows lives in
+  * [[graft.streaming]]; these batch forms are the oracle-checkable
+  * semantics.)
+  *
+  * The driver's events.parquet stores nanosecond INT64 timestamps,
+  * which Spark's parquet reader rejects — the session sets
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Verify]])
+  * and [[load]] converts nanos → a microsecond TIMESTAMP exactly like
+  * DuckDB's ns→us truncation. Window starts are emitted as formatted
+  * strings so timestamp-encoding differences can never affect the
+  * compare.
+  *
+  * Scale posture: windowing is just `groupBy(bucket)` — a partial+
+  * final HashAggregate keyed by (bucket, type); sessionization
+  * shuffles once on user_id and sorts in-partition (user_id is
+  * high-cardinality, so no task hot-spots).
+  */
+object Events {
+
+  /** events with `ets` = TIMESTAMP at microsecond precision (UTC). */
+  def load(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Tumbling 1-hour windows per event_type via Spark's `window()`. */
+  def tumblingHour(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(fmt(col("w.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Sliding windows: 1-hour length, 30-minute slide — each event
+    * lands in 2 windows (epoch-aligned, like Structured Streaming). */
+  def slidingWindows(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(window(col("ets"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(fmt(col("w.start")).as("win_start"), col("n"), col("sum_value"))
+      .orderBy("win_start")
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user:
+    * mark session starts with lag(), number sessions with a running
+    * sum, then aggregate per session. One shuffle on user_id. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, d)
+      .withColumn("gap_ns", col("ts") - lag("ts", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap_ns").isNull || col("gap_ns") > lit(30L * 60 * 1000000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        fmt(min("ets")).as("session_start"),
+        fmt(max("ets")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON extraction from the `props` column + aggregation. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
+  val queries: Seq[Q] = Seq(
+    Q("events_tumbling", tumblingHour, Some(
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+    Q("events_sliding", slidingWindows, Some(
+      s"""WITH buckets AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start, value FROM events
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP), INTERVAL '30 minutes') AS win_start, value FROM events)
+         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
+         |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin)),
+    Q("events_sessionize", sessionize, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+    Q("events_json", jsonExtract, Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}
