@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline (north
+  * star; SURVEY §2b last row): per-document statistics, quality
+  * scoring, heuristic language ID, content fingerprinting, n-gram
+  * extraction, and TF-IDF.
+  *
+  * Everything is per-row expression work (higher-order array
+  * functions — no UDFs, no shuffle) followed by ordinary
+  * aggregations, so each operator scales linearly with the corpus:
+  * at 100 TB these are pure map-side pipelines; the only exchanges
+  * are the final group-bys whose cardinality is vocabulary/doc-count,
+  * not token count.
+  *
+  * All scores are built from integer counts + a fixed shape of IEEE
+  * double ops, so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Cleaned token array — same semantics as the wordcount clean
+    * (lower, strip [^a-z0-9], drop empties; 1.cpp:60–68,84). */
+  def tokens(text: Column): Column =
+    filter(
+      transform(split(lower(text), "\\s+"), t => regexp_replace(t, "[^a-z0-9]", "")),
+      t => t =!= "")
+
+  /** Oracle spelling of [[tokens]]. */
+  val oTokens: String =
+    """list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+      | x -> regexp_replace(x, '[^a-z0-9]', '', 'g')), x -> x <> '')""".stripMargin.replace("\n", "")
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Per-document token statistics. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size(col("t"))).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, symbol ratio, type-token ratio.
+    * The composite score mirrors published heuristics (length,
+    * punctuation, stopword density) with a fixed arithmetic shape. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_stop",
+        size(filter(col("t"), x => x.isInCollection(stop))))
+      .withColumn("n_sym",
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("sym_ratio",
+        col("n_sym").cast("double") / col("n_chars"))
+      .withColumn("ttr",
+        size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_sym"),
+        col("stop_ratio"), col("sym_ratio"), col("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic n-gram/stopword language ID: score each candidate
+    * language by stopword hits; argmax with a fixed tie order. (The
+    * driver corpus is synthetic English-like text — the operator's
+    * value is the *shape*: per-row lexicon matching at scan time.) */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val lex = Map(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "es" -> Seq("el", "los", "y", "que", "una"))
+    val base = docs(s, d).withColumn("t", tokens(col("text")))
+    val scored = lex.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(s"score_$l",
+        size(filter(col("t"), x => x.isInCollection(words))))
+    }
+    scored
+      .withColumn("detected",
+        when(col("score_en") >= greatest(col("score_de"), col("score_fr"), col("score_es"))
+          && col("score_en") > 0, "en")
+          .when(col("score_de") >= greatest(col("score_fr"), col("score_es"))
+            && col("score_de") > 0, "de")
+          .when(col("score_fr") >= col("score_es") && col("score_fr") > 0, "fr")
+          .when(col("score_es") > 0, "es")
+          .otherwise("unknown"))
+      .groupBy("detected")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("detected")
+  }
+
+  /** Content fingerprint: rolling polynomial hash of the canonical
+    * (lowercased, alnum-only) byte stream — the classic dedup
+    * fingerprint; identical in Spark and DuckDB by construction. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        polyHash(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Top-20 corpus bigrams (count desc, bigram asc). */
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(
+        zip_with(
+          slice(col("t"), 1, size(col("t")) - 1),
+          slice(col("t"), 2, size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** TF-IDF: top-3 terms per document by tf·(N/df) (a log-free IDF —
+    * same ranking monotonicity, exactly reproducible arithmetic).
+    * Plan shape: explode → (doc,term) agg → df agg (broadcastable:
+    * vocabulary-sized) → window top-k per doc. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("t", tokens(col("text")))
+    val tf = base
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // doc count as a broadcast 1-row frame — no collect to the driver
+    val nDf = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("text_stats", textStats, Some(
+      s"""SELECT doc_id, n_chars, len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_distinct,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(t, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+         |    / len(t) AS mean_tok_len
+         |FROM (SELECT doc_id, n_chars, $oTokens AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin)),
+    Q("text_quality", qualityScore, Some(
+      s"""SELECT doc_id, len(t) AS n_tokens,
+         |  len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop,
+         |  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_sym,
+         |  CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / len(t) AS stop_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars AS sym_ratio,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+         |FROM (SELECT doc_id, n_chars, text, $oTokens AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin)),
+    Q("text_langid", langId, Some(
+      s"""SELECT detected, COUNT(*) AS n_docs FROM (
+         |  SELECT CASE
+         |    WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'unknown' END AS detected
+         |  FROM (SELECT
+         |    len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |    len(list_filter(t, x -> x IN ('el','los','y','que','una'))) AS s_es
+         |  FROM (SELECT $oTokens AS t FROM documents)))
+         |GROUP BY detected ORDER BY detected""".stripMargin)),
+    Q("text_fingerprint", fingerprint, Some(
+      s"""SELECT doc_id, ${oPolyHash("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("text_bigrams", topBigrams, Some(
+      s"""SELECT bigram, COUNT(*) AS n FROM (
+         |  SELECT t[g] || ' ' || t[g+1] AS bigram
+         |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
+         |        FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) >= 2))
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    Q("tfidf_top_terms", tfidfTop, Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest(t) AS term FROM (SELECT doc_id, $oTokens AS t FROM documents)),
+         |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    tf * (CAST(n_docs AS DOUBLE) / df) AS score
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin)),
+  )
+}
