@@ -37,8 +37,14 @@ for name in sorted(oracle):
         print(f"FAIL {name}: schema {gcols} vs {ecols}")
         fails += 1
         continue
-    g = sorted(map(tuple, got[gcols].itertuples(index=False)), key=repr)
-    e = sorted(map(tuple, exp[ecols].itertuples(index=False)), key=repr)
+    # Normalize to Python scalars so both sides sort under identical
+    # keys (int32 vs int64 / numpy repr differences would otherwise
+    # order rows differently and produce spurious mismatches).
+    def norm(df, cols):
+        return [tuple(x.item() if hasattr(x, "item") else x for x in row)
+                for row in df[cols].itertuples(index=False)]
+    g = sorted(norm(got, gcols), key=repr)
+    e = sorted(norm(exp, ecols), key=repr)
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
         fails += 1

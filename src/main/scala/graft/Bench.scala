@@ -15,7 +15,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/parquet-footer warmup so the
     // per-query numbers measure the plans, not JIT.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    try SparkEntry.benchQueries.head.spark(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()

@@ -115,9 +115,9 @@ object Events {
         |ORDER BY user_id, session_id""".stripMargin)),
     Q("events_json", jsonExtract, Some(
       """SELECT event_type, COUNT(*) AS n,
-        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

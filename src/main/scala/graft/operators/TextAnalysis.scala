@@ -119,8 +119,8 @@ object TextAnalysis {
       .filter(size(col("t")) >= 2)
       .select(explode(
         zip_with(
-          slice(col("t"), 1, size(col("t")) - 1),
-          slice(col("t"), 2, size(col("t")) - 1),
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
