@@ -13,7 +13,8 @@ object SparkEntry {
   /** The full registered catalog. */
   def all: Seq[Q] =
     WordCount.queries ++ Relational.queries ++ Windows.queries ++
-      Events.queries ++ TextAnalysis.queries
+      Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

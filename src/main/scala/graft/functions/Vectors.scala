@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic vector arithmetic over `array<float>` embedding
+  * columns, built purely from Spark's higher-order array functions —
+  * no UDFs, so everything stays inside Catalyst and is evaluated
+  * per-row at scan time (map-side; zero shuffle).
+  *
+  * Determinism contract: every fold is a LEFT fold in array order
+  * with a double accumulator, and the DuckDB oracle spells the same
+  * fold (`list_reduce(list_prepend(0.0, products), +)`), so results
+  * are bit-identical across engines regardless of parallelism —
+  * floating-point addition is not associative, but both sides add in
+  * the same sequence.
+  */
+object Vectors {
+
+  /** `array<float>` → `array<double>` (exact widening). */
+  def toD(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Cosine similarity; both operands must already be double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (norm(a) * norm(b))
+
+  /** Oracle (DuckDB) spelling of [[dotd]] over float-array columns
+    * `a`,`b` of length `dim` — identical fold order and double ops. */
+  def oDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim), " +
+      s"k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE))), (x, y) -> x + y)"
+
+  def oCos(a: String, b: String, dim: Int): String =
+    s"(${oDot(a, b, dim)} / (sqrt(${oDot(a, a, dim)}) * sqrt(${oDot(b, b, dim)})))"
+
+  // ---------------------------------------------------------------------
+  // Random-hyperplane LSH (sign-random-projection), shared by the
+  // near-dup and ANN operators.
+  //
+  // Planes are pseudo-random but fully deterministic, generated from
+  // integer arithmetic both in Scala (plan-build time, embedded as
+  // literals) and in the DuckDB oracle (inline formula) — the same
+  // weights bit-for-bit. Weights are INTEGER-valued doubles in
+  // [-1000, 1000]: the scale of the plane doesn't affect the sign of
+  // the dot product, and integer-valued doubles avoid any
+  // representation drift between the two engines.
+  // ---------------------------------------------------------------------
+
+  /** Number of hash tables / bits per table for the 64-d embeddings. */
+  val Tables = 8
+  val BitsPerTable = 6
+  val Dim = 64
+
+  /** Weight of hyperplane `p` (global bit index) at dimension `d`. */
+  def planeWeight(p: Int, d: Int): Double =
+    (((p.toLong * 73 + d) * 2654435761L) % 1000003 % 2001 - 1000).toDouble
+
+  private def plane(p: Int): Column =
+    typedlit((0 until Dim).map(planeWeight(p, _)))
+
+  /** `t`-th table's bucket id (0..63) for a double-array vector. */
+  def bucket(embd: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      when(dotd(embd, plane(t * BitsPerTable + b)) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All `Tables` (table, bucket) pairs for a vector, for `explode`. */
+  def bucketEntries(embd: Column): Column =
+    array((0 until Tables).map { t =>
+      struct(lit(t).as("tbl"), bucket(embd, t).as("bucket"))
+    }: _*)
+
+  /** Oracle spelling of the dot-with-plane fold for global bit `p`
+    * over float-array column `v` (1-based DuckDB index `k`, so the
+    * 0-based dim is `k-1`). */
+  private def oPlaneDot(v: String, p: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $Dim), " +
+      s"k -> CAST($v[k] AS DOUBLE) * " +
+      s"CAST((((($p) * 73 + (k - 1)) * 2654435761) % 1000003 % 2001 - 1000) AS DOUBLE))), " +
+      "(x, y) -> x + y)"
+
+  /** Oracle: bucket id of table `t` (SQL expression over column `v`). */
+  def oBucket(v: String, t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${BitsPerTable - 1}), " +
+      s"b -> CASE WHEN ${oPlaneDot(v, s"($t) * $BitsPerTable + b")} > 0 " +
+      s"THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)), (x, y) -> x + y)"
+
+  /** Oracle CTE producing `(vec_id, label?, tbl, bucket)` rows —
+    * one per table per vector of `embeddings`. */
+  def oBucketCte(extraCols: String = ""): String =
+    s"""SELECT vec_id$extraCols, t AS tbl, ${oBucket("embedding", "t")} AS bucket
+       |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, ${Tables - 1})) AS t)""".stripMargin
+}

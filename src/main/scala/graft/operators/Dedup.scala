@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline (north
+  * star): exact dedup, MinHash-LSH near-dup over word shingles,
+  * character-n-gram Jaccard near-dup, SimHash fingerprints + banded
+  * hamming pairs, and embedding-cosine near-dup via hyperplane LSH.
+  *
+  * Scale posture (the whole point of each design):
+  *  - NOTHING here is all-pairs in the registered scale path. Every
+  *    near-dup operator generates candidates with a *bucket
+  *    equi-join* (LSH band / simhash chunk / hyperplane bucket) —
+  *    a plain shuffle join on a small key — then verifies only the
+  *    candidates. The one all-pairs query (`dedup_embedding_exact`)
+  *    exists as the oracle-parity baseline and is excluded from the
+  *    benchmark set (`headline = false`).
+  *  - Signatures (minhash arrays, simhash bits, LSH buckets) are
+  *    computed per-row with higher-order array expressions at scan
+  *    time — map-side, no UDFs, no shuffle until the candidate join.
+  *  - Exact dedup groups by `md5(text)` so the shuffle key is 32
+  *    bytes, not the document body.
+  *
+  * Determinism: all hashing is integer arithmetic ([[graft.Core.polyHash]]
+  * mod 1e9+7) reproduced verbatim in the DuckDB oracle; Jaccard /
+  * cosine are fixed-shape IEEE ops — bit-identical across engines.
+  *
+  * Recall guarantees, documented per operator:
+  *  - MinHash bands: probabilistic (P[miss] = (1-j^b)^bands — ~4e-9
+  *    at j≈0.98 with 6 bands of 2); the oracle is the exact
+  *    ground-truth pair set, so a green CORRECTNESS row *measures*
+  *    perfect recall on the test corpus.
+  *  - SimHash pairs: EXACT by pigeonhole — 3 bands of 10 bits catch
+  *    every pair with hamming distance ≤ 2 deterministically.
+  *  - Hyperplane LSH: approximate by definition (the algorithm is
+  *    the spec); its oracle replicates the same buckets.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** |A ∩ B| / |A ∪ B| of two (distinct-element) arrays, as double. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact duplicate groups keyed by md5(text): canonical (minimum)
+    * doc_id and copy count per distinct content. At 100 TB the
+    * shuffle carries only (hash, id) pairs. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("content_md5", "canonical_id", "n_copies")
+      .orderBy("canonical_id")
+
+  // -------------------------------------------------------------------
+  // Word-shingle MinHash-LSH
+  // -------------------------------------------------------------------
+
+  private val P = HashMod
+  /** 12 minhash permutations (a·h + b mod P), banded 6 × 2. */
+  private val A12 = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L)
+  private val MinhashBands = 6
+
+  /** doc_id + distinct word-3-shingle set (docs with ≥ 3 tokens). */
+  private def wordShingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))))
+      .select("doc_id", "sh")
+
+  /** (doc_id, band_idx, band_val) — the LSH join keys. */
+  private def minhashBands(shingled: DataFrame): DataFrame = {
+    val withMh = shingled
+      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
+      .withColumn("mh", array((0 until 12).map { i =>
+        array_min(transform(col("hs"), h => (lit(A12(i)) * h + lit(i + 1)) % lit(P)))
+      }: _*))
+    withMh.select(
+      col("doc_id"),
+      explode(array((0 until MinhashBands).map { j =>
+        struct(
+          lit(j).as("band_idx"),
+          (element_at(col("mh"), 2 * j + 1) * lit(P) +
+            element_at(col("mh"), 2 * j + 2)).as("band_val"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx"), col("e.band_val"))
+  }
+
+  /** Candidate pairs from an equi-join on any shared band, verified
+    * with exact Jaccard ≥ 0.8 over the shingle sets. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sets = wordShingled(s, d)
+    val bands = minhashBands(sets)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+      .join(
+        bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // Character-5-gram Jaccard (MinHash-LSH blocked)
+  // -------------------------------------------------------------------
+
+  private val A8 = Seq(43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L)
+  private val NgramBands = 4
+
+  /** doc_id + distinct character-5-gram set over the canonical
+    * (lowercased, alnum-only) byte stream. */
+  private def charShingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("ctext")) >= 5)
+      .withColumn("sh", array_distinct(
+        transform(sequence(lit(1), length(col("ctext")) - 4), i =>
+          col("ctext").substr(i, lit(5)))))
+      .select("doc_id", "sh")
+
+  /** Near-dup by character-n-gram Jaccard ≥ 0.8; candidates via an
+    * 8-hash / 4-band MinHash on the 5-gram sets. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sets = charShingled(s, d)
+    val bands = sets
+      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
+      .withColumn("mh", array((0 until 8).map { i =>
+        array_min(transform(col("hs"), h => (lit(A8(i)) * h + lit(i + 1)) % lit(P)))
+      }: _*))
+      .select(
+        col("doc_id"),
+        explode(array((0 until NgramBands).map { j =>
+          struct(
+            lit(j).as("band_idx"),
+            (element_at(col("mh"), 2 * j + 1) * lit(P) +
+              element_at(col("mh"), 2 * j + 2)).as("band_val"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx"), col("e.band_val"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+      .join(
+        bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  private val SimBits = 30
+  private val SimChunks = 3 // 3 × 10 bits → exact for hamming ≤ 2
+
+  /** Per-document 30-bit SimHash computed entirely per-row: hash each
+    * token occurrence, fold ±1 votes per bit position into a 30-long
+    * accumulator array, take the sign bits. Zero shuffle. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(SimBits - 1)), b =>
+        when(pmod(floor(h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+    docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .withColumn("hs", transform(col("t"), tk => polyHash(tk)))
+      .withColumn("bitsums",
+        aggregate(col("hs"), array_repeat(lit(0L), SimBits),
+          (acc, h) => zip_with(acc, bitsOf(h), (a, x) => a + x)))
+      .withColumn("simhash",
+        (0 until SimBits).map { b =>
+          when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      .select("doc_id", "simhash")
+  }
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashDocs(s, d).orderBy("doc_id")
+
+  /** Near-identical pairs by SimHash hamming ≤ 2. Candidates come
+    * from a 3-chunk band join; by pigeonhole any pair within hamming
+    * 2 shares an intact 10-bit chunk, so recall is EXACTLY 100% —
+    * the all-pairs oracle is provably equal, not probabilistically. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = simhashDocs(s, d)
+    val chunks = fps.select(
+      col("doc_id"),
+      explode(array((0 until SimChunks).map { c =>
+        struct(
+          lit(c).as("chunk_idx"),
+          pmod(floor(col("simhash") / pow(lit(2.0), lit(10 * c))).cast("long"),
+            lit(1024L)).as("chunk_val"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.chunk_idx"), col("e.chunk_val"))
+    val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk_val"))
+      .join(
+        chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup (hyperplane LSH + exact baseline)
+  // -------------------------------------------------------------------
+
+  private val CosThreshold = 0.4
+
+  /** Near-dup embedding pairs via sign-random-projection LSH: 8
+    * tables × 6-bit buckets generate candidates with an equi-join;
+    * exact cosine ≥ 0.4 verifies. Approximate by design — recall is
+    * whatever the 8 tables deliver (the oracle replicates the same
+    * buckets); `dedup_embedding_exact` is the ground-truth twin. */
+  def embeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).withColumn("embd", Vectors.toD(col("embedding")))
+    val entries = e.select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("e"))
+      .select(col("vec_id"), col("e.tbl"), col("e.bucket"))
+    val cand = entries.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(entries.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embd").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embd").as("eb")), "vec_b")
+      .withColumn("cos_sim", Vectors.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= CosThreshold)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Ground-truth all-pairs cosine ≥ 0.4 — correctness baseline only
+    * (quadratic; excluded from the benchmark set). */
+  def embeddingExact(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).withColumn("embd", Vectors.toD(col("embedding")))
+    e.select(col("vec_id").as("vec_a"), col("embd").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embd").as("eb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", Vectors.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= CosThreshold)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // -------------------------------------------------------------------
+  // Oracles
+  // -------------------------------------------------------------------
+
+  private val oTok = TextAnalysis.oTokens
+
+  /** Exact ground-truth near-dup pairs over a shingle-set CTE `s`
+    * with columns (doc_id, sh). */
+  private def oJaccardPairs(setsCte: String): String =
+    s"""WITH $setsCte,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i,
+       |    len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+       |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val oWordSets =
+    s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
+       |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+       |  FROM t WHERE len(tok) >= 3)""".stripMargin
+
+  private val oCharSets =
+    """c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ctext FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, length(ctext) - 4),
+      |    i -> ctext[i:i+4])) AS sh
+      |  FROM c WHERE length(ctext) >= 5)""".stripMargin
+
+  /** SimHash fingerprint CTE `fp(doc_id, sh)` (explode-based; same
+    * integer math as the per-row Spark fold). */
+  private val oSimhashCte =
+    s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
+       |h AS (SELECT doc_id, unnest(list_transform(tok, s -> ${oPolyHash("s")})) AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (hv // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${SimBits - 1})) AS b)
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS sh
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("dedup_exact", exactDedup, Some(
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)),
+    Q("dedup_minhash_lsh", minhashLsh, Some(oJaccardPairs(oWordSets))),
+    Q("dedup_ngram_jaccard", ngramJaccard, Some(oJaccardPairs(oCharSets))),
+    Q("dedup_simhash", simhash, Some(
+      s"""WITH $oSimhashCte
+         |SELECT d.doc_id AS doc_id, COALESCE(fp.sh, 0) AS simhash
+         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY d.doc_id""".stripMargin)),
+    Q("dedup_simhash_pairs", simhashPairs, Some(
+      s"""WITH $oSimhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+    Q("dedup_embedding_lsh", embeddingLsh, Some(
+      s"""WITH b AS (${Vectors.oBucketCte()}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |p AS (
+         |  SELECT vec_a, vec_b,
+         |    ${Vectors.oCos("ea.embedding", "eb.embedding", Vectors.Dim)} AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = vec_a
+         |  JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= $CosThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin)),
+    Q("dedup_embedding_exact", embeddingExact, Some(
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)} >= $CosThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin),
+      headline = false),
+  )
+}

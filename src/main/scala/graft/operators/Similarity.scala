@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north star):
+  * brute-force cosine top-k as the exact baseline, hyperplane-LSH
+  * bucketed top-k as the approximate scale path, and a
+  * partition-pruned k-NN self-join.
+  *
+  * Scale posture:
+  *  - Brute force broadcasts the (tiny) query set and makes ONE scan
+  *    over the corpus — a broadcast nested-loop with per-row cosine,
+  *    then a per-query top-k. Linear in corpus size, zero shuffle of
+  *    the corpus. This is the honest ANN baseline at any scale.
+  *  - LSH top-k joins query buckets to corpus buckets (equi-join on
+  *    (table, bucket)) so each query scores only its candidate set —
+  *    the classic sub-linear ANN path. Recall vs the brute-force
+  *    baseline is measurable by diffing the two queries' outputs.
+  *  - The k-NN self-join blocks on `label` (an IVF-style coarse
+  *    partition): one shuffle on the block key, quadratic only
+  *    within each (small) block, never globally.
+  *
+  * Tie-breaking is total everywhere (score DESC, id ASC) so results
+  * are deterministic and oracle-comparable; cosine arithmetic is the
+  * fixed-shape fold of [[graft.functions.Vectors]] — bit-identical
+  * in DuckDB.
+  */
+object Similarity {
+
+  private val NQueries = 5
+  private val K = 5
+
+  private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  private def withD(df: DataFrame): DataFrame =
+    df.withColumn("embd", Vectors.toD(col("embedding")))
+
+  /** Exact top-k neighbors of the first [[NQueries]] vectors by
+    * brute-force scan: broadcast queries × one corpus pass. */
+  def topkBrute(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embd"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Approximate top-k via hyperplane LSH: candidates share a bucket
+    * with the query in ≥ 1 of the 8 tables; exact cosine re-ranks
+    * the candidates only. */
+  def topkLsh(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+    val entries = e
+      .select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("en"))
+      .select(col("vec_id"), col("en.tbl"), col("en.bucket"))
+    val qEntries = entries.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = entries.join(broadcast(qEntries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    cand
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embd").as("qv"))), "q_id")
+      .join(e.select(col("vec_id"), col("embd")), "vec_id")
+      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** k-NN self-join blocked on `label` (IVF-style coarse partition):
+    * each vector's top-3 neighbors within its block. */
+  def knnPerLabel(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+    val a = e.select(col("vec_id").as("q_id"), col("label"), col("embd").as("qv"))
+    val b = e.select(col("vec_id"), col("label"), col("embd"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("label"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private def oCosQ = Vectors.oCos("q.embedding", "e.embedding", Vectors.Dim)
+
+  val queries: Seq[Q] = Seq(
+    Q("sim_topk_brute", topkBrute, Some(
+      s"""SELECT q_id, vec_id, score, rn FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, $oCosQ AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oCosQ DESC, e.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQueries)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_topk_lsh", topkLsh, Some(
+      s"""WITH b AS (${Vectors.oBucketCte()}),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS q_id, eb.vec_id AS vec_id
+         |  FROM b qb JOIN b eb ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket
+         |  WHERE qb.vec_id < $NQueries AND eb.vec_id <> qb.vec_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.vec_id, $oCosQ AS score
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.q_id
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
+         |ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_knn_label", knnPerLabel, Some(
+      s"""SELECT q_id, label, vec_id, score, rn FROM (
+         |  SELECT q.vec_id AS q_id, q.label AS label, e.vec_id AS vec_id, $oCosQ AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oCosQ DESC, e.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.label = e.label AND e.vec_id <> q.vec_id)
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+  )
+}

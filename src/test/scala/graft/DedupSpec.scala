@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the dedup + similarity operators against a
+  * tiny controlled corpus written as parquet (the operators read
+  * `<dir>/documents.parquet` / `<dir>/embeddings.parquet` like the
+  * driver tables).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus: doc 0 == doc 3 exactly; doc 1 is a near-dup of doc 0
+    * (one word changed out of 12); doc 2 is unrelated. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base.replace("epsilon", "omega"), "en", "src0", base.length.toLong),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en", "src1", 62L),
+      (3L, base, "en", "src2", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // vectors: 0 and 1 nearly parallel, 2 orthogonal-ish, 3 == 0
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 31 + i) * 2654435761L % 1999) - 999) / 999.0f)
+    val v0 = vec(1)
+    val v1 = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    Seq(
+      (0L, v0, 0), (1L, v1, 0), (2L, vec(7), 1), (3L, v0, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val rows = Dedup.exactDedup(spark, dir)
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds the near-dup and exact pairs, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    val jac = Dedup.minhashLsh(spark, dir)
+      .filter($"doc_a" === 0 && $"doc_b" === 3)
+      .select("jaccard").as[Double].collect()
+    assert(jac.sameElements(Array(1.0)))
+  }
+
+  test("char-ngram jaccard flags identical pair with jaccard 1.0") {
+    val rows = Dedup.ngramJaccard(spark, dir)
+      .filter($"doc_a" === 0 && $"doc_b" === 3)
+      .select("jaccard").as[Double].collect()
+    assert(rows.sameElements(Array(1.0)))
+  }
+
+  test("simhash: identical docs get identical fingerprints; pairs hamming 0") {
+    val fp = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 30)))
+    val pairs = Dedup.simhashPairs(spark, dir)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
+  }
+
+  test("embedding near-dup: exact baseline finds (0,1) and (0,3); LSH ⊆ exact") {
+    val exact = Dedup.embeddingExact(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((0L, 3L)) && exact.contains((1L, 3L)))
+    assert(!exact.exists { case (a, b) => a == 2L || b == 2L })
+    val lsh = Dedup.embeddingLsh(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 3L))) // identical vectors always share buckets
+  }
+
+  test("brute-force topk ranks the identical vector first for query 0") {
+    val rows = Similarity.topkBrute(spark, dir)
+      .filter($"q_id" === 0).select("vec_id", "rn").as[(Long, Int)].collect().toSeq
+    assert(rows.head == ((3L, 1))) // cosine(v0, v0) = 1 tops the list
+  }
+
+  test("LSH topk scores match brute-force on shared results") {
+    val brute = Similarity.topkBrute(spark, dir)
+      .select("q_id", "vec_id", "score").as[(Long, Long, Double)].collect()
+      .map { case (q, v, s) => (q, v) -> s }.toMap
+    val lsh = Similarity.topkLsh(spark, dir)
+      .select("q_id", "vec_id", "score").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, v, s) => assert(brute.get((q, v)).forall(_ == s)) }
+  }
+
+  test("hyperplane buckets are deterministic and within range") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embd", Vectors.toD(col("embedding")))
+    val buckets = e.select(explode(Vectors.bucketEntries(col("embd"))).as("e"))
+      .select($"e.tbl", $"e.bucket").as[(Int, Long)].collect()
+    assert(buckets.forall { case (t, b) => t >= 0 && t < 8 && b >= 0 && b < 64 })
+    val again = e.select(explode(Vectors.bucketEntries(col("embd"))).as("e"))
+      .select($"e.tbl", $"e.bucket").as[(Int, Long)].collect()
+    assert(buckets.sameElements(again))
+  }
+}
