@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{DecodeStub, MediaRecord}
+
+/** Plumbing tests for the multimodal surface: binary schema, batch
+  * shape, stub determinism, and metadata pruning semantics. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub computes byte-exact features") {
+    val r = MediaRecord(7L, "image/png", "abc".getBytes("UTF-8"), 1, 1)
+    val f = DecodeStub.features(r)
+    assert(f.n_bytes == 3L)
+    assert(f.byte_sum == ('a' + 'b' + 'c').toLong)
+    assert(f.checksum == ((('a' * 31L + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
+    assert(f.n_frames == 1L)
+  }
+
+  test("empty payload decodes to zero features") {
+    val f = DecodeStub.features(MediaRecord(0L, "audio/wav", Array.emptyByteArray, 0, 0))
+    assert(f.n_bytes == 0L && f.byte_sum == 0L && f.checksum == 0L && f.n_frames == 0L)
+  }
+
+  test("media table schema is (binary payload + typed metadata)") {
+    val df = Multimodal.mediaTable(spark, sf).toDF()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("media") == "binary")
+    assert(types("media_type") == "string")
+    assert(types("width") == "integer" && types("height") == "integer")
+    assert(df.select("media_type").distinct().count() == 3)
+  }
+
+  test("decodeFeatures is partition-local and preserves row count") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val n = media.count()
+    val decoded = Multimodal.decodeFeatures(media.repartition(3))
+    assert(decoded.count() == n)
+    // deterministic across partition layouts
+    val a = Multimodal.decodeFeatures(media.repartition(1))
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    val b = Multimodal.decodeFeatures(media.repartition(5))
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(a == b)
+  }
+
+  test("videoFrames decodes only the video modality") {
+    val rows = Multimodal.videoFrames(spark, sf).select("doc_id").as[Long].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ % 3 == 2))
+  }
+}
