@@ -1,0 +1,223 @@
+package graft.streaming
+
+import graft.Q
+import graft.Core._
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming lift of the engine (SURVEY §7.2 step 5): the
+  * canonical streaming word count, watermarked tumbling/sliding
+  * window aggregations over an `events` file-replay stream, and
+  * stateful gap sessionization via `flatMapGroupsWithState`.
+  *
+  * Execution model: each registered query replays the driver's
+  * parquet through `readStream` with `Trigger.AvailableNow`, runs the
+  * streaming plan to completion into a named memory sink, and returns
+  * that table — so the STREAMING result is checked against the same
+  * DuckDB oracles as the batch operators (windowed aggregations run
+  * in `complete` mode, which flushes every window regardless of the
+  * final watermark, making replay results exactly equal to batch).
+  *
+  * Watermarks are still declared on every event-time stream: they
+  * bound state (and drop late rows in `append` mode); `complete`
+  * mode keeps them as state-management metadata, which is the
+  * correct posture for a bounded replay check.
+  *
+  * Scale posture: streaming aggregation state is keyed by
+  * (window, type) — cardinality is windows × types, not events; the
+  * sessionizer keys state by user_id and buffers only the OPEN
+  * session per user (events within a session are folded into
+  * (start, end, count) immediately), so state is O(active users),
+  * never O(events).
+  */
+object Streams {
+
+  private val runId = new AtomicInteger(0)
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // int64 nanos (nanosAsLong=true)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The streaming file source requires a DIRECTORY; the driver's
+    * tables are single parquet files. Expose a file as a one-entry
+    * directory via symlink (no copy). */
+  private def streamDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile) path
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(f.getName), f.toPath.toAbsolutePath)
+      dir.toString
+    }
+  }
+
+  /** events replay stream with `ets` = microsecond TIMESTAMP. */
+  private def eventStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(eventsSchema).parquet(streamDir(s"$d/events.parquet"))
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Run `df`'s streaming plan to completion into a memory sink and
+    * return the sink table. */
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Streaming word count — the reference pipeline lifted onto an
+    * unbounded source; matches the batch `wordcount` oracle. */
+  def streamWordCount(s: SparkSession, d: String): DataFrame = {
+    val docs = s.readStream.schema(documentsSchema)
+      .parquet(streamDir(s"$d/documents.parquet"))
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("count"))
+    runToMemory(counts, OutputMode.Complete()).orderBy("word")
+  }
+
+  /** Watermarked tumbling 1-hour windows per event_type; matches the
+    * batch `events_tumbling` oracle. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, OutputMode.Complete()).orderBy("win_start", "event_type")
+  }
+
+  /** Watermarked sliding windows (1 h length / 30 min slide); matches
+    * the batch `events_sliding` oracle. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n"), col("sum_value"))
+    runToMemory(agg, OutputMode.Complete()).orderBy("win_start")
+  }
+
+  // -------------------------------------------------------------------
+  // Stateful sessionization
+  // -------------------------------------------------------------------
+
+  /** `ets` carries the watermark tag through groupByKey (an
+    * object-map would strip it and break event-time timeouts). */
+  final case class SessEvent(user_id: Long, ts: Long, ets: java.sql.Timestamp)
+  final case class SessState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  private val GapNs = 30L * 60 * 1000000000L
+
+  /** Per-user gap sessionizer. Batch events are sorted by ts before
+    * folding (micro-batches are unordered); closed sessions are
+    * emitted immediately, the open session persists in state and is
+    * emitted when the event-time timeout fires (watermark passed
+    * start-of-gap). State per user is a single (start, end, n). */
+  def sessionFn(
+      userId: Long,
+      events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(_.ts)
+    if (sorted.isEmpty) {
+      // timeout path: close and emit the open session
+      if (state.hasTimedOut && state.exists) {
+        val st = state.get
+        state.remove()
+        Iterator.single(Session(userId, st.start, st.end, st.n))
+      } else Iterator.empty
+    } else {
+      var closed = List.empty[Session]
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        cur match {
+          case null => cur = SessState(e.ts, e.ts, 1)
+          case st if e.ts - st.end > GapNs =>
+            closed ::= Session(userId, st.start, st.end, st.n)
+            cur = SessState(e.ts, e.ts, 1)
+          case st => cur = SessState(st.start, math.max(st.end, e.ts), st.n + 1)
+        }
+      }
+      state.update(cur)
+      // timeout once the watermark passes the session's gap horizon
+      state.setTimeoutTimestamp(cur.end / 1000000L + GapNs / 1000000L)
+      closed.reverseIterator
+    }
+  }
+
+  /** Streaming sessionization (30-min gap) per user. Registered
+    * WITHOUT an oracle: in append mode, sessions still open at the
+    * final watermark are correctly withheld — the emitted rows are a
+    * deterministic subset of the batch `events_sessionize` result
+    * (see StreamingSpec for exact-semantics tests). */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sessions = eventStream(s, d)
+      .withWatermark("ets", "30 minutes")
+      .select(col("user_id"), col("ts"), col("ets"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFn)
+    runToMemory(sessions.toDF(), OutputMode.Append())
+      .select(
+        col("user_id"),
+        date_format(timestamp_micros(expr("session_start div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(expr("session_end div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val cleanedSql =
+    """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
+      |FROM documents""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("stream_wordcount", streamWordCount, Some(
+      s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q("stream_tumbling", streamTumbling, Some(
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+    Q("stream_sliding", streamSliding, Some(
+      s"""WITH buckets AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start, value FROM events
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP), INTERVAL '30 minutes') AS win_start, value FROM events)
+         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
+         |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin),
+      headline = false),
+    Q("stream_sessionize", streamSessionize, None, headline = false),
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Events, WordCount}
+import graft.streaming.Streams
+
+/** Streaming semantics: replay parity with the batch operators, and
+  * exact gap-sessionization behavior on a crafted corpus. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming word count equals batch word count on replay") {
+    val streamed = Streams.streamWordCount(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val batch = WordCount.wordCount(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .as[(String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming tumbling windows equal batch tumbling windows") {
+    val streamed = Streams.streamTumbling(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = Events.tumblingHour(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("sessionizer closes sessions on gap and emits exact bounds") {
+    val min = 60L * 1000000000L
+    // offset from epoch: a row at exactly ts=0 equals the initial
+    // watermark and is filtered as late before the sessionizer runs
+    val day = 1440L * min
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // user 1: two sessions (gap 2h between min 10 and min 130);
+    // user 2: one session; a far-future user-3 event pushes the final
+    // watermark so every earlier session times out and flushes.
+    Seq(
+      (1L, day + 0L * min, 1L, "a", 1.0, "{}"),
+      (2L, day + 10L * min, 1L, "a", 1.0, "{}"),
+      (3L, day + 130L * min, 1L, "a", 1.0, "{}"),
+      (4L, day + 5L * min, 2L, "b", 1.0, "{}"),
+      (5L, day + 10000L * min, 3L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // one part file → one replay micro-batch: with several files the
+      // source replays them as separate batches and events behind the
+      // advancing watermark are (correctly) dropped as late
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Streams.streamSessionize(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows.contains((1L, "1970-01-02 00:00:00", "1970-01-02 00:10:00", 2L)))
+    assert(rows.contains((1L, "1970-01-02 02:10:00", "1970-01-02 02:10:00", 1L)))
+    assert(rows.contains((2L, "1970-01-02 00:05:00", "1970-01-02 00:05:00", 1L)))
+    // user 3's session is still open at the final watermark → withheld
+    assert(!rows.exists(_._1 == 3L))
+  }
+
+  test("registered sessionize emits a deterministic subset of batch sessions") {
+    val streamed = Streams.streamSessionize(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    val batch = Events.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed.subsetOf(batch))
+  }
+}
