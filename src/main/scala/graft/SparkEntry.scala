@@ -14,7 +14,7 @@ object SparkEntry {
   def all: Seq[Q] =
     WordCount.queries ++ Relational.queries ++ Windows.queries ++
       Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
       graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

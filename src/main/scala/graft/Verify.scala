@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores INT64 nano timestamps, which the parquet
       // reader otherwise rejects; graft.operators.Events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in form for (SURVEY
+  * §2b "joins … range/as-of"): an event-time AS-OF join and a
+  * bounded-interval range join, both expressed scale-first.
+  *
+  * AS-OF: "for each purchase, the user's most recent click at or
+  * before it". Implemented with the union + carry-forward pattern:
+  * tag both sides, union, ONE hash-exchange on user_id, sort by time
+  * within partition, and carry the latest right-side row forward with
+  * a `last(..., ignoreNulls)` running window. Cost is one shuffle of
+  * rows — never a join explosion, no per-row probe; the right
+  * pattern at any scale (a merge as-of join in shuffle clothing).
+  *
+  * RANGE: "clicks within 30 minutes before each purchase".
+  * Implemented as a BANDED equi-join: both sides bucket time into
+  * 30-minute cells, purchases probe their own and the preceding cell
+  * (2 candidate buckets), then the exact interval predicate filters.
+  * The join key is (user_id, bucket) — an ordinary shuffle join with
+  * bounded fan-out, never an inequality-only (cartesian-ish) join.
+  *
+  * Both oracles use DuckDB's native forms (ASOF JOIN; an inequality
+  * join) — the engine must reproduce them row-for-row.
+  */
+object Temporal {
+
+  private val BucketNs = 30L * 60 * 1000000000L
+
+  private def events(s: SparkSession, d: String) =
+    Tables(s, d, "events").select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  /** Latest click at-or-before each purchase, per user (as-of join,
+    * backward direction, inclusive). */
+  def asofClickBeforePurchase(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val tagged = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("click_ts"), lit(1).as("is_left"))
+      .unionByName(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            col("ts").as("click_ts"), lit(0).as("is_left")))
+    // clicks sort before a purchase at the same ts (is_left asc) so
+    // "at or before" is inclusive
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      // µs precision on both sides: DuckDB's parquet reader truncates
+      // ns timestamps to µs, so nanos would never hash-match
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("purchase_ts"),
+        expr("last_click_ts div 1000").as("last_click_ts"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
+  /** Count + span of clicks in the 30 minutes before each purchase
+    * (range join via 2-bucket banding + exact interval filter). */
+  def rangeClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    // integer division for bucketing: `/` on longs is DOUBLE division
+    // in Spark, and epoch-nanos exceed double's 53-bit mantissa
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withColumn("bkt", explode(array(
+        expr(s"pts div ${BucketNs}L"), expr(s"pts div ${BucketNs}L") - 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .withColumn("bkt", expr(s"cts div ${BucketNs}L"))
+    purchases.join(clicks, Seq("user_id", "bkt"))
+      .filter(col("cts") >= col("pts") - BucketNs && col("cts") <= col("pts"))
+      .groupBy("user_id", "purchase_id", "pts")
+      .agg(count(lit(1)).as("n_clicks"),
+        expr("min(cts) div 1000").as("first_click_ts"))
+      .select(col("user_id"), col("purchase_id"), col("n_clicks"), col("first_click_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("asof_click_purchase", asofClickBeforePurchase, Some(
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) AS purchase_ts, epoch_us(c.ts) AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin)),
+    Q("range_clicks_purchase", rangeClicksBeforePurchase, Some(
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  COUNT(*) AS n_clicks, min(epoch_us(c.ts)) AS first_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin)),
+  )
+}
