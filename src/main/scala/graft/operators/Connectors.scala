@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-format connector surface (SURVEY §2b "file formats"): CSV and
+  * JSON-lines round-trips. The reference reads whitespace text only
+  * (1.cpp:248–264); the engine speaks parquet (everywhere), CSV and
+  * JSON with explicit schemas.
+  *
+  * Each query converts a (small, dimension-sized) driver table to the
+  * target format in a fresh temp directory, reads it back with an
+  * explicit schema — never inference in production paths — and runs a
+  * verifiable query on the round-tripped data. The oracle runs on the
+  * original parquet: a green row proves the round-trip is lossless.
+  */
+object Connectors {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** nation → CSV (header) → read back → broadcast-join region. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-csv")
+    Tables(s, d, "nation").write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/nation_csv")
+    s.read.schema(nationSchema).option("header", "true")
+      .csv(s"$dir/nation_csv")
+      .join(broadcast(Tables(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  /** supplier → JSON lines → read back → per-nation aggregate. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-json")
+    Tables(s, d, "supplier").write.mode("overwrite").json(s"$dir/supplier_json")
+    val supplierSchema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.schema(supplierSchema).json(s"$dir/supplier_json")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(12,2)")).cast("double").as("sum_acctbal"))
+      .orderBy("s_nationkey")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("connector_csv", csvRoundtrip, Some(
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)),
+    Q("connector_json", jsonRoundtrip, Some(
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+  )
+}

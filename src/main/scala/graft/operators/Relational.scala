@@ -163,6 +163,20 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** Explicit GROUPING SETS through the SQL surface: per-flag,
+    * per-status, and grand-total rows in one pass. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    li(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
+  }
+
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
@@ -232,6 +246,11 @@ object Relational {
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin)),
+    Q("grouping_sets_sales", groupingSets, Some(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rf, ls""".stripMargin)),
     Q("cube_sales", cubeSales, Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** User-defined aggregation surface (SURVEY §2b "UDF/UDAF/UDTF"):
+  * a typed `Aggregator[IN, BUF, OUT]` registered through
+  * `functions.udaf`, plus the scalar-UDF registration path.
+  *
+  * The aggregator computes the revenue-weighted average discount with
+  * an EXACT decimal buffer (sum of 2-dec × 2-dec products and sum of
+  * 2-dec prices), converting to double only once at finish — so the
+  * result is order-independent and bit-equal to the DuckDB oracle's
+  * decimal formulation, exactly like [[graft.Core.dsum]].
+  *
+  * Scale posture: an Aggregator is a real partial+final aggregate —
+  * `reduce` runs map-side per partition, `merge` combines partial
+  * buffers after the exchange; shuffle traffic is one (num, den)
+  * pair per group, not rows.
+  */
+object Udaf {
+
+  /** (price, discount) → revenue-weighted average discount. */
+  object WeightedDiscount
+      extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
+    private def dec2(d: Double): JBigDecimal =
+      JBigDecimal.valueOf(d).setScale(2, RoundingMode.HALF_UP)
+
+    override def zero: (JBigDecimal, JBigDecimal) =
+      (JBigDecimal.ZERO, JBigDecimal.ZERO)
+    override def reduce(
+        b: (JBigDecimal, JBigDecimal), in: (Double, Double)): (JBigDecimal, JBigDecimal) = {
+      val p = dec2(in._1)
+      (b._1.add(p.multiply(dec2(in._2))), b._2.add(p))
+    }
+    override def merge(
+        a: (JBigDecimal, JBigDecimal), b: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
+      (a._1.add(b._1), a._2.add(b._2))
+    override def finish(b: (JBigDecimal, JBigDecimal)): Double =
+      if (b._2.signum() == 0) Double.NaN
+      else b._1.doubleValue() / b._2.doubleValue()
+
+    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.DECIMAL, org.apache.spark.sql.Encoders.DECIMAL)
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Weighted average discount per return flag via the registered
+    * UDAF. */
+  def weightedDiscByFlag(s: SparkSession, d: String): DataFrame = {
+    s.udf.register("wavg_disc", udaf(WeightedDiscount))
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("wavg_disc(l_extendedprice, l_discount)").as("wavg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Distinct-count surface: exact vs HyperLogLog++ approximation.
+    * No oracle — DuckDB's approx sketch is a different algorithm; the
+    * driver records the rows-only check. The EXACT twin is oracled in
+    * `distinct_parts`. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custkeys"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"))
+
+  val queries: Seq[Q] = Seq(
+    Q("udaf_weighted_disc", weightedDiscByFlag, Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS wavg_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    Q("approx_distinct", approxDistinct, None),
+  )
+}
