@@ -15,7 +15,7 @@ object SparkEntry {
     WordCount.queries ++ Relational.queries ++ Windows.queries ++
       Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
-      Udaf.queries ++ Connectors.queries ++
+      Udaf.queries ++ Connectors.queries ++ Bucketing.queries ++
       graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

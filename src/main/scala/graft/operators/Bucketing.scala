@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketing: pre-shuffled storage so fact⋈fact joins run WITHOUT an
+  * exchange (SURVEY §2b "joins"; the builder directive's "bucketing
+  * for co-located joins").
+  *
+  * The query materializes `lineitem` and `orders` bucketed (and
+  * bucket-sorted) by their join key into a temp-path external table,
+  * then joins the bucketed tables: Spark aligns the 8 buckets
+  * one-to-one and the SortMergeJoin runs with ZERO Exchange on
+  * either side (asserted in PlanSpec). At cluster scale this is the
+  * pattern for repeated joins against the same key: pay the shuffle
+  * once at write time, never again at read time.
+  *
+  * Excluded from the benchmark set (`headline = false`) because the
+  * measured time would be dominated by the one-off bucketed WRITE,
+  * which is precisely the cost this layout amortizes away.
+  */
+object Bucketing {
+
+  private val Buckets = 8
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b")
+      .saveAsTable("graft_lineitem_bucketed")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b")
+      .saveAsTable("graft_orders_bucketed")
+    joinBucketed(s)
+      .groupBy("o_orderstatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The exchange-free join of the two bucketed tables (split out so
+    * PlanSpec can assert the plan shape). The merge hint pins the
+    * shuffle-join code path — at real fact×fact scale neither side
+    * broadcasts, and that is the path bucketing de-shuffles; without
+    * it the small test tables would auto-broadcast and hide the
+    * demonstration. */
+  def joinBucketed(s: SparkSession): DataFrame =
+    s.table("graft_lineitem_bucketed").hint("merge")
+      .join(s.table("graft_orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  val queries: Seq[Q] = Seq(
+    Q("bucketed_join", bucketedJoin, Some(
+      s"""SELECT o_orderstatus, ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      headline = false),
+  )
+}

@@ -61,6 +61,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed fact join runs with zero exchanges") {
+    Bucketing.bucketedJoin(spark, sf).collect() // creates the tables
+    val s = formatted(Bucketing.joinBucketed(spark))
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"))
+    assert(!s.contains("Exchange"), s.take(600))
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val s = executed(Similarity.topkBrute(spark, sf))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"))
