@@ -51,6 +51,18 @@ object WordCount {
       .orderBy(col("count").desc, col("word"))
       .limit(k)
 
+  /** Top-k words via the custom bounded-heap aggregate
+    * (graft.plans.TopKCounts, registered by GraftExtensions): O(k)
+    * state per partial — the global "top 20" is computed without
+    * sorting or shuffling the full vocabulary. */
+  def topKAgg(docs: DataFrame, k: Int): DataFrame =
+    cleanTokens(docs, "text")
+      .groupBy("word")
+      .agg(count(lit(1)).as("count"))
+      .agg(expr(s"topk_counts(word, count, $k)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
+
   private val cleanedSql =
     """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
       |FROM documents""".stripMargin
@@ -62,6 +74,14 @@ object WordCount {
       Some(
         s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
            |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q(
+      "wordcount_topk_agg",
+      (s, dir) => topKAgg(Tables(s, dir, "documents"), 20),
+      Some(
+        s"""SELECT row_number() OVER (ORDER BY count DESC, word) AS rn, word, count
+           |FROM (SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+           |      WHERE word <> '' GROUP BY word)
+           |ORDER BY count DESC, word LIMIT 20""".stripMargin)),
     Q(
       "wordcount_topk",
       (s, dir) => topK(Tables(s, dir, "documents"), 20),

@@ -92,8 +92,15 @@ object CleanWordRewrite extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) wires the engine's custom
-  * rules into a session. */
+  * rules and functions into a session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CleanWordRewrite)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_counts"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKCounts].getName, "topk_counts"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKCounts(args(0), args(1), args(2))))
+  }
 }
