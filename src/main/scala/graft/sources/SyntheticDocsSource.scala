@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector (SURVEY §2a O1/O2 lifted to the connector
+  * SPI): a deterministic synthetic document source,
+  * `spark.read.format("graft-docs")`.
+  *
+  * Options: `rows` (documents), `partitions` (parallelism), `words`
+  * (space-separated vocabulary), `wordsPerDoc`, `seed`. Schema is
+  * `(doc_id bigint, text string)`.
+  *
+  * Scale design: the planner emits `partitions` independent
+  * [[InputPartition]]s, each generating its own contiguous doc_id
+  * range from a counter-based LCG — no coordination, no shared
+  * state, no driver-side data; generation parallelism == partition
+  * count, exactly how a production connector scales reads. Content
+  * is a pure function of (seed, doc_id), so any partitioning of the
+  * same options yields identical rows (asserted in SourceSpec).
+  */
+class SyntheticDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocsSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SyntheticDocsTable(properties.asScala.toMap)
+}
+
+object SyntheticDocsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Deterministic word index for (seed, doc, pos): a 64-bit LCG. */
+  def wordIndex(seed: Long, doc: Long, pos: Int, vocab: Int): Int = {
+    val x = seed * 6364136223846793005L + doc * 1442695040888963407L + pos * 2862933555777941757L
+    (((x >>> 33) ^ x) & Long.MaxValue % Int.MaxValue).toInt % vocab match {
+      case n if n < 0 => n + vocab
+      case n => n
+    }
+  }
+}
+
+private class SyntheticDocsTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft_synthetic_docs"
+  override def schema(): StructType = SyntheticDocsSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = options ++ caseInsensitive.asScala
+    new ScanBuilder {
+      override def build(): Scan = new SyntheticDocsScan(merged)
+    }
+  }
+}
+
+private class SyntheticDocsScan(options: Map[String, String]) extends Scan with Batch {
+  private val rows = options.getOrElse("rows", "100").toLong
+  private val partitions = options.getOrElse("partitions", "4").toInt
+  private val words = options.getOrElse("words",
+    "the quick brown fox jumps over a lazy dog and runs far away").split("\\s+")
+  private val wordsPerDoc = options.getOrElse("wordsperdoc", "12").toInt
+  private val seed = options.getOrElse("seed", "42").toLong
+
+  override def readSchema(): StructType = SyntheticDocsSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + partitions - 1) / partitions
+    (0 until partitions).map { p =>
+      val start = p * per
+      DocsRange(start, math.min(start + per, rows), seed, words, wordsPerDoc)
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val r = partition.asInstanceOf[DocsRange]
+        new PartitionReader[InternalRow] {
+          private var cur = r.start - 1
+          override def next(): Boolean = { cur += 1; cur < r.end }
+          override def get(): InternalRow = {
+            val text = (0 until r.wordsPerDoc).map { pos =>
+              r.words(SyntheticDocsSource.wordIndex(r.seed, cur, pos, r.words.length))
+            }.mkString(" ")
+            InternalRow(cur, UTF8String.fromString(text))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private case class DocsRange(
+    start: Long, end: Long, seed: Long,
+    words: Array[String], wordsPerDoc: Int) extends InputPartition

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.WordCount
+
+/** The DataSource V2 synthetic-docs connector: schema, determinism
+  * across partitionings, option handling, and end-to-end use as a
+  * wordcount input. */
+class SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(opts: (String, String)*) = {
+    val r = spark.read.format("graft.sources.SyntheticDocsSource")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("produces the requested rows with the declared schema") {
+    val df = read("rows" -> "57", "partitions" -> "5")
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(df.count() == 57)
+    assert(df.select("doc_id").as[Long].collect().sorted.toSeq == (0L until 57L))
+  }
+
+  test("content is a pure function of seed — partitioning-invariant") {
+    val a = read("rows" -> "40", "partitions" -> "1").as[(Long, String)].collect().toMap
+    val b = read("rows" -> "40", "partitions" -> "7").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val other = read("rows" -> "40", "partitions" -> "1", "seed" -> "7")
+      .as[(Long, String)].collect().toMap
+    assert(a != other)
+  }
+
+  test("parallelism equals the partitions option") {
+    assert(read("rows" -> "100", "partitions" -> "6").rdd.getNumPartitions == 6)
+  }
+
+  test("feeds the flagship wordcount end to end") {
+    val counts = WordCount.wordCount(
+      read("rows" -> "200", "words" -> "Alpha beta! beta?", "wordsPerDoc" -> "5"))
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("alpha", "beta"))
+    assert(counts.values.sum == 1000L)
+  }
+}
