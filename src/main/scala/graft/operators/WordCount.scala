@@ -63,6 +63,22 @@ object WordCount {
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
       .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
 
+  /** Salted two-stage aggregation — the explicit skew-mitigation
+    * pattern for when partial aggregation alone can't absorb a hot
+    * key: rows first aggregate under (word, salt) so a hot word
+    * spreads across 16 reducers, then the per-salt partials collapse.
+    * Same result as [[wordCount]] (same oracle); the salt is
+    * positional, so the plan stays deterministic in OUTPUT while
+    * spreading load. */
+  def saltedWordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    cleanTokens(docs, textCol)
+      .withColumn("salt", pmod(monotonically_increasing_id(), lit(16)))
+      .groupBy("word", "salt")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("word")
+      .agg(sum("c").as("count"))
+      .orderBy("word")
+
   private val cleanedSql =
     """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
       |FROM documents""".stripMargin
@@ -71,6 +87,12 @@ object WordCount {
     Q(
       "wordcount",
       (s, dir) => wordCount(Tables(s, dir, "documents")),
+      Some(
+        s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q(
+      "wordcount_salted",
+      (s, dir) => saltedWordCount(Tables(s, dir, "documents")),
       Some(
         s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
            |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),

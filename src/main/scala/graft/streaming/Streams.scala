@@ -197,6 +197,36 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join: purchases ⋈ clicks within the
+    * preceding 30 minutes, both sides watermarked (the watermark +
+    * interval bound is what lets the join state be dropped — without
+    * them stream-stream join state grows forever). The inner join
+    * emits every match under full replay, so the rolled-up result
+    * matches the BATCH range-join oracle exactly. */
+  def streamRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val p = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("ets").as("pets"))
+      .withWatermark("pets", "1 hour")
+    val c = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("ets").as("cets"))
+      .withWatermark("cets", "1 hour")
+    val joined = p.join(c, expr(
+      """user_id = c_user AND
+        |cets >= pets - interval 30 minutes AND cets <= pets""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("pts"), col("cts"))
+    // the stateful work (the interval join) runs in the stream; the
+    // final rollup is a batch agg over the sink table
+    runToMemory(joined, OutputMode.Append())
+      .groupBy("user_id", "purchase_id", "pts")
+      .agg(count(lit(1)).as("n_clicks"),
+        expr("min(cts) div 1000").as("first_click_ts"))
+      .select(col("user_id"), col("purchase_id"), col("n_clicks"), col("first_click_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   private val cleanedSql =
     """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
       |FROM documents""".stripMargin
@@ -217,6 +247,15 @@ object Streams {
          |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
          |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin),
+      headline = false),
+    Q("stream_range_join", streamRangeJoin, Some(
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  COUNT(*) AS n_clicks, min(epoch_us(c.ts)) AS first_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin),
       headline = false),
     Q("stream_sessionize", streamSessionize, None, headline = false),
   )
