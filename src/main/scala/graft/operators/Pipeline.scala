@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation (north star capstone): the
+  * composition a 100 TB corpus pipeline actually runs —
+  *
+  *   1. quality gate: token count and stopword-density thresholds
+  *      (per-row expressions, evaluated at scan time);
+  *   2. exact dedup: keep the minimum doc_id per content hash (one
+  *      shuffle on a 32-byte key);
+  *   3. language gate: keep docs whose stopword profile says 'en';
+  *   4. accounting: surviving docs + token totals per source.
+  *
+  * Everything before the final per-source rollup is row-local or a
+  * single hash exchange; the output cardinality is |sources|. The
+  * whole pipeline is one declarative plan — Catalyst fuses the three
+  * gates into the scan and the dedup exchange is the only wide
+  * dependency before the rollup.
+  */
+object Pipeline {
+
+  def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val scored = Tables(s, d, "documents")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("stop_ratio",
+        size(filter(col("t"), x => x.isInCollection(stop))).cast("double") /
+          col("n_tokens"))
+      // 1. quality gate
+      .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.05)
+      // 3. language gate (en stopwords present — cheap lexicon test)
+      .filter(size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "and")))) > 0)
+    // 2. exact dedup: canonical = min doc_id per content hash
+    val canonical = scored
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // 4. accounting per source
+    scored.join(canonical, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        davg(col("n_tokens").cast("double")).as("avg_tokens"))
+      .orderBy("source")
+  }
+
+  private val oTok = TextAnalysis.oTokens
+
+  val queries: Seq[Q] = Seq(
+    Q("pipeline_corpus_prep", corpusPrep, Some(
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text, len(t) AS n_tokens,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |      / len(t) AS stop_ratio,
+         |    len(list_filter(t, x -> x IN ('the','a','and'))) AS en_hits
+         |  FROM (SELECT doc_id, source, text, $oTok AS t FROM documents)),
+         |gated AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 50 AND stop_ratio >= 0.05 AND en_hits > 0),
+         |canonical AS (
+         |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  (CAST(SUM(CAST(CAST(n_tokens AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS avg_tokens
+         |FROM gated JOIN canonical USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin)),
+  )
+}
