@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing targets shuffle BYTES and serializes the
+      // compute-heavy small-data stages (LSH candidate verification
+      // folds run per-row; a 10 MB pair list coalesced to 1 partition
+      // pins one core for minutes). Keep AQE for skew/plan adaptation
+      // but hold every shuffle at full parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // events.parquet stores INT64 nano timestamps, which the parquet
       // reader otherwise rejects; graft.operators.Events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -20,9 +20,13 @@ object Vectors {
   /** `array<float>` → `array<double>` (exact widening). */
   def toD(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays: one pass over
+    * an index sequence (no intermediate products array); the
+    * accumulation order acc + a[i]·b[i] is the same arithmetic
+    * sequence the oracle folds, so values stay bit-identical. */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(sequence(lit(1), size(a)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
 
   def norm(a: Column): Column = sqrt(dotd(a, a))
 

@@ -151,7 +151,28 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex —
+    * letter runs, digit runs, and single punctuation marks as
+    * separate tokens (the shape a byte-pair encoder consumes). The
+    * pattern avoids lookarounds so Java regex (Spark) and RE2
+    * (DuckDB) agree exactly. Whitespace-token counts from
+    * [[textStats]] sit alongside for comparison. */
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("bpe",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
   val queries: Seq[Q] = Seq(
+    Q("text_bpe_tokens", bpeTokenCount, Some(
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         |  len($oTokens) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("text_stats", textStats, Some(
       s"""SELECT doc_id, n_chars, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_distinct,

@@ -18,6 +18,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing targets shuffle BYTES and serializes the
+      // compute-heavy small-data stages (LSH candidate verification
+      // folds run per-row; a 10 MB pair list coalesced to 1 partition
+      // pins one core for minutes). Keep AQE for skew/plan adaptation
+      // but hold every shuffle at full parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
