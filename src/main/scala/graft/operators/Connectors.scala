@@ -55,7 +55,35 @@ object Connectors {
       .orderBy("s_nationkey")
   }
 
+  /** Hive-style partitioned layout + partition pruning: events are
+    * written `partitionBy(event_type)`; reading one type back scans
+    * ONLY that directory — the pruning happens at file listing, not
+    * at row filtering (PlanSpec asserts the PartitionFilters). This
+    * is the table-layout half of predicate pushdown at 100 TB. */
+  def partitionedPruning(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-part")
+    Tables(s, d, "events")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$dir/events_part")
+    partitionedRead(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** The pruned single-partition read (split out for PlanSpec). */
+  def partitionedRead(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events_part")
+      .filter(col("event_type") === "purchase")
+
   val queries: Seq[Q] = Seq(
+    Q("partition_pruning", partitionedPruning, Some(
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      headline = false),
     Q("connector_csv", csvRoundtrip, Some(
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

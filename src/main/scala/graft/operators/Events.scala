@@ -72,6 +72,31 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap sessionization via the BUILT-IN `session_window` (dynamic
+    * gap windows merged by the aggregation) — same semantics as the
+    * window-function formulation in [[sessionize]], one shuffle on
+    * (user, merged window). Works identically under Structured
+    * Streaming, which is the point of using the built-in. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), fmt(min("ets")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Exact interpolated percentiles (SQL `percentile`): identical
+    * definition to DuckDB's `quantile_cont`, so values match
+    * bit-for-bit — unlike approx sketches. Grouped medians stay
+    * a partial+final aggregate. */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** JSON extraction from the `props` column + aggregation. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     load(s, d)
@@ -113,6 +138,28 @@ object Events {
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin)),
+    Q("events_session_window", sessionWindow, Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)),
+    Q("events_quantiles", quantiles, Some(
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("events_json", jsonExtract, Some(
       """SELECT event_type, COUNT(*) AS n,
         |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,

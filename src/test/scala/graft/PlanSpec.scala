@@ -68,6 +68,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s.take(600))
   }
 
+  test("partitioned layout prunes at file listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/events_part")
+    val s = formatted(Connectors.partitionedRead(spark, dir))
+    assert(s.contains("PartitionFilters"), s.take(600))
+    assert(s.matches("(?s).*PartitionFilters: \\[.*event_type.*"))
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val s = executed(Similarity.topkBrute(spark, sf))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"))
