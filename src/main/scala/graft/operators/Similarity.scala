@@ -106,6 +106,39 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-style probe: `label` cells are the coarse quantizer; each
+    * cell's deterministic representative is its min-vec_id member (a
+    * "medoid-lite" — k-means centroids would need a deterministic
+    * training story, and the PROBE structure is what matters here).
+    * Queries rank cells by cosine to the representative, probe the
+    * top-3 cells (nprobe=3), and exact-score only those members —
+    * the classic two-level ANN: O(cells) + O(probed fraction), never
+    * a full scan. */
+  def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d)).persist()
+    val repW = Window.partitionBy("label").orderBy("vec_id")
+    val reps = e.withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("embd").as("rv"), col("nrm").as("rn_nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("rscore").desc, col("label"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("rscore", Vectors.dotd(col("qv"), col("rv")) / (col("qn") * col("rn_nrm")))
+      .withColumn("prb", row_number().over(probeW))
+      .filter(col("prb") <= 3)
+      .select("q_id", "label", "qv", "qn")
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    probed.join(e.select(col("vec_id"), col("label"), col("embd"), col("nrm")), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   private def oCosQ = Vectors.oCos("q.embedding", "e.embedding", Vectors.Dim)
 
   val queries: Seq[Q] = Seq(
@@ -127,6 +160,31 @@ object Similarity {
          |  FROM cand
          |  JOIN embeddings q ON q.vec_id = cand.q_id
          |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
+         |ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_topk_ivf", topkIvf, Some(
+      s"""WITH reps AS (
+         |  SELECT label, embedding AS rv FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |probed AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q.vec_id AS q_id, reps.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.oCos("q.embedding", "reps.rv", Vectors.Dim)} DESC, reps.label) AS prb
+         |    FROM embeddings q CROSS JOIN reps
+         |    WHERE q.vec_id < $NQueries) WHERE prb <= 3),
+         |scored AS (
+         |  SELECT probed.q_id, e.vec_id, $oCosQ AS score
+         |  FROM probed
+         |  JOIN embeddings e ON e.label = probed.label
+         |  JOIN embeddings q ON q.vec_id = probed.q_id
+         |  WHERE e.vec_id <> probed.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
