@@ -26,6 +26,22 @@ object Tables {
 
 /** Helpers shared by operator modules. */
 object Core {
+  /** Temp directory removed recursively at JVM exit — used by the
+    * connector round-trips, bucketed tables, and stream-replay
+    * symlink dirs so repeated runs don't accumulate table copies. */
+  def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Exact-decimal sum rendered as double.
     *
     * Doubles summed in different orders differ in the last ulps, so a

@@ -26,7 +26,7 @@ object Bucketing {
   private val Buckets = 8
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val tmp = graft.Core.tempDir("graft-bucketed")
     Tables(s, d, "lineitem")
       .select("l_orderkey", "l_quantity")
       .write.mode("overwrite")

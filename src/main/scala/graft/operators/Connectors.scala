@@ -18,8 +18,7 @@ import org.apache.spark.sql.types._
   */
 object Connectors {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String): String = graft.Core.tempDir(prefix)
 
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),

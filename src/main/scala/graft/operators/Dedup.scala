@@ -98,33 +98,27 @@ object Dedup {
             * ShingleMix + element_at(col("th"), i + 2)) % P)))
       .select("doc_id", "sh")
 
-  /** (doc_id, band_idx, band_val) — the LSH join keys. `sh` already
-    * holds shingle hashes, so each permutation is one affine map. */
-  private def minhashBands(shingled: DataFrame): DataFrame = {
-    val withMh = shingled
-      .withColumn("mh", array((0 until 12).map { i =>
-        array_min(transform(col("sh"), h => (lit(A12(i)) * h + lit(i + 1)) % lit(P)))
+  /** Shared MinHash-LSH machinery: band the hash sets with the given
+    * permutations, equi-join on any shared band, and verify the
+    * distinct candidates with exact Jaccard over the sets. Both
+    * near-dup operators are instances of this one pipeline. */
+  private def minhashPairs(
+      sets: org.apache.spark.sql.DataFrame,
+      seeds: Seq[Long],
+      nBands: Int): org.apache.spark.sql.DataFrame = {
+    val bands = sets
+      .withColumn("mh", array(seeds.indices.map { i =>
+        array_min(transform(col("sh"), h => (lit(seeds(i)) * h + lit(i + 1)) % lit(P)))
       }: _*))
-    withMh.select(
-      col("doc_id"),
-      explode(array((0 until MinhashBands).map { j =>
-        struct(
-          lit(j).as("band_idx"),
-          (element_at(col("mh"), 2 * j + 1) * lit(P) +
-            element_at(col("mh"), 2 * j + 2)).as("band_val"))
-      }: _*)).as("e"))
+      .select(
+        col("doc_id"),
+        explode(array((0 until nBands).map { j =>
+          struct(
+            lit(j).as("band_idx"),
+            (element_at(col("mh"), 2 * j + 1) * lit(P) +
+              element_at(col("mh"), 2 * j + 2)).as("band_val"))
+        }: _*)).as("e"))
       .select(col("doc_id"), col("e.band_idx"), col("e.band_val"))
-  }
-
-  /** Candidate pairs from an equi-join on any shared band, verified
-    * with exact Jaccard ≥ 0.8 over the shingle sets. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    // The shingle-set projection feeds three plan branches (banding +
-    // both sides of the verify join); persist it so the per-row
-    // shingling work runs once. (At cluster scale the analogue is
-    // materializing the signature table between stages.)
-    val sets = wordShingled(s, d).persist()
-    val bands = minhashBands(sets)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
       .join(
         bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
@@ -139,6 +133,14 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Candidate pairs from an equi-join on any shared band, verified
+    * with exact Jaccard >= 0.8 over the shingle sets. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    // persist: the shingle-set projection feeds three plan branches
+    // (banding + both sides of the verify join); at cluster scale the
+    // analogue is materializing the signature table between stages
+    minhashPairs(wordShingled(s, d).persist(), A12, MinhashBands)
 
   // -------------------------------------------------------------------
   // Character-5-gram Jaccard (MinHash-LSH blocked)
@@ -169,37 +171,10 @@ object Dedup {
             element_at(col("codes"), i + 4))))
       .select("doc_id", "sh")
 
-  /** Near-dup by character-n-gram Jaccard ≥ 0.8; candidates via an
+  /** Near-dup by character-n-gram Jaccard >= 0.8; candidates via an
     * 8-hash / 4-band MinHash on the 5-gram sets. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sets = charShingled(s, d).persist()
-    val bands = sets
-      .withColumn("mh", array((0 until 8).map { i =>
-        array_min(transform(col("sh"), h => (lit(A8(i)) * h + lit(i + 1)) % lit(P)))
-      }: _*))
-      .select(
-        col("doc_id"),
-        explode(array((0 until NgramBands).map { j =>
-          struct(
-            lit(j).as("band_idx"),
-            (element_at(col("mh"), 2 * j + 1) * lit(P) +
-              element_at(col("mh"), 2 * j + 2)).as("band_val"))
-        }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band_idx"), col("e.band_val"))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-      .join(
-        bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
-        Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    minhashPairs(charShingled(s, d).persist(), A8, NgramBands)
 
   // -------------------------------------------------------------------
   // SimHash

@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  private val BucketNs = 30L * 60 * 1000000000L
+  private val BucketUs = 30L * 60 * 1000000L
 
+  /** Events with `ts` truncated to MICROSECONDS up front: DuckDB's
+    * parquet reader truncates ns timestamps to µs, so the join
+    * predicates themselves must compare µs values — truncating only
+    * the output columns would let sub-µs differences flip boundary
+    * matches between the engines. */
   private def events(s: SparkSession, d: String) =
     Tables(s, d, "events").select(
-      col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      col("event_id"), expr("ts div 1000").as("ts"),
+      col("user_id"), col("event_type"))
 
   /** Latest click at-or-before each purchase, per user (as-of join,
     * backward direction, inclusive). */
@@ -53,12 +59,9 @@ object Temporal {
     tagged
       .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
       .filter(col("is_left") === 1)
-      // µs precision on both sides: DuckDB's parquet reader truncates
-      // ns timestamps to µs, so nanos would never hash-match
       .select(
         col("user_id"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("purchase_ts"),
-        expr("last_click_ts div 1000").as("last_click_ts"))
+        col("ts").as("purchase_ts"), col("last_click_ts"))
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
 
@@ -71,15 +74,14 @@ object Temporal {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
       .withColumn("bkt", explode(array(
-        expr(s"pts div ${BucketNs}L"), expr(s"pts div ${BucketNs}L") - 1)))
+        expr(s"pts div ${BucketUs}L"), expr(s"pts div ${BucketUs}L") - 1)))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"))
-      .withColumn("bkt", expr(s"cts div ${BucketNs}L"))
+      .withColumn("bkt", expr(s"cts div ${BucketUs}L"))
     purchases.join(clicks, Seq("user_id", "bkt"))
-      .filter(col("cts") >= col("pts") - BucketNs && col("cts") <= col("pts"))
+      .filter(col("cts") >= col("pts") - BucketUs && col("cts") <= col("pts"))
       .groupBy("user_id", "purchase_id", "pts")
-      .agg(count(lit(1)).as("n_clicks"),
-        expr("min(cts) div 1000").as("first_click_ts"))
+      .agg(count(lit(1)).as("n_clicks"), min("cts").as("first_click_ts"))
       .select(col("user_id"), col("purchase_id"), col("n_clicks"), col("first_click_ts"))
       .orderBy("user_id", "purchase_id")
   }

@@ -79,7 +79,10 @@ object WordCount {
       .agg(sum("c").as("count"))
       .orderBy("word")
 
-  private val cleanedSql =
+  /** Oracle spelling of the cleaned token stream; shared with the
+    * streaming word count so the replay-parity guarantee can never
+    * drift from the batch oracle. */
+  val cleanedSql: String =
     """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
       |FROM documents""".stripMargin
 

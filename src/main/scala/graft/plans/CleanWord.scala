@@ -9,19 +9,20 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Byte-level worker for [[CleanWord]]: keep ASCII `[A-Za-z0-9]`
-  * bytes, lowercase them, drop everything else — a single pass over
-  * the UTF8String's bytes with no regex engine, no Unicode tables and
-  * no intermediate lowered string.
-  *
-  * This is the REFERENCE's exact semantics
-  * (/root/reference/1.cpp:60–68: per-byte `isalnum` + `tolower` in
-  * the C locale), which the composed `lower` + `regexp_replace`
-  * reproduces for all inputs whose Unicode lowercase stays ASCII
-  * (everything in the test corpora). The two diverge only on exotica
-  * like the Kelvin sign K (U+212A), where Unicode `lower` produces an
-  * ASCII 'k' the reference would have stripped — the native
-  * expression sides with the reference.
+/** Worker for [[CleanWord]]. Semantics are EXACTLY
+  * `regexp_replace(lower(x), "[^a-z0-9]", "")` — the rewrite must be
+  * observationally invisible on every input, or the optimizer would
+  * silently change query results (e.g. Turkish "İstanbul": Unicode
+  * lowercase emits an ASCII 'i' that a bytes-first clean would have
+  * dropped). So: Unicode lowercase via `UTF8String.toLowerCase`
+  * (the same call Spark's `Lower` makes), then one byte pass keeping
+  * `[a-z0-9]`. Dropping single bytes equals dropping chars for the
+  * regex class because every kept byte is ASCII and every byte of a
+  * multi-byte char is ≥ 0x80. No regex engine runs; for all-ASCII
+  * inputs (the common case) `toLowerCase` is itself a cheap byte
+  * loop. Matches the reference's byte-level clean
+  * (/root/reference/1.cpp:60–68) on ASCII, where the two definitions
+  * coincide.
   *
   * Defined as a standalone object with no companion class so the
   * compiler emits a static forwarder — generated Java calls
@@ -29,23 +30,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CleanWordUtil {
   def clean(s: UTF8String): UTF8String = {
-    val in = s.getBytes
+    val lowered = s.toLowerCase
+    val in = lowered.getBytes
     val out = new Array[Byte](in.length)
     var n = 0
-    var changed = false
     var i = 0
     while (i < in.length) {
       val b = in(i)
       if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
         out(n) = b; n += 1
-      } else if (b >= 'A' && b <= 'Z') {
-        out(n) = (b + 32).toByte; n += 1; changed = true
-      } else {
-        changed = true
       }
       i += 1
     }
-    if (!changed) s else UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+    if (n == in.length) lowered
+    else UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
   }
 }
 

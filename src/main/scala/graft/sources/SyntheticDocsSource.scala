@@ -43,10 +43,7 @@ object SyntheticDocsSource {
   /** Deterministic word index for (seed, doc, pos): a 64-bit LCG. */
   def wordIndex(seed: Long, doc: Long, pos: Int, vocab: Int): Int = {
     val x = seed * 6364136223846793005L + doc * 1442695040888963407L + pos * 2862933555777941757L
-    (((x >>> 33) ^ x) & Long.MaxValue % Int.MaxValue).toInt % vocab match {
-      case n if n < 0 => n + vocab
-      case n => n
-    }
+    ((((x >>> 33) ^ x) & Long.MaxValue) % vocab).toInt
   }
 }
 

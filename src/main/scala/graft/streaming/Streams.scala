@@ -37,6 +37,7 @@ import java.util.concurrent.atomic.AtomicInteger
 object Streams {
 
   private val runId = new AtomicInteger(0)
+  @volatile private var previousSink: Option[String] = None
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -60,7 +61,7 @@ object Streams {
     val f = new java.io.File(path)
     if (!f.isFile) path
     else {
-      val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+      val dir = java.nio.file.Paths.get(graft.Core.tempDir("graft-replay"))
       java.nio.file.Files.createSymbolicLink(
         dir.resolve(f.getName), f.toPath.toAbsolutePath)
       dir.toString
@@ -76,6 +77,11 @@ object Streams {
     * return the sink table. */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
+    // memory sinks pin their full result in the driver; results are
+    // consumed synchronously between calls, so dropping the previous
+    // sink here bounds retained tables to two per session
+    previousSink.foreach(df.sparkSession.catalog.dropTempView(_))
+    previousSink = Some(name)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -227,9 +233,7 @@ object Streams {
       .orderBy("user_id", "purchase_id")
   }
 
-  private val cleanedSql =
-    """SELECT regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z0-9]', '', 'g') AS word
-      |FROM documents""".stripMargin
+  private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   val queries: Seq[Q] = Seq(
     Q("stream_wordcount", streamWordCount, Some(

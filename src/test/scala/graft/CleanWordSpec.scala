@@ -25,6 +25,19 @@ class CleanWordSpec extends SparkSpec {
     assert(cleanUtil("AbC09z") == "abc09z")
   }
 
+  test("rewrite is observationally identical to the composition on non-ASCII") {
+    // chars whose Unicode lowercase maps INTO ascii alnum must
+    // survive exactly like the built-in path. The reference value is
+    // built from the same primitives the built-ins use
+    // (UTF8String.toLowerCase + Java regex) -- an SQL literal would
+    // be constant-folded through the rewrite itself.
+    for (s <- Seq("\u0130stanbul", "\u212AKelvin", "\u01C5ungla", "caf\u00e9", "\u1E9E3")) {
+      val viaBuiltins = UTF8String.fromString(s)
+        .toLowerCase.toString.replaceAll("[^a-z0-9]", "")
+      assert(cleanUtil(s) == viaBuiltins, s"input: $s")
+    }
+  }
+
   test("optimizer rewrites the regex composition into clean_word") {
     // parquet-backed plan: a literal relation would be constant-folded
     // away before the assertion could observe the expression

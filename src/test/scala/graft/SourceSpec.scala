@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.WordCount
+import org.apache.spark.sql.functions.{col, explode, split}
 
 /** The DataSource V2 synthetic-docs connector: schema, determinism
   * across partitionings, option handling, and end-to-end use as a
@@ -31,6 +32,16 @@ class SourceSpec extends SparkSpec {
 
   test("parallelism equals the partitions option") {
     assert(read("rows" -> "100", "partitions" -> "6").rdd.getNumPartitions == 6)
+  }
+
+  test("the full vocabulary is reachable") {
+    // guards the wordIndex arithmetic: a masking/precedence slip
+    // collapses the distribution onto the first couple of words
+    val words = read("rows" -> "300", "wordsPerDoc" -> "20")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().toSet
+    val vocab = "the quick brown fox jumps over a lazy dog and runs far away".split(" ").toSet
+    assert(words == vocab)
   }
 
   test("feeds the flagship wordcount end to end") {
