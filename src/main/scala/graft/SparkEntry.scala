@@ -16,7 +16,7 @@ object SparkEntry {
       Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
       Udaf.queries ++ Connectors.queries ++ Bucketing.queries ++
-      Pipeline.queries ++
+      Pipeline.queries ++ ScalarFns.queries ++
       graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
