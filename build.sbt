@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thrash an 8g heap (bench times swung 3-9× run to run); the box
   // has 128 GiB — give the single-JVM "cluster" a real heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 60+ whole-stage-codegen queries in one JVM overflow the default
+  // 240m reserved code cache; once full the JIT stops compiling and
+  // later expression-heavy queries run interpreted (observed 10-50x
+  // mid-run slowdowns that reset with the JVM).
+  "-XX:ReservedCodeCacheSize=1g",
 )
