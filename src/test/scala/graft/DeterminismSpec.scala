@@ -1,0 +1,22 @@
+package graft
+
+/** Every registered query must be bit-deterministic: the driver's
+  * correctness gate hash-compares results, so any run-to-run
+  * variation (float accumulation order, unstable sort ties,
+  * nondeterministic expressions leaking into output) is an
+  * automatic failure. Runs the ENTIRE catalog twice at sf0.001 and
+  * diffs collected rows. */
+class DeterminismSpec extends SparkSpec {
+
+  test("all registered queries are run-to-run deterministic") {
+    val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      def run(): Seq[String] =
+        fn(spark, sf).collect().toSeq.map(_.toString)
+      val a = run()
+      val b = run()
+      spark.catalog.clearCache()
+      if (a == b) None else Some(s"$name (${a.size} vs ${b.size} rows)")
+    }
+    assert(flaky.isEmpty, s"nondeterministic queries: ${flaky.mkString(", ")}")
+  }
+}
