@@ -37,6 +37,20 @@ for name in sorted(oracle):
         print(f"FAIL {name}: schema {gcols} vs {ecols}")
         fails += 1
         continue
+    # Dtype gate: the driver's hash is dtype-sensitive (int64 5 !=
+    # float64 5.0 — e.g. DuckDB SUM(int) returns HUGEINT which pandas
+    # renders float64). Fail on type-class drift per column so this
+    # local gate is at least as strict as the driver's compare.
+    def tclass(dt):
+        k = dt.kind
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "timestamp", "m": "interval"}.get(k, "obj")
+    drift = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in gcols
+             if tclass(got[c].dtype) != tclass(exp[c].dtype)]
+    if drift:
+        print(f"FAIL {name}: dtype drift {drift}")
+        fails += 1
+        continue
     # Normalize to Python scalars so both sides sort under identical
     # keys (int32 vs int64 / numpy repr differences would otherwise
     # order rows differently and produce spurious mismatches).

@@ -19,9 +19,12 @@ object SparkEntry {
       Pipeline.queries ++ ScalarFns.queries ++
       graft.streaming.Streams.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    WordCount.wordCount(Tables(spark, "/root/testdata/sf0.001", "documents"))
+  /** Flagship query; driver smoke-checks rows>0. The data dir is
+    * overridable (env SPARK_GRAFT_SF_DIR) rather than hardcoded. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    WordCount.wordCount(Tables(spark, dir, "documents"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -352,7 +352,7 @@ object Dedup {
     Q("dedup_ngram_jaccard", ngramJaccard, Some(oJaccardPairs(oCharSets))),
     Q("dedup_simhash", simhash, Some(
       s"""WITH $oSimhashCte
-         |SELECT d.doc_id AS doc_id, COALESCE(fp.sh, 0) AS simhash
+         |SELECT d.doc_id AS doc_id, CAST(COALESCE(fp.sh, 0) AS BIGINT) AS simhash
          |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
          |ORDER BY d.doc_id""".stripMargin)),
     Q("dedup_simhash_pairs", simhashPairs, Some(

@@ -135,17 +135,25 @@ object Multimodal {
   /** Oracle spelling of the modality round-robin. */
   private val oType =
     "(['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1]"
-  /** Oracle byte features over the (ASCII) text payload. */
+  /** The payload's actual UTF-8 byte values as a DuckDB list. The stub
+    * folds BYTES (what a codec sees), not codepoints, so the oracle
+    * must too or any non-ASCII document silently breaks parity; DuckDB
+    * has no blob→byte-array accessor, so decode hex pairs. */
+  private val oBytes =
+    "list_transform(range(1, octet_length(encode(text)) + 1), i -> " +
+      "CAST(16*(strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) " +
+      "+ (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1) AS BIGINT))"
   private val oByteSum =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> a + b)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $oBytes), (a, b) -> a + b)"
+  private val oByteHash =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $oBytes), (a, b) -> (a * 31 + b) % $HashMod)"
 
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", features, Some(
       s"""SELECT doc_id, $oType AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  $oByteSum AS byte_sum,
-         |  ${oPolyHash("text")} AS checksum,
+         |  $oByteHash AS checksum,
          |  (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("multimodal_meta_agg", metaAgg, Some(

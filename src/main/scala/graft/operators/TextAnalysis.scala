@@ -129,8 +129,13 @@ object TextAnalysis {
 
   /** TF-IDF: top-3 terms per document by tf·(N/df) (a log-free IDF —
     * same ranking monotonicity, exactly reproducible arithmetic).
-    * Plan shape: explode → (doc,term) agg → df agg (broadcastable:
-    * vocabulary-sized) → window top-k per doc. */
+    * Plan shape: explode → (doc,term) agg → df agg → shuffle join on
+    * `term` → window top-k per doc. The df join is deliberately NOT
+    * broadcast: its cardinality is the vocabulary, which grows with
+    * corpus noise and is not broadcast-sized at 100 TB. Both join
+    * inputs come out of the same (doc_id,term)→tf aggregate, and the
+    * shuffle is on `term`, so `tf` is already hash-partitioned by a
+    * superset key and only the small df side repartitions. */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).withColumn("t", tokens(col("text")))
     val tf = base
@@ -142,7 +147,7 @@ object TextAnalysis {
     val nDf = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df_), "term")
+    tf.join(df_, "term")
       .crossJoin(broadcast(nDf))
       .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w))

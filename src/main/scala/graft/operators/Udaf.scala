@@ -60,14 +60,22 @@ object Udaf {
   }
 
   /** Distinct-count surface: exact vs HyperLogLog++ approximation.
-    * No oracle — DuckDB's approx sketch is a different algorithm; the
-    * driver records the rows-only check. The EXACT twin is oracled in
-    * `distinct_parts`. */
+    * The HLL sketch value itself can't hash-match a different engine's
+    * sketch, so the query emits a hashable CONTRACT instead: the exact
+    * count plus a bool asserting the approximation landed within the
+    * requested 5% relative error. The oracle emits the same exact
+    * count and literal TRUE — a real correctness gate for an
+    * approximate operator. The raw sketch twin stays available via
+    * `distinct_parts` (exact, oracled). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "orders")
       .agg(
         countDistinct(col("o_custkey")).as("exact_custkeys"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"))
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(
+        col("exact_custkeys"),
+        (abs(col("approx") - col("exact_custkeys")) /
+          col("exact_custkeys") <= 0.05).as("within_bound"))
 
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
@@ -76,6 +84,8 @@ object Udaf {
         |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS wavg_disc,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-    Q("approx_distinct", approxDistinct, None),
+    Q("approx_distinct", approxDistinct, Some(
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, TRUE AS within_bound
+        |FROM orders""".stripMargin)),
   )
 }

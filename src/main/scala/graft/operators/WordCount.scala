@@ -79,6 +79,21 @@ object WordCount {
       .agg(sum("c").as("count"))
       .orderBy("word")
 
+  /** O1/O2 literal text-file scan. The reference reads a plain text
+    * file (1.cpp:248–264) while every other registered path scans
+    * parquet — this query round-trips `documents.text` through a real
+    * text file and runs the identical pipeline over `spark.read.text`.
+    * The word multiset is invariant under the text writer's line
+    * splitting (newline is whitespace to the tokenizer), so the batch
+    * wordcount oracle applies unchanged. */
+  def wordCountText(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Core.tempDir("graft-wctext")
+    Tables(s, d, "documents")
+      .select(coalesce(col("text"), lit("")).as("value"))
+      .write.mode("overwrite").text(dir)
+    wordCount(s.read.text(dir), "value")
+  }
+
   /** Oracle spelling of the cleaned token stream; shared with the
     * streaming word count so the replay-parity guarantee can never
     * drift from the batch oracle. */
@@ -107,6 +122,12 @@ object WordCount {
            |FROM (SELECT word, COUNT(*) AS count FROM ($cleanedSql)
            |      WHERE word <> '' GROUP BY word)
            |ORDER BY count DESC, word LIMIT 20""".stripMargin)),
+    Q(
+      "wordcount_text",
+      wordCountText,
+      Some(
+        s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
     Q(
       "wordcount_topk",
       (s, dir) => topK(Tables(s, dir, "documents"), 20),

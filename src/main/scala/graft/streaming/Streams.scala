@@ -37,7 +37,6 @@ import java.util.concurrent.atomic.AtomicInteger
 object Streams {
 
   private val runId = new AtomicInteger(0)
-  @volatile private var previousSink: Option[String] = None
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -74,14 +73,12 @@ object Streams {
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
   /** Run `df`'s streaming plan to completion into a memory sink and
-    * return the sink table. */
+    * return the materialized result. The sink's temp view is dropped
+    * here, before returning: the result is localCheckpoint-ed first,
+    * so the returned DataFrame no longer references the view and each
+    * call cleans up after itself (no cross-query catalog state). */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    // memory sinks pin their full result in the driver; results are
-    // consumed synchronously between calls, so dropping the previous
-    // sink here bounds retained tables to two per session
-    previousSink.foreach(df.sparkSession.catalog.dropTempView(_))
-    previousSink = Some(name)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -89,7 +86,9 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val out = df.sparkSession.table(name).localCheckpoint()
+    df.sparkSession.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming word count — the reference pipeline lifted onto an
@@ -178,11 +177,15 @@ object Streams {
     }
   }
 
-  /** Streaming sessionization (30-min gap) per user. Registered
-    * WITHOUT an oracle: in append mode, sessions still open at the
-    * final watermark are correctly withheld — the emitted rows are a
-    * deterministic subset of the batch `events_sessionize` result
-    * (see StreamingSpec for exact-semantics tests). */
+  /** Streaming sessionization (30-min gap) per user. In append mode
+    * the emitted rows are a deterministic subset of the batch
+    * `events_sessionize` result: every non-last session per user is
+    * closed inline by the event that opens the next one, and a user's
+    * LAST session is emitted only when its event-time timeout fires —
+    * `end_ms + gap < final watermark` where the final watermark is
+    * `max(event ms) - 30 min`. The oracle (below) encodes exactly
+    * that predicate over the batch session CTE, so this row is
+    * hash-checked like every batch operator. */
   def streamSessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sessions = eventStream(s, d)
@@ -261,6 +264,36 @@ object Streams {
         |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin),
       headline = false),
-    Q("stream_sessionize", streamSessionize, None, headline = false),
+    // Emitted = inline-closed sessions (all but each user's last)
+    // ∪ last sessions whose event-time timeout fired before the final
+    // watermark. Timestamps compare at Spark's watermark granularity:
+    // milliseconds, floored from the event's nanosecond timestamp.
+    Q("stream_sessionize", streamSessionize, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    min(ts) AS s_start, max(ts) AS s_end,
+        |    max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sessions GROUP BY user_id, sid),
+        |wm AS (
+        |  SELECT epoch_ms(CAST(max(ts) AS TIMESTAMP)) - 1800000 AS wm_ms FROM events)
+        |SELECT user_id,
+        |  strftime(CAST(s_start AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(CAST(s_end AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n_events
+        |FROM agg, wm
+        |WHERE sid < max_sid
+        |   OR epoch_ms(CAST(s_end AS TIMESTAMP)) + 1800000 < wm_ms
+        |ORDER BY user_id, session_start""".stripMargin),
+      headline = false),
   )
 }
