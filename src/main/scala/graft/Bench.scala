@@ -46,7 +46,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) f(results.values.sum) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "total" is the sum of per-query minima — a methodology marker plus
+    // both raw per-pass totals keep cross-round comparisons honest (no
+    // single pass achieved `value`; pass1/pass2 did happen end-to-end).
+    val passTotals = s"[${f(p1.values.sum)},${f(p2.values.sum)}]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes","pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,19 +129,23 @@ object TextAnalysis {
 
   /** TF-IDF: top-3 terms per document by tf·(N/df) (a log-free IDF —
     * same ranking monotonicity, exactly reproducible arithmetic).
-    * Plan shape: explode → (doc,term) agg → df agg → shuffle join on
-    * `term` → window top-k per doc. The df join is deliberately NOT
-    * broadcast: its cardinality is the vocabulary, which grows with
-    * corpus noise and is not broadcast-sized at 100 TB. Both join
-    * inputs come out of the same (doc_id,term)→tf aggregate, and the
-    * shuffle is on `term`, so `tf` is already hash-partitioned by a
-    * superset key and only the small df side repartitions. */
+    * Plan shape: explode → (doc,term) agg → repartition by `term` →
+    * df agg → join on `term` → window top-k per doc. The df join is
+    * deliberately NOT broadcast: its cardinality is the vocabulary,
+    * which grows with corpus noise and is not broadcast-sized at
+    * 100 TB. Note Spark does NOT treat (doc_id,term) hash partitioning
+    * as satisfying a join on `term` alone (ClusteredDistribution needs
+    * the partitioning exprs to be a subset of the join keys), so `tf`
+    * is explicitly repartitioned by `term` once; both the df
+    * aggregation and the join's tf side then reuse that one exchange
+    * (identical subplans → ReuseExchange). */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).withColumn("t", tokens(col("text")))
     val tf = base
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // doc count as a broadcast 1-row frame — no collect to the driver
     val nDf = docs(s, d).agg(count(lit(1)).as("n_docs"))

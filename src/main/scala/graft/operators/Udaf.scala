@@ -62,11 +62,15 @@ object Udaf {
   /** Distinct-count surface: exact vs HyperLogLog++ approximation.
     * The HLL sketch value itself can't hash-match a different engine's
     * sketch, so the query emits a hashable CONTRACT instead: the exact
-    * count plus a bool asserting the approximation landed within the
-    * requested 5% relative error. The oracle emits the same exact
-    * count and literal TRUE — a real correctness gate for an
-    * approximate operator. The raw sketch twin stays available via
-    * `distinct_parts` (exact, oracled). */
+    * count plus a bool asserting the approximation landed within a
+    * relative-error bound. The oracle emits the same exact count and
+    * literal TRUE — a real correctness gate for an approximate
+    * operator. The bound is 4x the requested rsd (0.02 → 0.08): HLL++
+    * error is probabilistic, and a 2.5-sigma gate would eventually
+    * trip on a dataset the driver runs that we didn't calibrate on;
+    * 4 sigma keeps the gate meaningful (a broken sketch still fails)
+    * without betting green rows on tail luck. The raw sketch twin
+    * stays available via `distinct_parts` (exact, oracled). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "orders")
       .agg(
@@ -75,7 +79,7 @@ object Udaf {
       .select(
         col("exact_custkeys"),
         (abs(col("approx") - col("exact_custkeys")) /
-          col("exact_custkeys") <= 0.05).as("within_bound"))
+          col("exact_custkeys") <= 0.08).as("within_bound"))
 
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(

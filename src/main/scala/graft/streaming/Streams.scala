@@ -73,10 +73,16 @@ object Streams {
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
   /** Run `df`'s streaming plan to completion into a memory sink and
-    * return the materialized result. The sink's temp view is dropped
-    * here, before returning: the result is localCheckpoint-ed first,
-    * so the returned DataFrame no longer references the view and each
-    * call cleans up after itself (no cross-query catalog state). */
+    * return the materialized result. Complete-mode aggregations only
+    * support memory/console sinks, so the memory sink is unavoidable
+    * for replay-parity; but its rows are immediately spooled to a
+    * temp parquet dir and the temp view dropped, so neither driver
+    * memory nor block-manager storage retains the result (the earlier
+    * localCheckpoint approach pinned executor blocks until RDD GC —
+    * clearCache() doesn't release checkpoints). The returned frame is
+    * a plain parquet scan of the spooled result. At production scale
+    * the append-mode queries would write straight to a file sink;
+    * this spool is the verify-harness equivalent. */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val q = df.writeStream
@@ -86,9 +92,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = df.sparkSession.table(name).localCheckpoint()
-    df.sparkSession.catalog.dropTempView(name)
-    out
+    val spark = df.sparkSession
+    val spool = s"${graft.Core.tempDir("graft-stream-out")}/$name"
+    spark.table(name).write.mode("overwrite").parquet(spool)
+    spark.catalog.dropTempView(name)
+    spark.read.parquet(spool)
   }
 
   /** Streaming word count — the reference pipeline lifted onto an
