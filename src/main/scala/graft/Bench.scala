@@ -25,7 +25,13 @@ object Bench {
     try SparkEntry.benchQueries.head.spark(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    def onePass(): Map[String, Double] = SparkEntry.benchQueries.map { q =>
+    // Optional comma-separated name filter for profiling a subset
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=scalar_dates,pipeline_corpus_prep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only.fold(SparkEntry.benchQueries)(names =>
+      SparkEntry.benchQueries.filter(q => names(q.name)))
+    def onePass(): Map[String, Double] = picked.map { q =>
       // evict the previous query's internal persists before timing
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
