@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, UnsafeArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd signature expressions for the dedup / ANN
+  * operators. Each replaces an interpreted higher-order-expression
+  * pipeline (per-char `split` + `ascii`, 48-array `zip_with` vote
+  * folds, per-plane `aggregate` dot products) with one tight JVM loop
+  * per row, on the [[CleanWord]] pattern: a standalone worker object
+  * (static forwarder → direct call from generated Java) plus a thin
+  * `UnaryExpression` whose `doGenCode` stays inside whole-stage
+  * codegen.
+  *
+  * Every expression is map-side, deterministic integer/IEEE
+  * arithmetic reproduced verbatim in the DuckDB oracles — see the
+  * per-object notes. Inputs are the engine's canonical cleaned text
+  * (ASCII `[a-z0-9\s]`), where Spark's `split("")`+`ascii` per-char
+  * semantics and a plain byte/char loop coincide; non-ASCII content
+  * falls back to UTF-16 char values (the same numeric `ascii()`
+  * yields for BMP characters).
+  */
+object TextHashes {
+
+  def charGramHashes(c: Column): Column =
+    ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(c)))
+
+  def simhash48(c: Column): Column =
+    ExpressionUtils.column(SimHash48(ExpressionUtils.expression(c)))
+
+  def hyperplaneBuckets(c: Column): Column =
+    ExpressionUtils.column(HyperplaneBuckets(ExpressionUtils.expression(c)))
+}
+
+/** Worker for [[CharGramHashes]]: the distinct character-5-gram
+  * hash set of a cleaned string, in first-occurrence order (the
+  * exact semantics of `array_distinct(transform(sequence(...), i ->
+  * c[i]*31^4 + ... + c[i+4]))` it replaces — see the DuckDB oracle in
+  * [[graft.operators.Dedup]]). The 31-base polynomial over char codes
+  * ≤ 'z' (122) maxes at ~1.2e8, so no modulus is needed and the hash
+  * is exact in a long on both engines.
+  */
+object CharGramHashesUtil {
+  private val N = 5
+
+  def hashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len < N) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](len - N + 1)
+    val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
+    var n = 0
+    var i = 0
+    while (i <= len - N) {
+      val h = str.charAt(i) * 923521L + str.charAt(i + 1) * 29791L +
+        str.charAt(i + 2) * 961L + str.charAt(i + 3) * 31L + str.charAt(i + 4)
+      if (seen.add(h)) { out(n) = h; n += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** `char_gram_hashes(string) -> array<bigint>`: distinct 5-gram
+  * polynomial hashes, one codegen'd pass per document. */
+case class CharGramHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharGramHashesUtil.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharGramHashesUtil.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+/** Worker for [[SimHash48]]. Per token: the engine's shared 31-base
+  * rolling hash mod 1e9+7 ([[graft.Core.polyHash]] — ~30 bits), then
+  * a widening mix `H = h + ((h * 2654435761) % P) << 30` giving 48+
+  * independent-ish bits (Knuth multiplicative step; every
+  * intermediate stays < 2^63 so DuckDB BIGINT arithmetic reproduces
+  * it exactly). The fingerprint folds ±1 votes per bit over all
+  * token occurrences and takes the sign bits.
+  *
+  * WIDTH IS A SCALE PARAMETER: a band join over `c` chunks of `w`
+  * bits keeps every bucket at O(1) occupancy only while
+  * 2^w ≳ N / desired-bucket-size (bits ≈ log2(N / occupancy)). 48
+  * bits / 16-bit chunks hold ~10^7–10^8 docs per shuffle partition
+  * group; pigeonhole exactness for hamming ≤ 2 needs only chunks ≥
+  * hamming + 1 = 3, which any width split preserves.
+  */
+object SimHash48Util {
+  val Bits = 48
+  private val P = graft.Core.HashMod // 1e9+7
+
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) {
+        val str = tok.toString
+        var h = 0L
+        var i = 0
+        while (i < str.length) { h = (h * 31 + str.charAt(i)) % P; i += 1 }
+        val hv = h + ((h * 2654435761L) % P) * (1L << 30)
+        var b = 0
+        while (b < Bits) {
+          if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < Bits) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+}
+
+/** `simhash48(array<string>) -> bigint`: 48-bit SimHash fingerprint
+  * of a token array, one codegen'd loop per document (replaces a
+  * 48-element `zip_with` vote fold per token). */
+case class SimHash48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash48 requires array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash48Util.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash48Util.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
+/** Worker for [[HyperplaneBuckets]]: all `Tables` sign-random-
+  * projection bucket ids of one embedding in a single pass. Plane
+  * weights come from [[graft.functions.Vectors.planeWeight]] (integer-
+  * valued, reproduced inline in the DuckDB oracle); each plane dot is
+  * the same sequential `acc + v[i] * w[i]` left-fold the interpreted
+  * `aggregate` spelled, so signs — and therefore buckets — are
+  * bit-identical across engines.
+  */
+object HyperplaneBucketsUtil {
+  import graft.functions.Vectors.{planeWeight, BitsPerTable, Dim, Tables}
+
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(Tables * BitsPerTable, Dim)(planeWeight)
+
+  def buckets(embd: ArrayData): ArrayData = {
+    val v = embd.toDoubleArray()
+    val out = new Array[Long](Tables)
+    var t = 0
+    while (t < Tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < BitsPerTable) {
+        val w = planes(t * BitsPerTable + b)
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc = acc + v(i) * w(i); i += 1 }
+        if (acc > 0) bucket |= 1L << b
+        b += 1
+      }
+      t += 1
+      out(t - 1) = bucket
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `hyperplane_buckets(array<double>) -> array<bigint>`: the vector's
+  * bucket id in each of the LSH tables (element `t` = table `t`;
+  * `posexplode` turns it into (tbl, bucket) entries). Replaces
+  * Tables × BitsPerTable interpreted `aggregate` folds per row with
+  * one codegen'd loop. */
+case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets requires array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBucketsUtil.buckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HyperplaneBucketsUtil.buckets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
