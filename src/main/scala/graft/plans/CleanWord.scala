@@ -100,5 +100,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[TopKCounts].getName, "topk_counts"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKCounts(args(0), args(1), args(2))))
+    // Native signature expressions for the dedup / ANN operators
+    // ([[TextHashes]]); invoked by name via functions.call_function.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("char_gram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharGramHashes(args(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash48"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash48].getName, "simhash48"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash48(args(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneBuckets(args(0))))
   }
 }

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, UnsafeArrayData}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,14 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashes {
 
-  def charGramHashes(c: Column): Column =
-    ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(c)))
+  // Column construction from a raw Expression is private[sql] in
+  // Spark 4, so these resolve by NAME through the session's function
+  // registry — the three functions are registered by
+  // [[GraftExtensions]], which every engine session enables
+  // (spark.sql.extensions=graft.plans.GraftExtensions).
 
-  def simhash48(c: Column): Column =
-    ExpressionUtils.column(SimHash48(ExpressionUtils.expression(c)))
+  def charGramHashes(c: Column): Column = call_function("char_gram_hashes", c)
 
-  def hyperplaneBuckets(c: Column): Column =
-    ExpressionUtils.column(HyperplaneBuckets(ExpressionUtils.expression(c)))
+  def simhash48(c: Column): Column = call_function("simhash48", c)
+
+  def hyperplaneBuckets(c: Column): Column = call_function("hyperplane_buckets", c)
 }
 
 /** Worker for [[CharGramHashes]]: the distinct character-5-gram
@@ -96,12 +99,15 @@ case class CharGramHashes(child: Expression) extends UnaryExpression {
   * it exactly). The fingerprint folds ±1 votes per bit over all
   * token occurrences and takes the sign bits.
   *
-  * WIDTH IS A SCALE PARAMETER: a band join over `c` chunks of `w`
-  * bits keeps every bucket at O(1) occupancy only while
-  * 2^w ≳ N / desired-bucket-size (bits ≈ log2(N / occupancy)). 48
-  * bits / 16-bit chunks hold ~10^7–10^8 docs per shuffle partition
-  * group; pigeonhole exactness for hamming ≤ 2 needs only chunks ≥
-  * hamming + 1 = 3, which any width split preserves.
+  * WIDTH IS A SCALE PARAMETER (compile-time here): a band join over
+  * `c` chunks of `w` bits keeps every bucket at O(1) occupancy only
+  * while 2^w ≳ N / desired-bucket-size (bits ≈ log2(N / occupancy)).
+  * The constant 48 bits / 16-bit chunks (set in
+  * [[graft.operators.Dedup]]) hold ~10^7–10^8 docs per shuffle
+  * partition group; pigeonhole exactness for hamming ≤ 2 needs only
+  * chunks ≥ hamming + 1 = 3, which any width split preserves. A
+  * deployment at different N re-derives the constant from the log
+  * rule; the expression itself is width-agnostic up to 63 bits.
   */
 object SimHash48Util {
   val Bits = 48
@@ -180,14 +186,18 @@ object HyperplaneBucketsUtil {
       var b = 0
       while (b < BitsPerTable) {
         val w = planes(t * BitsPerTable + b)
+        // inputs are Dim-length by contract; the min bound keeps an
+        // over-long vector from throwing (it contributes only its
+        // first Dim components, like the oracle's generate_series)
+        val m = math.min(v.length, w.length)
         var acc = 0.0
         var i = 0
-        while (i < v.length) { acc = acc + v(i) * w(i); i += 1 }
+        while (i < m) { acc = acc + v(i) * w(i); i += 1 }
         if (acc > 0) bucket |= 1L << b
         b += 1
       }
+      out(t) = bucket
       t += 1
-      out(t - 1) = bucket
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
