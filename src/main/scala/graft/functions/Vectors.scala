@@ -56,9 +56,15 @@ object Vectors {
   // representation drift between the two engines.
   // ---------------------------------------------------------------------
 
-  /** Number of hash tables / bits per table for the 64-d embeddings. */
+  /** Number of hash tables / bits per table for the 64-d embeddings.
+    * 12 bits = 4096 buckets per table: the log-rule width (bits ≈
+    * log2(N / occupancy)) for corpora well past the test SF — bucket
+    * occupancy, and with it the quadratic intra-bucket candidate
+    * count, stays bounded 64× longer than the earlier 6-bit tables.
+    * The oracle formulas below are generated from these constants, so
+    * DuckDB follows any width change automatically. */
   val Tables = 8
-  val BitsPerTable = 6
+  val BitsPerTable = 12
   val Dim = 64
 
   /** Weight of hyperplane `p` (global bit index) at dimension `d`. */
@@ -68,18 +74,23 @@ object Vectors {
   private def plane(p: Int): Column =
     typedlit((0 until Dim).map(planeWeight(p, _)))
 
-  /** `t`-th table's bucket id (0..63) for a double-array vector. */
+  /** `t`-th table's bucket id for a double-array vector — the
+    * INTERPRETED reference spelling (per-plane `aggregate` folds),
+    * kept as the parity baseline the native expression is tested
+    * against ([[graft.TextHashesSpec]]). */
   def bucket(embd: Column, t: Int): Column =
     (0 until BitsPerTable).map { b =>
       when(dotd(embd, plane(t * BitsPerTable + b)) > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All `Tables` (table, bucket) pairs for a vector, for `explode`. */
-  def bucketEntries(embd: Column): Column =
-    array((0 until Tables).map { t =>
-      struct(lit(t).as("tbl"), bucket(embd, t).as("bucket"))
-    }: _*)
+  /** All `Tables` bucket ids of a vector (element `t` = table `t`)
+    * via the native codegen'd [[graft.plans.HyperplaneBuckets]] — one
+    * JVM loop per row instead of Tables × BitsPerTable interpreted
+    * `aggregate` folds. `posexplode` at the call sites turns it into
+    * (tbl, bucket) entries. */
+  def lshBuckets(embd: Column): Column =
+    graft.plans.TextHashes.hyperplaneBuckets(embd)
 
   /** Oracle spelling of the dot-with-plane fold for global bit `p`
     * over float-array column `v` (1-based DuckDB index `k`, so the

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *    at j≈0.98 with 6 bands of 2); the oracle is the exact
   *    ground-truth pair set, so a green CORRECTNESS row *measures*
   *    perfect recall on the test corpus.
-  *  - SimHash pairs: EXACT by pigeonhole — 3 bands of 10 bits catch
+  *  - SimHash pairs: EXACT by pigeonhole — 3 bands of 16 bits catch
   *    every pair with hamming distance ≤ 2 deterministically.
   *  - Hyperplane LSH: approximate by definition (the algorithm is
   *    the spec); its oracle replicates the same buckets.
@@ -150,25 +150,18 @@ object Dedup {
   private val NgramBands = 4
 
   /** doc_id + distinct character-5-gram hash set over the canonical
-    * (lowercased, alnum-only) byte stream. The text is split to char
-    * codes ONCE per document; each gram hash folds a 5-slice of that
-    * array — no per-gram substring extraction or re-splitting. */
+    * (lowercased, alnum-only) byte stream, via the native codegen'd
+    * [[graft.plans.CharGramHashes]] — one JVM loop per document
+    * (31-base polynomial, 31^4..31^0 weights, max ≈ 1.2e8 so no
+    * modulus; first-occurrence distinct order). Semantics equal the
+    * interpreted `split("")`+`ascii`+`array_distinct(transform(...))`
+    * spelling it replaced — the DuckDB oracle is unchanged and
+    * [[graft.TextHashesSpec]] asserts the parity. */
   private def charShingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
       .filter(length(col("ctext")) >= 5)
-      .withColumn("codes",
-        transform(split(col("ctext"), ""), ch => ascii(ch).cast("long")))
-      // direct 31-base polynomial per gram (31^4..31^0 weights): max
-      // value ≈ 1.2e8, so no modulus is needed and no per-gram slice
-      // or fold is allocated — one flat transform pass per document
-      .withColumn("sh", array_distinct(
-        transform(sequence(lit(1), length(col("ctext")) - 4), i =>
-          element_at(col("codes"), i) * lit(923521L) +
-            element_at(col("codes"), i + 1) * lit(29791L) +
-            element_at(col("codes"), i + 2) * lit(961L) +
-            element_at(col("codes"), i + 3) * lit(31L) +
-            element_at(col("codes"), i + 4))))
+      .withColumn("sh", graft.plans.TextHashes.charGramHashes(col("ctext")))
       .select("doc_id", "sh")
 
   /** Near-dup by character-n-gram Jaccard >= 0.8; candidates via an
@@ -180,39 +173,35 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------
 
-  private val SimBits = 30
-  private val SimChunks = 3 // 3 × 10 bits → exact for hamming ≤ 2
+  private val SimBits = graft.plans.SimHash48Util.Bits // 48
+  private val SimChunks = 3 // 3 × 16 bits → exact for hamming ≤ 2
+  private val SimChunkBits = SimBits / SimChunks // 16 → 65536 buckets/chunk
 
-  /** Per-document 30-bit SimHash computed entirely per-row: hash each
-    * token occurrence, fold ±1 votes per bit position into a 30-long
-    * accumulator array, take the sign bits. Zero shuffle. */
-  def simhashDocs(s: SparkSession, d: String): DataFrame = {
-    // ±1 vote per bit, branch-free: (bit * 2 - 1); power-of-two
-    // divisors come from a literal array (no per-element pow())
-    val pow2 = typedlit((0 until SimBits).map(b => 1L << b))
-    val bitsOf = (h: Column) =>
-      transform(sequence(lit(0), lit(SimBits - 1)), b =>
-        pmod(floor(h / element_at(pow2, b + 1)).cast("long"), lit(2L)) * 2 - 1)
+  /** Per-document 48-bit SimHash via the native codegen'd
+    * [[graft.plans.SimHash48]]: one JVM loop per row hashes each
+    * token occurrence (shared polyHash mod 1e9+7, then the Knuth
+    * widening mix `h + ((h·2654435761) % P)·2^30`), folds ±1 votes
+    * per bit, and takes the sign bits. Zero shuffle; the identical
+    * integer arithmetic is spelled in [[oSimhashCte]] so DuckDB
+    * reproduces fingerprints bit-for-bit. 48 bits (vs the earlier
+    * 30) is the log-rule width for ≥10^9-doc corpora — see the
+    * width note on [[graft.plans.SimHash48Util]]. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("t", TextAnalysis.tokens(col("text")))
-      .withColumn("hs", transform(col("t"), tk => polyHash(tk)))
-      .withColumn("bitsums",
-        aggregate(col("hs"), array_repeat(lit(0L), SimBits),
-          (acc, h) => zip_with(acc, bitsOf(h), (a, x) => a + x)))
-      .withColumn("simhash",
-        (0 until SimBits).map { b =>
-          when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
+      .withColumn("simhash", graft.plans.TextHashes.simhash48(col("t")))
       .select("doc_id", "simhash")
-  }
 
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashDocs(s, d).orderBy("doc_id")
 
   /** Near-identical pairs by SimHash hamming ≤ 2. Candidates come
     * from a 3-chunk band join; by pigeonhole any pair within hamming
-    * 2 shares an intact 10-bit chunk, so recall is EXACTLY 100% —
-    * the all-pairs oracle is provably equal, not probabilistically. */
+    * 2 shares an intact 16-bit chunk, so recall is EXACTLY 100% —
+    * the all-pairs oracle is provably equal, not probabilistically.
+    * 16-bit chunks = 65536 buckets per band: bucket occupancy (and
+    * the quadratic intra-bucket pair count) stays bounded ~65× longer
+    * than the earlier 10-bit bands as the corpus grows. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val fps = simhashDocs(s, d).persist()
     val chunks = fps.select(
@@ -220,8 +209,8 @@ object Dedup {
       explode(array((0 until SimChunks).map { c =>
         struct(
           lit(c).as("chunk_idx"),
-          pmod(floor(col("simhash") / pow(lit(2.0), lit(10 * c))).cast("long"),
-            lit(1024L)).as("chunk_val"))
+          shiftright(col("simhash"), SimChunkBits * c)
+            .bitwiseAND(lit((1L << SimChunkBits) - 1)).as("chunk_val"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.chunk_idx"), col("e.chunk_val"))
     val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk_val"))
@@ -246,10 +235,11 @@ object Dedup {
   private val CosThreshold = 0.4
 
   /** Near-dup embedding pairs via sign-random-projection LSH: 8
-    * tables × 6-bit buckets generate candidates with an equi-join;
-    * exact cosine ≥ 0.4 verifies. Approximate by design — recall is
-    * whatever the 8 tables deliver (the oracle replicates the same
-    * buckets); `dedup_embedding_exact` is the ground-truth twin. */
+    * tables × 12-bit (4096) buckets generate candidates with an
+    * equi-join; exact cosine ≥ 0.4 verifies. Approximate by design —
+    * recall is whatever the 8 tables deliver (the oracle replicates
+    * the same buckets); `dedup_embedding_exact` is the ground-truth
+    * twin. */
   def embeddingLsh(s: SparkSession, d: String): DataFrame = {
     // norms precomputed per vector: the pair stage then folds ONE dot
     // product per candidate instead of three (dot + both norms)
@@ -257,8 +247,8 @@ object Dedup {
       .withColumn("embd", Vectors.toD(col("embedding")))
       .withColumn("nrm", Vectors.norm(col("embd")))
       .persist()
-    val entries = e.select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("e"))
-      .select(col("vec_id"), col("e.tbl"), col("e.bucket"))
+    val entries = e.select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       .persist()
     val cand = entries.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(entries.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
@@ -330,11 +320,15 @@ object Dedup {
        |         + codes[i+3] * 31 + codes[i+4])) AS sh
        |  FROM codes)""".stripMargin
 
-  /** SimHash fingerprint CTE `fp(doc_id, sh)` (explode-based; same
-    * integer math as the per-row Spark fold). */
+  /** SimHash fingerprint CTE `fp(doc_id, sh)` (explode-based; the
+    * same integer math as the codegen'd [[graft.plans.SimHash48Util]]
+    * loop): per token the shared 31-base polyHash mod P, then the
+    * Knuth widening mix `h + ((h·2654435761) % P)·2^30` — every
+    * intermediate < 2^63, so DuckDB BIGINT arithmetic is exact. */
   private val oSimhashCte =
     s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
-       |h AS (SELECT doc_id, unnest(list_transform(tok, s -> ${oPolyHash("s")})) AS hv FROM t),
+       |h0 AS (SELECT doc_id, unnest(list_transform(tok, s -> ${oPolyHash("s")})) AS h FROM t),
+       |h AS (SELECT doc_id, h + ((h * 2654435761) % $P) * 1073741824 AS hv FROM h0),
        |bits AS (
        |  SELECT doc_id, b,
        |    SUM(CASE WHEN (hv // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s

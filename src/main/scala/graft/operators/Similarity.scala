@@ -68,8 +68,8 @@ object Similarity {
   def topkLsh(s: SparkSession, d: String): DataFrame = {
     val e = withD(embs(s, d)).persist()
     val entries = e
-      .select(col("vec_id"), explode(Vectors.bucketEntries(col("embd"))).as("en"))
-      .select(col("vec_id"), col("en.tbl"), col("en.bucket"))
+      .select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       .persist()
     val qEntries = entries.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))

@@ -63,7 +63,7 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical docs get identical fingerprints; pairs hamming 0") {
     val fp = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
     assert(fp(0L) == fp(3L))
-    assert(fp.values.forall(v => v >= 0 && v < (1L << 30)))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << graft.plans.SimHash48Util.Bits)))
     val pairs = Dedup.simhashPairs(spark, dir)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
@@ -97,13 +97,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("hyperplane buckets are deterministic and within range") {
+    val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embd", Vectors.toD(col("embedding")))
-    val buckets = e.select(explode(Vectors.bucketEntries(col("embd"))).as("e"))
-      .select($"e.tbl", $"e.bucket").as[(Int, Long)].collect()
-    assert(buckets.forall { case (t, b) => t >= 0 && t < 8 && b >= 0 && b < 64 })
-    val again = e.select(explode(Vectors.bucketEntries(col("embd"))).as("e"))
-      .select($"e.tbl", $"e.bucket").as[(Int, Long)].collect()
+    val buckets = e.select(posexplode(Vectors.lshBuckets(col("embd"))))
+      .select($"pos", $"col").as[(Int, Long)].collect()
+    assert(buckets.forall { case (t, b) =>
+      t >= 0 && t < Vectors.Tables && b >= 0 && b < nb })
+    val again = e.select(posexplode(Vectors.lshBuckets(col("embd"))))
+      .select($"pos", $"col").as[(Int, Long)].collect()
     assert(buckets.sameElements(again))
   }
 }

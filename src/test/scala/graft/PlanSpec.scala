@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("native signature expressions are live in the dedup/ANN plans") {
+    assert(executed(Dedup.ngramJaccard(spark, sf)).contains("char_gram_hashes"))
+    assert(executed(Dedup.simhashPairs(spark, sf)).contains("simhash48"))
+    assert(executed(Dedup.embeddingLsh(spark, sf)).contains("hyperplane_buckets"))
+    assert(executed(Similarity.topkLsh(spark, sf)).contains("hyperplane_buckets"))
+  }
+
   test("whole-stage codegen covers the wordcount pipeline") {
     // AQE finalizes the plan only at execution; run, then inspect
     val df = WordCount.wordCount(spark.read.parquet(s"$sf/documents.parquet"))

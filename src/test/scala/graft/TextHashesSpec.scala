@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.Vectors
+import graft.operators.TextAnalysis
+import graft.plans.TextHashes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parity proofs for the native codegen'd signature expressions: each
+  * must be observationally identical to the interpreted higher-order
+  * spelling it replaced, on the real test corpus AND on adversarial
+  * literals (empty / short / non-ASCII / null) — otherwise wiring
+  * them into the dedup/ANN operators would silently change results
+  * the DuckDB oracles pin down. */
+class TextHashesSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf/documents.parquet")
+
+  private def embs: DataFrame =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Interpreted reference spelling of char-5-gram hashes (the exact
+    * pipeline CharGramHashes replaced in Dedup.charShingled). */
+  private def interpretedGrams(ctext: org.apache.spark.sql.Column) = {
+    val codes = transform(split(ctext, ""), ch => ascii(ch).cast("long"))
+    array_distinct(
+      transform(sequence(lit(1), length(ctext) - 4), i =>
+        element_at(codes, i) * lit(923521L) +
+          element_at(codes, i + 1) * lit(29791L) +
+          element_at(codes, i + 2) * lit(961L) +
+          element_at(codes, i + 3) * lit(31L) +
+          element_at(codes, i + 4)))
+  }
+
+  test("char_gram_hashes equals the interpreted spelling on the corpus") {
+    val base = docs
+      .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("ctext")) >= 5)
+    val diff = base
+      .withColumn("native", TextHashes.charGramHashes(col("ctext")))
+      .withColumn("interp", interpretedGrams(col("ctext")))
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("char_gram_hashes edge cases: short input and empty set") {
+    val rows = spark.sql(
+      """SELECT char_gram_hashes('') AS a, char_gram_hashes('abcd') AS b,
+        |  char_gram_hashes('abcde') AS c, char_gram_hashes('aaaaaa') AS d,
+        |  char_gram_hashes(CAST(NULL AS STRING)) AS n""".stripMargin).head()
+    assert(rows.getSeq[Long](0).isEmpty)  // len < 5 → no grams
+    assert(rows.getSeq[Long](1).isEmpty)
+    assert(rows.getSeq[Long](2).length === 1)
+    // 'aaaaaa' has two positions but ONE distinct gram
+    assert(rows.getSeq[Long](3).length === 1)
+    assert(rows.isNullAt(4)) // null-safe eval
+  }
+
+  /** Interpreted 48-bit SimHash twin built from the same primitives
+    * the 30-bit operator fold used, widened with the Knuth mix —
+    * independent spelling of SimHash48Util's arithmetic. Bit
+    * extraction uses `shiftright` (exact integer ops): a double
+    * `floor(hv / 2^b)` would lose low bits for hv ≥ 2^53. */
+  private def interpretedSimhash(toks: org.apache.spark.sql.Column) = {
+    val bits = graft.plans.SimHash48Util.Bits
+    val mix = (h: org.apache.spark.sql.Column) =>
+      h + ((h * lit(2654435761L)) % lit(Core.HashMod)) * lit(1L << 30)
+    val votesOf = (hv: org.apache.spark.sql.Column) =>
+      array((0 until bits).map(b =>
+        pmod(shiftright(hv, b), lit(2L)) * 2 - 1): _*)
+    val sums = aggregate(
+      transform(toks, tk => mix(Core.polyHash(tk))),
+      array_repeat(lit(0L), bits),
+      (acc, hv) => zip_with(acc, votesOf(hv), (a, x) => a + x))
+    (0 until bits).map { b =>
+      when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  test("simhash48 equals an independent interpreted spelling on the corpus") {
+    val diff = docs
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .withColumn("native", TextHashes.simhash48(col("t")))
+      .withColumn("interp", interpretedSimhash(col("t")))
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("simhash48 edge cases: empty token array is fingerprint 0; 48-bit range") {
+    val r = spark.sql(
+      """SELECT simhash48(CAST(array() AS ARRAY<STRING>)) AS z,
+        |  simhash48(array('the','quick','brown','fox')) AS f""".stripMargin).head()
+    assert(r.getLong(0) === 0L)
+    val fp = r.getLong(1)
+    assert(fp >= 0L && fp < (1L << graft.plans.SimHash48Util.Bits))
+  }
+
+  test("hyperplane_buckets equals the interpreted per-table fold on the corpus") {
+    val e = embs.withColumn("embd", Vectors.toD(col("embedding")))
+    val interp = array((0 until Vectors.Tables).map(t =>
+      Vectors.bucket(col("embd"), t)): _*)
+    val diff = e
+      .withColumn("native", Vectors.lshBuckets(col("embd")))
+      .withColumn("interp", interp)
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("hyperplane bucket ids stay within 2^BitsPerTable") {
+    val e = embs.withColumn("embd", Vectors.toD(col("embedding")))
+    val bad = e
+      .select(explode(Vectors.lshBuckets(col("embd"))).as("b"))
+      .filter(col("b") < 0 || col("b") >= (1L << Vectors.BitsPerTable))
+    assert(bad.count() === 0)
+  }
+}
