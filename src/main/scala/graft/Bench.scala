@@ -20,26 +20,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: absorb JVM/codegen/parquet-footer warmup so the
-    // per-query numbers measure the plans, not JIT.
-    try SparkEntry.benchQueries.head.spark(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
     // Optional comma-separated name filter for profiling a subset
     // (e.g. SPARK_GRAFT_BENCH_ONLY=scalar_dates,pipeline_corpus_prep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val picked = only.fold(SparkEntry.benchQueries)(names =>
       SparkEntry.benchQueries.filter(q => names(q.name)))
-    def onePass(): Map[String, Double] = picked.map { q =>
-      // evict the previous query's internal persists before timing
-      spark.catalog.clearCache()
+    // A failing query must surface in the output, never read as a ~0 s
+    // "speedup": names land in the "errors" array and get no timing.
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    def runOne(q: Q, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
       // noop write materializes every row/column (count() would let
       // Spark prune the plan down to row counting).
-      try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        q.spark(spark, dir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors += q.name
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          None
+      }
+    }
+    // Untimed per-query warmup at the smallest SF: every headline plan
+    // compiles + JITs its codegen before any timed pass, so pass 1 is
+    // not a whole-suite warmup lap (r5: pass1 237 s vs pass2 114 s).
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory && sibling.toString != sfDir) sibling.toString else sfDir
+    }
+    picked.foreach { q =>
+      spark.catalog.clearCache()
+      runOne(q, warmDir)
+    }
+    errors.clear() // warmup failures don't count; timed passes re-report
+    def onePass(): Map[String, Double] = picked.flatMap { q =>
+      // evict the previous query's internal persists before timing
+      spark.catalog.clearCache()
+      runOne(q, sfDir).map(q.name -> _)
     }.toMap
     // Two full passes, per-query MIN: the host shows ~1-minute
     // interference waves (10–20× slowdowns at low loadavg); whole-suite
@@ -47,16 +66,22 @@ object Bench {
     // of any query. The min is the plan's cost, not the host's.
     val p1 = onePass()
     val p2 = onePass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val results = picked.flatMap { q =>
+      (p1.get(q.name), p2.get(q.name)) match {
+        case (Some(a), Some(b)) => Some(q.name -> math.min(a, b))
+        case (a, b)             => a.orElse(b).map(q.name -> _)
+      }
+    }.toMap
     def f(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) f(results.values.sum) else 0.0
     // "total" is the sum of per-query minima — a methodology marker plus
     // both raw per-pass totals keep cross-round comparisons honest (no
     // single pass achieved `value`; pass1/pass2 did happen end-to-end).
     val passTotals = s"[${f(p1.values.sum)},${f(p2.values.sum)}]"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes","pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
