@@ -139,33 +139,62 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Measured ANN recall (not a comment claim): per query, the
+    * fraction of the exact brute-force top-k that the LSH top-k
+    * actually returned. Both sides are the registered queries
+    * themselves, so this row moves whenever the LSH parameters
+    * (tables / bits) move — the health metric for the approximate
+    * path. */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = topkBrute(s, d).select(col("q_id"), col("vec_id"))
+    val ls = topkLsh(s, d).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    brute.join(ls, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .select("q_id", "k", "hits", "recall")
+      .orderBy("q_id")
+  }
+
   private def oCosQ = Vectors.oCos("q.embedding", "e.embedding", Vectors.Dim)
 
+  private def oBruteSql =
+    s"""SELECT q_id, vec_id, score, rn FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, $oCosQ AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oCosQ DESC, e.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+
+  private def oLshSql =
+    s"""WITH b AS (${Vectors.oBucketCte()}),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, eb.vec_id AS vec_id
+       |  FROM b qb JOIN b eb ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket
+       |  WHERE qb.vec_id < $NQueries AND eb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id, $oCosQ AS score
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("sim_topk_brute", topkBrute, Some(
-      s"""SELECT q_id, vec_id, score, rn FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, $oCosQ AS score,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oCosQ DESC, e.vec_id) AS rn
-         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NQueries)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin)),
-    Q("sim_topk_lsh", topkLsh, Some(
-      s"""WITH b AS (${Vectors.oBucketCte()}),
-         |cand AS (
-         |  SELECT DISTINCT qb.vec_id AS q_id, eb.vec_id AS vec_id
-         |  FROM b qb JOIN b eb ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket
-         |  WHERE qb.vec_id < $NQueries AND eb.vec_id <> qb.vec_id),
-         |scored AS (
-         |  SELECT cand.q_id, cand.vec_id, $oCosQ AS score
-         |  FROM cand
-         |  JOIN embeddings q ON q.vec_id = cand.q_id
-         |  JOIN embeddings e ON e.vec_id = cand.vec_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
-         |ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_topk_brute", topkBrute, Some(oBruteSql)),
+    Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
+    Q("sim_lsh_recall", lshRecall, Some(
+      s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
+         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+         |FROM ($oBruteSql) b LEFT JOIN ($oLshSql) l
+         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+         |GROUP BY b.q_id ORDER BY q_id""".stripMargin)),
     Q("sim_topk_ivf", topkIvf, Some(
       s"""WITH reps AS (
          |  SELECT label, embedding AS rv FROM (
