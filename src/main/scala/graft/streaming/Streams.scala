@@ -218,9 +218,8 @@ object Streams {
     * preceding 30 minutes, both sides watermarked (the watermark +
     * interval bound is what lets the join state be dropped — without
     * them stream-stream join state grows forever). The inner join
-    * emits every match under full replay, so the rolled-up result
-    * matches the BATCH range-join oracle exactly. */
-  def streamRangeJoin(s: SparkSession, d: String): DataFrame = {
+    * emits every match under full replay. */
+  private def rangeJoined(s: SparkSession, d: String): DataFrame = {
     val p = eventStream(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -230,21 +229,58 @@ object Streams {
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("cts"), col("ets").as("cets"))
       .withWatermark("cets", "1 hour")
-    val joined = p.join(c, expr(
+    p.join(c, expr(
       """user_id = c_user AND
         |cets >= pets - interval 30 minutes AND cets <= pets""".stripMargin))
       .select(col("user_id"), col("purchase_id"), col("pts"), col("cts"))
-    // the stateful work (the interval join) runs in the stream; the
-    // final rollup is a batch agg over the sink table
-    runToMemory(joined, OutputMode.Append())
+  }
+
+  /** Batch rollup over the sink table — the stateful work (the
+    * interval join) already ran in the stream. */
+  private def rangeRollup(sunk: DataFrame): DataFrame =
+    sunk
       .groupBy("user_id", "purchase_id", "pts")
       .agg(count(lit(1)).as("n_clicks"),
         expr("min(cts) div 1000").as("first_click_ts"))
       .select(col("user_id"), col("purchase_id"), col("n_clicks"), col("first_click_ts"))
       .orderBy("user_id", "purchase_id")
+
+  /** Memory-sink variant (harness spool; see [[runToMemory]]). The
+    * rolled-up result matches the BATCH range-join oracle exactly. */
+  def streamRangeJoin(s: SparkSession, d: String): DataFrame =
+    rangeRollup(runToMemory(rangeJoined(s, d), OutputMode.Append()))
+
+  /** File-sink twin of [[streamRangeJoin]] — the PRODUCTION posture:
+    * the append-mode interval join writes straight to a checkpointed
+    * parquet sink, rows never transit the driver or a memory table
+    * (executors write the files; at cluster scale this is the
+    * standard unbounded-output path). The rollup is a batch read of
+    * the sink directory; the oracle is the same batch range join. */
+  def streamRangeJoinFiles(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Core.tempDir("graft-stream-fsink")
+    val q = rangeJoined(s, d).writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rangeRollup(s.read.parquet(s"$out/data"))
   }
 
   private val cleanedSql = graft.operators.WordCount.cleanedSql
+
+  /** Shared by both range-join variants (memory spool / file sink) —
+    * same stream, same rollup, same batch oracle. */
+  private val oRangeJoin =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  COUNT(*) AS n_clicks, min(epoch_us(c.ts)) AS first_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+      |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("stream_wordcount", streamWordCount, Some(
@@ -263,14 +299,8 @@ object Streams {
          |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin),
       headline = false),
-    Q("stream_range_join", streamRangeJoin, Some(
-      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
-        |  COUNT(*) AS n_clicks, min(epoch_us(c.ts)) AS first_click_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
-        |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin),
+    Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
+    Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),
       headline = false),
     // Emitted = inline-closed sessions (all but each user's last)
     // ∪ last sessions whose event-time timeout fired before the final
