@@ -83,6 +83,38 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("AQE splits skewed partitions in a shuffled join") {
+    import org.apache.spark.sql.functions._
+    // Skew thresholds are sized for production partitions; lower them
+    // so a deliberately skewed toy join (one hot key carrying ~90% of
+    // the bytes) trips the same OptimizeSkewedJoin path a skewed
+    // 100 TB key would. Broadcast is disabled so the join shuffles.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be incompressible — shuffle partition sizes are
+      // measured AFTER compression, and a repetitive payload would
+      // deflate the hot partition below the skew threshold
+      val left = spark.range(0, 120000).select(
+        when(col("id") < 100000, lit(0L)).otherwise(col("id") % 32 + 1).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string")),
+          md5((col("id") + 3).cast("string"))).as("payload"))
+      val right = spark.range(0, 33).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      joined.collect() // AQE finalizes (and re-plans) only at execution
+      val s = executed(joined)
+      assert(s.contains("skew=true") || s.contains("skewed"), s.take(800))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("native signature expressions are live in the dedup/ANN plans") {
     assert(executed(Dedup.ngramJaccard(spark, sf)).contains("char_gram_hashes"))
     assert(executed(Dedup.simhashPairs(spark, sf)).contains("simhash48"))
