@@ -20,11 +20,18 @@ object Vectors {
   /** `array<float>` → `array<double>` (exact widening). */
   def toD(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays: one pass over
-    * an index sequence (no intermediate products array); the
+  /** Sequential-fold dot product of two double arrays via the native
+    * codegen'd [[graft.plans.DotDouble]] — one JVM loop per row. The
     * accumulation order acc + a[i]·b[i] is the same arithmetic
-    * sequence the oracle folds, so values stay bit-identical. */
+    * sequence the oracle (and [[dotdFold]]) folds, so values stay
+    * bit-identical. */
   def dotd(a: Column, b: Column): Column =
+    graft.plans.TextHashes.dotDouble(a, b)
+
+  /** The INTERPRETED spelling of [[dotd]] (per-element `aggregate`
+    * fold) — kept as the parity baseline the native expression is
+    * tested against ([[graft.TextHashesSpec]]). */
+  def dotdFold(a: Column, b: Column): Column =
     aggregate(sequence(lit(1), size(a)), lit(0.0),
       (acc, i) => acc + element_at(a, i) * element_at(b, i))
 
@@ -80,7 +87,7 @@ object Vectors {
     * against ([[graft.TextHashesSpec]]). */
   def bucket(embd: Column, t: Int): Column =
     (0 until BitsPerTable).map { b =>
-      when(dotd(embd, plane(t * BitsPerTable + b)) > 0, lit(1L << b))
+      when(dotdFold(embd, plane(t * BitsPerTable + b)) > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 

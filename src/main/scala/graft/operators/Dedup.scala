@@ -44,11 +44,12 @@ object Dedup {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
-  /** |A ∩ B| / |A ∪ B| of two (distinct-element) arrays, as double. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
-  }
+  /** |A ∩ B| / |A ∪ B| of two (distinct-element) arrays, as double —
+    * native single-pass [[graft.plans.JaccardLong]] (the interpreted
+    * `array_intersect` spelling re-ran the intersection for the join
+    * condition and every projection reference). */
+  private def jaccard(a: Column, b: Column): Column =
+    graft.plans.TextHashes.jaccardLong(a, b)
 
   /** Shingle sets are HASH sets (each shingle → 64-bit polyhash mod
     * 1e9+7) rather than string sets: Jaccard over hashed shingles is
@@ -99,17 +100,18 @@ object Dedup {
       .select("doc_id", "sh")
 
   /** Shared MinHash-LSH machinery: band the hash sets with the given
-    * permutations, equi-join on any shared band, and verify the
-    * distinct candidates with exact Jaccard over the sets. Both
-    * near-dup operators are instances of this one pipeline. */
+    * permutations (all minima in one codegen'd pass —
+    * [[graft.plans.MinHashSigs]]), equi-join on any shared band, and
+    * verify the distinct candidates with exact Jaccard over the
+    * sets. Both near-dup operators are instances of this one
+    * pipeline. */
   private def minhashPairs(
       sets: org.apache.spark.sql.DataFrame,
       seeds: Seq[Long],
       nBands: Int): org.apache.spark.sql.DataFrame = {
     val bands = sets
-      .withColumn("mh", array(seeds.indices.map { i =>
-        array_min(transform(col("sh"), h => (lit(seeds(i)) * h + lit(i + 1)) % lit(P)))
-      }: _*))
+      .withColumn("mh",
+        graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(seeds)))
       .select(
         col("doc_id"),
         explode(array((0 until nBands).map { j =>

@@ -120,5 +120,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HyperplaneBuckets(args(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigs(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_double"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotDouble].getName, "dot_double"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotDouble(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaccard_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaccardLong].getName, "jaccard_long"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaccardLong(args(0), args(1))))
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -39,6 +39,13 @@ object TextHashes {
   def simhash48(c: Column): Column = call_function("simhash48", c)
 
   def hyperplaneBuckets(c: Column): Column = call_function("hyperplane_buckets", c)
+
+  def minhashSigs(sh: Column, seeds: Column): Column =
+    call_function("minhash_sigs", sh, seeds)
+
+  def dotDouble(a: Column, b: Column): Column = call_function("dot_double", a, b)
+
+  def jaccardLong(a: Column, b: Column): Column = call_function("jaccard_long", a, b)
 }
 
 /** Worker for [[CharGramHashes]]: the distinct character-5-gram
@@ -226,4 +233,180 @@ case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
+}
+
+/** Worker for [[MinHashSigs]]: all permutation minima of one hash
+  * set in a single pass — `out(i) = min over h of (seeds(i)·h + (i+1))
+  * % P`, the exact arithmetic of the interpreted
+  * `array_min(transform(sh, h -> (seed·h + (i+1)) % P))` per seed it
+  * replaces (seeds ≤ 73, h < P ≈ 2^30, so every product < 2^37 —
+  * exact). Inputs are non-empty by the operators' length filters;
+  * the MinHash construction is recall machinery, not a result value —
+  * the pair oracles are exact ground-truth Jaccard, so a green row
+  * PROVES the banding missed nothing.
+  */
+object MinHashSigsUtil {
+  private val P = graft.Core.HashMod
+
+  def sigs(sh: ArrayData, seeds: ArrayData): ArrayData = {
+    val n = seeds.numElements()
+    val out = new Array[Long](n)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val m = sh.numElements()
+    var j = 0
+    while (j < m) {
+      val h = sh.getLong(j)
+      var i = 0
+      while (i < n) {
+        val v = (seeds.getLong(i) * h + (i + 1)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `minhash_sigs(array<bigint>, array<bigint>) -> array<bigint>`:
+  * MinHash signature (one minimum per seed) of a shingle hash set,
+  * one codegen'd loop per document instead of |seeds| interpreted
+  * `transform`+`array_min` passes. */
+case class MinHashSigs(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(sh: Any, seeds: Any): Any =
+    MinHashSigsUtil.sigs(sh.asInstanceOf[ArrayData], seeds.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.MinHashSigsUtil.sigs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Worker for [[DotDouble]]: the sequential left-fold dot product —
+  * `acc = acc + a(i)·b(i)` in ascending index order, the IDENTICAL
+  * IEEE operation sequence of the interpreted
+  * `aggregate(sequence(1, size(a)), 0.0, (acc, i) -> acc + a[i]·b[i])`
+  * it replaces and of the DuckDB oracle's `list_reduce` fold
+  * ([[graft.functions.Vectors.oDot]]) — double addition is not
+  * associative, but all three spell the same sequence, so results
+  * are bit-identical. */
+object DotDoubleUtil {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val m = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc = acc + x(i) * y(i); i += 1 }
+    acc
+  }
+}
+
+/** `dot_double(array<double>, array<double>) -> double`: sequential
+  * dot product, one codegen'd loop per row instead of an interpreted
+  * per-element `aggregate` fold — the hot inner operation of every
+  * cosine in the similarity / embedding-dedup operators. */
+case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_double requires (array<double>, array<double>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotDoubleUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.DotDoubleUtil.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Worker for [[JaccardLong]]: |A ∩ B| / |A ∪ B| of two
+  * DISTINCT-element long arrays in one hash-probe pass. Numerically
+  * identical to the interpreted
+  * `size(array_intersect(a,b)) / (size(a)+size(b)-inter)` it
+  * replaces (inputs are `array_distinct` outputs, so the
+  * intersection count is the same; the final double division is the
+  * same two exact ints) — but allocates one hash set instead of
+  * ArrayIntersect's set + output array, and the candidate-verify
+  * join evaluates it once per pair instead of re-running the
+  * intersection for the condition and each projection reference. */
+object JaccardLongUtil {
+  /** Murmur-style finalizer spreading the low bits for the probe. */
+  @inline private def scramble(k: Long): Int = {
+    val h = k * -7046029254386353131L
+    (h ^ (h >>> 32)).toInt
+  }
+
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val (s, t, ns, nt) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    // primitive open-addressing set (load ≤ 0.5) — no per-element
+    // boxing, which dominates a java.util.HashSet[java.lang.Long]
+    var cap = 16
+    while (cap < ns * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < ns) {
+      val k = s.getLong(i)
+      var p = scramble(k) & mask
+      while (used(p) && keys(p) != k) p = (p + 1) & mask
+      if (!used(p)) { used(p) = true; keys(p) = k }
+      i += 1
+    }
+    var inter = 0
+    var j = 0
+    while (j < nt) {
+      val k = t.getLong(j)
+      var p = scramble(k) & mask
+      while (used(p) && keys(p) != k) p = (p + 1) & mask
+      if (used(p)) inter += 1
+      j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** `jaccard_long(array<bigint>, array<bigint>) -> double`: exact
+  * Jaccard similarity of two distinct-element hash sets, one
+  * codegen'd pass per candidate pair. */
+case class JaccardLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"jaccard_long requires (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongUtil.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.JaccardLongUtil.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLong =
+    copy(left = newLeft, right = newRight)
 }

@@ -107,6 +107,53 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("minhash_sigs equals the interpreted per-seed array_min fold") {
+    val seeds = Seq(43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L)
+    val P = Core.HashMod
+    val sets = docs
+      .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("ctext")) >= 5)
+      .withColumn("sh", TextHashes.charGramHashes(col("ctext")))
+    val interp = array(seeds.indices.map { i =>
+      array_min(transform(col("sh"), h => (lit(seeds(i)) * h + lit(i + 1)) % lit(P)))
+    }: _*)
+    val diff = sets
+      .withColumn("native", TextHashes.minhashSigs(col("sh"), typedlit(seeds)))
+      .withColumn("interp", interp)
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("jaccard_long equals the interpreted array_intersect spelling") {
+    val sets = docs
+      .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("ctext")) >= 5)
+      .withColumn("sh", TextHashes.charGramHashes(col("ctext")))
+      .select("doc_id", "sh")
+      .limit(60)
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val diff = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("native", TextHashes.jaccardLong(col("sh_a"), col("sh_b")))
+      .withColumn("interp",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      // bit-exact: same intersection count, same double division
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("dot_double is bit-identical to the interpreted sequential fold") {
+    val e = embs.withColumn("embd", Vectors.toD(col("embedding")))
+    val q = e.select(col("embd").as("qv")).limit(1)
+    val diff = e.crossJoin(broadcast(q))
+      .withColumn("native", TextHashes.dotDouble(col("embd"), col("qv")))
+      .withColumn("interp", Vectors.dotdFold(col("embd"), col("qv")))
+      // exact equality — same IEEE op sequence, not approximate
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
   test("hyperplane bucket ids stay within 2^BitsPerTable") {
     val e = embs.withColumn("embd", Vectors.toD(col("embedding")))
     val bad = e
