@@ -51,13 +51,13 @@ object Bench {
       if (sibling.isDirectory && sibling.toString != sfDir) sibling.toString else sfDir
     }
     picked.foreach { q =>
-      spark.catalog.clearCache()
+      Core.releaseCaches()
       runOne(q, warmDir)
     }
     errors.clear() // warmup failures don't count; timed passes re-report
     def onePass(): Map[String, Double] = picked.flatMap { q =>
-      // evict the previous query's internal persists before timing
-      spark.catalog.clearCache()
+      // release the previous query's internal persists before timing
+      Core.releaseCaches()
       runOne(q, sfDir).map(q.name -> _)
     }.toMap
     // Two full passes, per-query MIN: the host shows ~1-minute

@@ -65,6 +65,29 @@ object Core {
     * fingerprinting / MinHash / SimHash so the DuckDB oracle can
     * recompute the exact same signatures.
     */
+  /** Cache registry. Operators persist small intermediate tables
+    * (MinHash signatures, embedding norms) that are consumed more
+    * than once within one query plan; [[cached]] persists AND tracks
+    * them so [[releaseCaches]] can unpersist exactly those frames
+    * later. A library user embedding graft queries in a long-lived
+    * session calls `releaseCaches()` after consuming each result —
+    * unlike the blunt session-wide `spark.catalog.clearCache()`, it
+    * cannot evict the application's own cached data. */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** `df.persist()` tracked for later [[releaseCaches]]. */
+  def cached(df: DataFrame): DataFrame = {
+    df.persist()
+    liveCaches.add(df)
+    df
+  }
+
+  /** Unpersist every frame handed to [[cached]] since the last call. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
+  }
+
   val HashMod = 1000000007L
   def polyHash(c: Column): Column =
     aggregate(

@@ -32,9 +32,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist small signature tables internally; evict them
-      // once the result is written so caches never pile up across the run
-      spark.catalog.clearCache()
+      // queries persist small signature tables internally (via
+      // Core.cached); release exactly those once the result is written —
+      // this is also the library's documented cleanup contract, so the
+      // gate proves the registry covers every internal persist
+      Core.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

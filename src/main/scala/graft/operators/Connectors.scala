@@ -54,6 +54,27 @@ object Connectors {
       .orderBy("s_nationkey")
   }
 
+  /** customer → ORC → read back (explicit schema) → per-segment
+    * aggregate. ORC is the second columnar format large deployments
+    * mix with parquet; its reader supports the same predicate
+    * pushdown / column pruning as the parquet path, so a lakehouse
+    * with mixed layouts runs the identical declarative plan. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-orc")
+    Tables(s, d, "customer").write.mode("overwrite").orc(s"$dir/customer_orc")
+    val customerSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(customerSchema).orc(s"$dir/customer_orc")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Hive-style partitioned layout + partition pruning: events are
     * written `partitionBy(event_type)`; reading one type back scans
     * ONLY that directory — the pruning happens at file listing, not
@@ -87,6 +108,10 @@ object Connectors {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin)),
+    Q("connector_orc", orcRoundtrip, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     Q("connector_json", jsonRoundtrip, Some(
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal

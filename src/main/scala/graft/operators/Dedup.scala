@@ -142,7 +142,7 @@ object Dedup {
     // persist: the shingle-set projection feeds three plan branches
     // (banding + both sides of the verify join); at cluster scale the
     // analogue is materializing the signature table between stages
-    minhashPairs(wordShingled(s, d).persist(), A12, MinhashBands)
+    minhashPairs(cached(wordShingled(s, d)), A12, MinhashBands)
 
   // -------------------------------------------------------------------
   // Character-5-gram Jaccard (MinHash-LSH blocked)
@@ -169,7 +169,7 @@ object Dedup {
   /** Near-dup by character-n-gram Jaccard >= 0.8; candidates via an
     * 8-hash / 4-band MinHash on the 5-gram sets. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    minhashPairs(charShingled(s, d).persist(), A8, NgramBands)
+    minhashPairs(cached(charShingled(s, d)), A8, NgramBands)
 
   // -------------------------------------------------------------------
   // SimHash
@@ -205,7 +205,7 @@ object Dedup {
     * the quadratic intra-bucket pair count) stays bounded ~65× longer
     * than the earlier 10-bit bands as the corpus grows. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = simhashDocs(s, d).persist()
+    val fps = cached(simhashDocs(s, d))
     val chunks = fps.select(
       col("doc_id"),
       explode(array((0 until SimChunks).map { c =>
@@ -245,13 +245,12 @@ object Dedup {
   def embeddingLsh(s: SparkSession, d: String): DataFrame = {
     // norms precomputed per vector: the pair stage then folds ONE dot
     // product per candidate instead of three (dot + both norms)
-    val e = embs(s, d)
+    val e = cached(embs(s, d)
       .withColumn("embd", Vectors.toD(col("embedding")))
-      .withColumn("nrm", Vectors.norm(col("embd")))
-      .persist()
-    val entries = e.select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
-      .persist()
+      .withColumn("nrm", Vectors.norm(col("embd"))))
+    val entries = cached(e
+      .select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket")))
     val cand = entries.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(entries.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Core.cached
 import graft.functions.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -66,11 +67,10 @@ object Similarity {
     * with the query in ≥ 1 of the 8 tables; exact cosine re-ranks
     * the candidates only. */
   def topkLsh(s: SparkSession, d: String): DataFrame = {
-    val e = withD(embs(s, d)).persist()
-    val entries = e
+    val e = cached(withD(embs(s, d)))
+    val entries = cached(e
       .select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
-      .persist()
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket")))
     val qEntries = entries.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val cand = entries.join(broadcast(qEntries), Seq("tbl", "bucket"))
@@ -92,7 +92,7 @@ object Similarity {
   /** k-NN self-join blocked on `label` (IVF-style coarse partition):
     * each vector's top-3 neighbors within its block. */
   def knnPerLabel(s: SparkSession, d: String): DataFrame = {
-    val e = withD(embs(s, d)).persist()
+    val e = cached(withD(embs(s, d)))
     val a = e.select(col("vec_id").as("q_id"), col("label"), col("embd").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("vec_id"), col("label"), col("embd"), col("nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
@@ -115,7 +115,7 @@ object Similarity {
     * the classic two-level ANN: O(cells) + O(probed fraction), never
     * a full scan. */
   def topkIvf(s: SparkSession, d: String): DataFrame = {
-    val e = withD(embs(s, d)).persist()
+    val e = cached(withD(embs(s, d)))
     val repW = Window.partitionBy("label").orderBy("vec_id")
     val reps = e.withColumn("rn", row_number().over(repW))
       .filter(col("rn") === 1)

@@ -269,6 +269,26 @@ object Streams {
     rangeRollup(s.read.parquet(s"$out/data"))
   }
 
+  /** Streaming exact dedup — the training-pipeline INGEST posture:
+    * `dropDuplicates` on the content hash emits each distinct
+    * document exactly once (on first arrival), so downstream stages
+    * see a deduped stream without ever re-scanning the corpus. Which
+    * doc_id arrives first is micro-batch-order dependent, so the
+    * registered (oracle-checked) result is the deterministic
+    * distinct-content set. State is O(distinct hashes) at 32
+    * bytes/doc — the bounded-retention production variant is
+    * `dropDuplicatesWithinWatermark` keyed the same way once an
+    * ingest-time column exists; the state keying (hash, not text) is
+    * what matters at 100 TB and is identical in both. */
+  def streamDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = s.readStream.schema(documentsSchema)
+      .parquet(streamDir(s"$d/documents.parquet"))
+    val distinctDocs = docs
+      .select(md5(col("text").cast("binary")).as("content_md5"))
+      .dropDuplicates("content_md5")
+    runToMemory(distinctDocs, OutputMode.Append()).orderBy("content_md5")
+  }
+
   private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   /** Shared by both range-join variants (memory spool / file sink) —
@@ -298,6 +318,10 @@ object Streams {
          |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
          |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin),
+      headline = false),
+    Q("stream_dedup_exact", streamDedupExact, Some(
+      """SELECT DISTINCT md5(text) AS content_md5
+        |FROM documents ORDER BY content_md5""".stripMargin),
       headline = false),
     Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
     Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),

@@ -14,7 +14,7 @@ class DeterminismSpec extends SparkSpec {
         fn(spark, sf).collect().toSeq.map(_.toString)
       val a = run()
       val b = run()
-      spark.catalog.clearCache()
+      Core.releaseCaches()
       if (a == b) None else Some(s"$name (${a.size} vs ${b.size} rows)")
     }
     assert(flaky.isEmpty, s"nondeterministic queries: ${flaky.mkString(", ")}")
