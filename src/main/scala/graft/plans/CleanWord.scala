@@ -94,6 +94,14 @@ object CleanWordRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CleanWordRewrite)
+    // clean_word is normally produced by the rewrite rule above, but
+    // register it by name too so a SQL-text user can call it directly.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("clean_word"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CleanWord].getName, "clean_word"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CleanWord(args(0))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_counts"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
