@@ -283,6 +283,46 @@ object Dedup {
   // -------------------------------------------------------------------
   // Oracles
   // -------------------------------------------------------------------
+  // Duplicate-cluster resolution (connected components)
+  // -------------------------------------------------------------------
+
+  /** Transitive duplicate CLUSTERS over the verified MinHash pairs —
+    * the step a corpus pipeline needs AFTER pairwise dedup: A≈B and
+    * B≈C must collapse into one group even when A≈C was never a
+    * candidate. Connected components by synchronous min-label
+    * propagation: each doc starts labeled with its own id; every
+    * iteration takes the min of its own and its neighbors' labels;
+    * fixpoint = min doc_id of the component (deterministic).
+    *
+    * Scale: one shuffle join + partial-aggregated min per iteration,
+    * iteration count = component diameter (near-dup clusters are
+    * near-cliques, so 2–3 in practice); each round's labels are
+    * materialized via the cache registry so lineage never replays
+    * earlier rounds (a 1000-executor run would checkpoint every few
+    * rounds for fault tolerance — same plan shape). The driver holds
+    * only the converged/not-converged count, never row data. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = cached(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    var delta = 1L
+    while (delta > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
+      val next = cached(labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl")))
+      delta = next.filter(col("nl") < col("lbl")).count()
+      labels = next.select(col("v"), col("nl").as("lbl"))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   private val oTok = TextAnalysis.oTokens
 
@@ -344,6 +384,28 @@ object Dedup {
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)),
     Q("dedup_minhash_lsh", minhashLsh, Some(oJaccardPairs(oWordSets))),
+    // Oracle: exact ground-truth pairs + a recursive-CTE transitive
+    // closure; min(reachable) per doc = the same component labels the
+    // propagation loop converges to (both deterministic).
+    Q("dedup_clusters", dupClusters, Some(
+      s"""WITH RECURSIVE $oWordSets,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |pr AS (SELECT doc_a, doc_b FROM p
+         |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(oJaccardPairs(oCharSets))),
     Q("dedup_simhash", simhash, Some(
       s"""WITH $oSimhashCte

@@ -80,6 +80,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 3L))) // identical vectors always share buckets
   }
 
+  test("duplicate clusters: pairs collapse transitively, label = min member") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    val clusters = Dedup.dupClusters(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every verified pair ends up in one cluster
+    pairs.foreach { case (a, b) => assert(label(a) === label(b)) }
+    // the label is the minimum member id, and sizes count the members
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._1).min === lbl)
+      members.foreach(m => assert(m._3 === members.size.toLong))
+    }
+  }
+
   test("brute-force topk ranks the identical vector first for query 0") {
     val rows = Similarity.topkBrute(spark, dir)
       .filter($"q_id" === 0).select("vec_id", "rn").as[(Long, Int)].collect().toSeq
