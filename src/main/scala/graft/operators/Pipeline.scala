@@ -50,6 +50,25 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Deterministic corpus splitting: every document is assigned to
+    * train/validation/test by CONTENT HASH (polyHash mod 100 →
+    * 80/10/10) — the reproducible-sampling idiom for training
+    * pipelines. The split is a pure function of the text, so it is
+    * stable across runs, cluster sizes, partitionings, and row order,
+    * and upstream reshuffles can never leak validation documents
+    * into train. One scan; the split decision is a per-row expression
+    * fused into it; output cardinality |splits| × |langs|. */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("bucket", polyHash(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
@@ -70,5 +89,14 @@ object Pipeline {
          |  (CAST(SUM(CAST(CAST(n_tokens AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS avg_tokens
          |FROM gated JOIN canonical USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin)),
+    Q("pipeline_hash_split", hashSplit, Some(
+      s"""WITH b AS (
+         |  SELECT lang, n_chars, ${oPolyHash("text")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
   )
 }

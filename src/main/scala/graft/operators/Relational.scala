@@ -152,6 +152,21 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** PIVOT: one row per linestatus, one quantity-total column per
+    * return flag. Values are supplied explicitly, so Spark plans a
+    * SINGLE aggregate with conditional partials (no extra
+    * distinct-values job) — exactly the SUM(CASE …) plan the oracle
+    * spells; at 100 TB that is one map-side-combined exchange on the
+    * group key, identical to any other aggregate. */
+  def pivotSales(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+
   /** CUBE over (returnflag, linestatus) — all 2^2 grouping sets. */
   def cubeSales(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -326,5 +341,12 @@ object Relational {
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin)),
+    // Empty pivot cells are NULL in both engines (SUM over no rows).
+    Q("pivot_sales", pivotSales, Some(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
   )
 }
