@@ -83,6 +83,33 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("runtime bloom filter semi-join-reduces a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB pattern: a selective dimension filter should prune
+    // the fact scan BEFORE the shuffle, not after the join. Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered
+    // dimension keys and applies might_contain() on the fact side.
+    // The application-side size gate (10 GB default) is sized for
+    // production scans; drop it so the sf-scale fact table qualifies.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val part = spark.read.parquet(s"$sf/part.parquet").filter(col("p_size") === 1)
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+      val s = joined.queryExecution.optimizedPlan.toString
+      assert(s.contains("might_contain"), s.take(800))
+      assert(s.contains("bloom_filter_agg"), s.take(800))
+      // the filter lands on the FACT side, keyed by the join key
+      assert(s.matches("(?s).*might_contain.*xxhash64\\(l_partkey.*"), s.take(800))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("AQE splits skewed partitions in a shuffled join") {
     import org.apache.spark.sql.functions._
     // Skew thresholds are sized for production partitions; lower them
