@@ -89,7 +89,11 @@ object Core {
   }
 
   val HashMod = 1000000007L
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = graft.plans.TextHashes.polyHash(c)
+  /** The INTERPRETED spelling of [[polyHash]] (per-code-point
+    * `split`+`aggregate` fold) — kept as the parity baseline the
+    * native expression is tested against ([[graft.TextHashesSpec]]). */
+  def polyHashFold(c: Column): Column =
     aggregate(
       split(c, ""),
       lit(0L),

@@ -141,6 +141,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotDouble(args(0), args(1))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(args(0))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("jaccard_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[JaccardLong].getName, "jaccard_long"),

@@ -46,6 +46,56 @@ object TextHashes {
   def dotDouble(a: Column, b: Column): Column = call_function("dot_double", a, b)
 
   def jaccardLong(a: Column, b: Column): Column = call_function("jaccard_long", a, b)
+
+  def polyHash(c: Column): Column = call_function("poly_hash", c)
+}
+
+/** Worker for [[PolyHash]]: the 31-base polynomial rolling hash mod
+  * 1e9+7 over a string's CODE POINTS, the exact arithmetic of the
+  * interpreted `aggregate(split(c, ''), 0L, (acc, ch) -> (acc*31 +
+  * ascii(ch)) % P)` it replaces: Spark's `split('')` yields one
+  * element per code point (surrogate pairs stay intact) and
+  * `ascii()` returns the full code point, so a codePointAt loop is
+  * bit-identical — including `ascii('') = 0` for the empty string,
+  * where both spellings produce 0. Same formula as the DuckDB
+  * oracle's `list_reduce` fold ([[graft.Core.oPolyHash]]). */
+object PolyHashUtil {
+  private val P = graft.Core.HashMod
+
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** `poly_hash(string) -> bigint`: the engine's shared string-hash
+  * primitive (fingerprints, MinHash shingles, hash-split sampling)
+  * as one codegen'd loop per row instead of a per-character
+  * interpreted `split`+`aggregate` fold. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash requires string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashUtil.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHashUtil.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
 }
 
 /** Worker for [[CharGramHashes]]: the distinct character-5-gram

@@ -124,6 +124,18 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("poly_hash equals the interpreted split+ascii fold (incl. non-ASCII)") {
+    import spark.implicits._
+    val edge = Seq("", "a", "007", "it’s café — naïve", "héllo € 😀 wörld")
+      .toDF("text")
+    val corpus = docs.select(col("text")).union(edge)
+    val diff = corpus
+      .withColumn("native", TextHashes.polyHash(col("text")))
+      .withColumn("interp", Core.polyHashFold(col("text")))
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
   test("jaccard_long equals the interpreted array_intersect spelling") {
     val sets = docs
       .withColumn("ctext", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
