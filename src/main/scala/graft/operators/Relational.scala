@@ -82,6 +82,42 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
+  /** NOT IN subquery — NULL-AWARE anti join, the trap `left_anti`
+    * does not cover: if the subquery produces even one NULL, SQL says
+    * `x NOT IN (...)` is never TRUE and the result must be empty.
+    * The `nullif` keeps the planner from proving the subquery
+    * non-null, so Spark must plan the runtime null-aware path — a
+    * BroadcastHashJoin with its isNullAwareAntiJoin flag set
+    * (PlanSpec asserts it) — rather than degrade to a plain anti
+    * join; at runtime no NULL materializes (-1 is not a key), so the
+    * result equals NOT EXISTS restricted to urgent orders — both
+    * engines evaluate the identical three-valued-logic semantics. */
+  def joinNullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    cust(s, d).createOrReplaceTempView("naa_customer")
+    ord(s, d).createOrReplaceTempView("naa_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM naa_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM naa_orders
+        |   WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Scalar subquery: orders above the corpus-average price. The
+    * average is the exact-decimal [[graft.Core.davg]] spelling IN
+    * SQL TEXT, so both engines compare against the bit-identical
+    * double threshold (a plain avg(double) is order-dependent and
+    * could flip rows at the boundary). */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    ord(s, d).createOrReplaceTempView("sq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM sq_orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |   FROM sq_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** 5-way star join: revenue per (region, nation). The two fact
     * tables (lineitem⋈orders) shuffle on orderkey; all three
     * dimensions broadcast — one shuffle total for the join tree. */
@@ -271,6 +307,17 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin)),
+    Q("join_null_aware_anti", joinNullAwareAnti, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, -1) FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("subquery_above_avg", scalarSubquery, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |   FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
     Q("join_multiway", joinMultiway, Some(
       s"""SELECT r_name, n_name,
          |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *  - LSH top-k joins query buckets to corpus buckets (equi-join on
   *    (table, bucket)) so each query scores only its candidate set —
   *    the classic sub-linear ANN path. Recall vs the brute-force
-  *    baseline is measurable by diffing the two queries' outputs.
+  *    baseline is MEASURED by the registered `sim_lsh_recall` query
+  *    (per-query overlap of the two top-k sets).
   *  - The k-NN self-join blocks on `label` (an IVF-style coarse
   *    partition): one shuffle on the block key, quadratic only
   *    within each (small) block, never globally.

@@ -83,6 +83,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("NOT IN subquery plans as a null-aware anti join") {
+    val s = executed(Relational.joinNullAwareAnti(spark, sf))
+    // the trailing `true` is BroadcastHashJoinExec.isNullAwareAntiJoin
+    assert(s.matches("(?s).*BroadcastHashJoin.*LeftAnti, BuildRight, true.*"), s.take(800))
+  }
+
   test("runtime bloom filter semi-join-reduces a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // The 100 TB pattern: a selective dimension filter should prune
