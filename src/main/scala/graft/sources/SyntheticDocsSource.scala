@@ -55,13 +55,30 @@ private class SyntheticDocsTable(options: Map[String, String])
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = options ++ caseInsensitive.asScala
-    new ScanBuilder {
-      override def build(): Scan = new SyntheticDocsScan(merged)
+    // Production posture: the scan honors column pruning (a doc_id-only
+    // projection never GENERATES text — the analogue of a columnar
+    // reader skipping pages) and per-partition limit pushdown (Spark
+    // re-applies the global limit; isPartiallyPushed stays true).
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns
+      with SupportsPushDownLimit {
+      private var required: StructType = SyntheticDocsSource.schema
+      private var limit: Option[Int] = None
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        // preserve source field order; tolerate empty (count-only) scans
+        required = StructType(SyntheticDocsSource.schema.fields
+          .filter(f => requiredSchema.fieldNames.contains(f.name)))
+      }
+      override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+      override def build(): Scan = new SyntheticDocsScan(merged, required, limit)
     }
   }
 }
 
-private class SyntheticDocsScan(options: Map[String, String]) extends Scan with Batch {
+private class SyntheticDocsScan(
+    options: Map[String, String],
+    required: StructType,
+    limit: Option[Int]) extends Scan with Batch {
   private val rows = options.getOrElse("rows", "100").toLong
   private val partitions = options.getOrElse("partitions", "4").toInt
   private val words = options.getOrElse("words",
@@ -69,14 +86,20 @@ private class SyntheticDocsScan(options: Map[String, String]) extends Scan with 
   private val wordsPerDoc = options.getOrElse("wordsperdoc", "12").toInt
   private val seed = options.getOrElse("seed", "42").toLong
 
-  override def readSchema(): StructType = SyntheticDocsSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + partitions - 1) / partitions
     (0 until partitions).map { p =>
       val start = p * per
-      DocsRange(start, math.min(start + per, rows), seed, words, wordsPerDoc)
+      val end = math.min(start + per, rows)
+      // pushed limit caps each partition's output; Spark still applies
+      // the global limit on top
+      val capped = limit.fold(end)(l => math.min(end, start + l))
+      DocsRange(start, capped, seed, words, wordsPerDoc,
+        needId = required.fieldNames.contains("doc_id"),
+        needText = required.fieldNames.contains("text"))
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -89,10 +112,17 @@ private class SyntheticDocsScan(options: Map[String, String]) extends Scan with 
           private var cur = r.start - 1
           override def next(): Boolean = { cur += 1; cur < r.end }
           override def get(): InternalRow = {
-            val text = (0 until r.wordsPerDoc).map { pos =>
+            // pruned columns are never materialized — text generation
+            // (the expensive part) is skipped for doc_id-only scans
+            def text = UTF8String.fromString((0 until r.wordsPerDoc).map { pos =>
               r.words(SyntheticDocsSource.wordIndex(r.seed, cur, pos, r.words.length))
-            }.mkString(" ")
-            InternalRow(cur, UTF8String.fromString(text))
+            }.mkString(" "))
+            (r.needId, r.needText) match {
+              case (true, true)   => InternalRow(cur, text)
+              case (true, false)  => InternalRow(cur)
+              case (false, true)  => InternalRow(text)
+              case (false, false) => InternalRow.empty
+            }
           }
           override def close(): Unit = ()
         }
@@ -102,4 +132,5 @@ private class SyntheticDocsScan(options: Map[String, String]) extends Scan with 
 
 private case class DocsRange(
     start: Long, end: Long, seed: Long,
-    words: Array[String], wordsPerDoc: Int) extends InputPartition
+    words: Array[String], wordsPerDoc: Int,
+    needId: Boolean, needText: Boolean) extends InputPartition

@@ -44,6 +44,25 @@ class SourceSpec extends SparkSpec {
     assert(words == vocab)
   }
 
+  test("column pruning reaches the scan; pruned scans stay correct") {
+    val pruned = read("rows" -> "50").select("doc_id")
+    // the BatchScan node's output is just doc_id — text is never generated
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("doc_id") && !scanLine.contains("text"), scanLine)
+    assert(pruned.as[Long].collect().toSet == (0L until 50L).toSet)
+    // text-only projection (column order differs from source order)
+    val textOnly = read("rows" -> "10").select("text")
+    assert(textOnly.as[String].collect().forall(_.nonEmpty))
+    // count(*) scans zero columns
+    assert(read("rows" -> "33").count() == 33L)
+  }
+
+  test("limit pushdown caps partition output and the result") {
+    val df = read("rows" -> "100000", "partitions" -> "8").limit(7)
+    assert(df.collect().length == 7)
+  }
+
   test("feeds the flagship wordcount end to end") {
     val counts = WordCount.wordCount(
       read("rows" -> "200", "words" -> "Alpha beta! beta?", "wordsPerDoc" -> "5"))
