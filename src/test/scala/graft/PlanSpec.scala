@@ -83,6 +83,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("join strategy hints are honored (shuffle_hash beats sort-merge)") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB, a hash join against the smaller (but not
+    // broadcastable) side avoids both sort passes of SMJ; the hint is
+    // how a pipeline pins that choice when stats can't prove it.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+      val hinted = li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      assert(executed(hinted).contains("ShuffledHashJoin"), executed(hinted).take(500))
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(executed(plain).contains("SortMergeJoin"), executed(plain).take(500))
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("NOT IN subquery plans as a null-aware anti join") {
     val s = executed(Relational.joinNullAwareAnti(spark, sf))
     // the trailing `true` is BroadcastHashJoinExec.isNullAwareAntiJoin
