@@ -35,6 +35,12 @@ object Pipeline {
       .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.05)
       // 3. language gate (en stopwords present — cheap lexicon test)
       .filter(size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "and")))) > 0)
+      // observability: gate selectivity is accounted IN the same pass
+      // (no second scan); metrics surface via
+      // queryExecution.observedMetrics / a QueryExecutionListener
+      .observe("corpus_prep_gates",
+        count(lit(1)).as("docs_after_gates"),
+        sum(col("n_tokens").cast("long")).as("tokens_after_gates"))
     // 2. exact dedup: canonical = min doc_id per content hash
     val canonical = scored
       .groupBy(md5(col("text").cast("binary")).as("h"))
