@@ -269,6 +269,25 @@ object Streams {
     rangeRollup(s.read.parquet(s"$out/data"))
   }
 
+  /** Stream–static enrichment: the unbounded event stream joined to
+    * a STATIC dimension (event_type → deterministic code, computed
+    * batch-side). A stream-static inner join is STATELESS — each
+    * micro-batch probes the static side and nothing is buffered, so
+    * at cluster scale the dimension broadcasts and the stream never
+    * shuffles for the join. */
+  def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      .select(col("event_type")).distinct()
+      .withColumn("type_code",
+        row_number().over(Window.orderBy("event_type")).cast("long"))
+    val agg = eventStream(s, d)
+      .join(broadcast(dim), "event_type")
+      .groupBy("type_code", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    runToMemory(agg, OutputMode.Complete()).orderBy("type_code")
+  }
+
   /** Streaming exact dedup — the training-pipeline INGEST posture:
     * `dropDuplicates` on the content hash emits each distinct
     * document exactly once (on first arrival), so downstream stages
@@ -318,6 +337,16 @@ object Streams {
          |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
          |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin),
+      headline = false),
+    Q("stream_static_enrich", streamStaticEnrich, Some(
+      s"""WITH dim AS (
+         |  SELECT event_type,
+         |    row_number() OVER (ORDER BY event_type) AS type_code
+         |  FROM (SELECT DISTINCT event_type FROM events))
+         |SELECT d.type_code, e.event_type, COUNT(*) AS n,
+         |  ${oDsum("e.value")} AS sum_value
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1, 2 ORDER BY type_code""".stripMargin),
       headline = false),
     Q("stream_dedup_exact", streamDedupExact, Some(
       """SELECT DISTINCT md5(text) AS content_md5
