@@ -203,6 +203,19 @@ object Relational {
         col("N").as("qty_n"), col("R").as("qty_r"))
       .orderBy("l_linestatus")
 
+  /** UNPIVOT (melt) — the inverse of [[pivotSales]]: the wide
+    * per-flag quantity columns come back as (flag, qty) rows. Melt is
+    * a zero-shuffle projection (each input row explodes to |columns|
+    * rows map-side). */
+  def unpivotSales(s: SparkSession, d: String): DataFrame =
+    pivotSales(s, d)
+      .unpivot(
+        Array(col("l_linestatus")),
+        Array(col("qty_a"), col("qty_n"), col("qty_r")),
+        "flag", "qty")
+      .filter(col("qty").isNotNull)
+      .orderBy("l_linestatus", "flag")
+
   /** CUBE over (returnflag, linestatus) — all 2^2 grouping sets. */
   def cubeSales(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -388,6 +401,15 @@ object Relational {
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin)),
+    // Unpivot names columns qty_a/qty_n/qty_r; the oracle re-derives
+    // the same (flag, qty) rows from the grouped base table.
+    Q("unpivot_sales", unpivotSales, Some(
+      """WITH wide AS (
+        |  SELECT l_linestatus, l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_linestatus, 'qty_' || lower(l_returnflag) AS flag, qty
+        |FROM wide ORDER BY l_linestatus, flag""".stripMargin)),
     // Empty pivot cells are NULL in both engines (SUM over no rows).
     Q("pivot_sales", pivotSales, Some(
       """SELECT l_linestatus,
