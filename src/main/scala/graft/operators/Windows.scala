@@ -79,7 +79,39 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution + frame-navigation window functions: ntile
+    * quartiles, percent_rank / cume_dist (exact integer-ratio
+    * doubles — (rank-1)/(n-1) and k/n are the same IEEE values in
+    * both engines), and first/last over the full-partition frame. */
+  def distribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, d, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("cheapest", first("o_orderkey").over(wf))
+      .withColumn("priciest", last("o_orderkey").over(wf))
+      .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+        col("pct_rank"), col("cume"), col("cheapest"), col("priciest"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("window_distribution", distribution, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS cheapest,
+        |  last_value(o_orderkey) OVER wf AS priciest
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     Q("window_topn_per_cust", topnPerCustomer, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
