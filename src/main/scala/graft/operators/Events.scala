@@ -97,6 +97,43 @@ object Events {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel view → click → purchase: a user
+    * counts for a stage only if the stage event happened STRICTLY
+    * AFTER their entry into the previous stage. Three stacked
+    * whole-partition window minima over the SAME partition key
+    * (user_id) — one exchange, one sort, zero self-joins; each
+    * stage's threshold is the previous window's result. Comparisons
+    * run at microsecond precision (`ets`) on both engines. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    load(s, d)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ets"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ets") > col("t_view"), col("ets")))
+          .over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ets") > col("t_click"), col("ets")))
+          .over(byUser))
+      .agg(
+        countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("view_users"),
+        countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("click_users"),
+        countDistinct(when(col("t_purchase").isNotNull, col("user_id"))).as("purchase_users"))
+  }
+
+  /** Fixed-width histogram of `value`: bin = floor(value / 50) — a
+    * plain partial+final aggregate keyed by the bin (no windowing,
+    * no sort), the shape a 100 TB profiling pass wants. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(floor(col("value") / 50).as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("bin")
+
   /** JSON extraction from the `props` column + aggregation. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     load(s, d)
@@ -160,6 +197,28 @@ object Events {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("events_funnel", funnel, Some(
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase FROM w2)
+        |SELECT
+        |  COUNT(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS view_users,
+        |  COUNT(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS click_users,
+        |  COUNT(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS purchase_users
+        |FROM w3""".stripMargin)),
+    Q("events_histogram", histogram, Some(
+      s"""SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  ${oDsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
     Q("events_json", jsonExtract, Some(
       """SELECT event_type, COUNT(*) AS n,
         |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,

@@ -75,6 +75,36 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Per-source sampling rates for [[sampleMix]] (percent kept).
+    * The mix weights a training run would tune: keep all of src0,
+    * half of src1, a quarter of src2, a tenth of everything else. */
+  private val mixRates: Seq[(String, Int)] =
+    Seq("src0" -> 100, "src1" -> 50, "src2" -> 25)
+  private val mixDefault = 10
+
+  /** Stratified deterministic sampling (data mixing): each source is
+    * down-sampled to its target rate by CONTENT HASH — doc selection
+    * is a pure function of the text (like [[hashSplit]]), so the mix
+    * is reproducible across runs and partitionings and never biased
+    * by row order. The sample decision is one per-row expression
+    * fused into the scan (zero extra passes, no `TABLESAMPLE`
+    * non-determinism); output is the per-source accounting a mixing
+    * job reports. A different hash stream than the 80/10/10 split
+    * (offset 7) so mix and split decisions stay independent. */
+  def sampleMix(s: SparkSession, d: String): DataFrame = {
+    val rate = mixRates.foldLeft(lit(mixDefault)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    Tables(s, d, "documents")
+      .withColumn("keep", (polyHash(concat(col("text"), lit("7"))) % 100) < rate)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy("source")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
@@ -104,5 +134,18 @@ object Pipeline {
          |            ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+    Q("pipeline_sample_mix", sampleMix, Some(
+      s"""WITH b AS (
+         |  SELECT source, n_chars,
+         |    (${oPolyHash("text || '7'")} % 100) <
+         |      (CASE WHEN source = 'src0' THEN 100
+         |            WHEN source = 'src1' THEN 50
+         |            WHEN source = 'src2' THEN 25
+         |            ELSE 10 END) AS keep
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+         |FROM b GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -118,6 +118,42 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated EXISTS subquery: nations that have at least one
+    * high-balance customer. Catalyst decorrelates this into a
+    * left-semi join on the correlation key (RewritePredicateSubquery)
+    * — at scale it ships only nationkeys of qualifying customers, not
+    * the customer rows. */
+  def existsCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "nation").createOrReplaceTempView("ec_nation")
+    cust(s, d).createOrReplaceTempView("ec_customer")
+    s.sql(
+      """SELECT n_nationkey, n_name FROM ec_nation
+        |WHERE EXISTS (SELECT 1 FROM ec_customer
+        |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** arg-min/arg-max aggregation: per order priority, the order that
+    * has the highest / lowest total price. Spelled as `max(struct(
+    * price, key))` — the composite makes ties deterministic (price
+    * first, then key), unlike a bare `max_by`, and still plans as one
+    * partial+final HashAggregate (no window, no second pass). */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("hi"),
+        min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"),
+        count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"),
+        col("hi.o_orderkey").as("top_orderkey"),
+        col("hi.o_totalprice").as("top_price"),
+        col("lo.o_orderkey").as("bottom_orderkey"),
+        col("lo.o_totalprice").as("bottom_price"),
+        col("n"))
+      .orderBy("o_orderpriority")
+
   /** 5-way star join: revenue per (region, nation). The two fact
     * tables (lineitem⋈orders) shuffle on orderkey; all three
     * dimensions broadcast — one shuffle total for the join tree. */
@@ -331,6 +367,28 @@ object Relational {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         |   FROM orders)
         |ORDER BY o_orderkey""".stripMargin)),
+    Q("subquery_exists_corr", existsCorrelated, Some(
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+        |ORDER BY n_nationkey""".stripMargin)),
+    // The oracle spells the same deterministic (price, key) composite
+    // ordering with rank-1 rows folded back by conditional aggregation.
+    Q("agg_arg_minmax", argMinMax, Some(
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+        |  max(CASE WHEN rmax = 1 THEN o_totalprice END) AS top_price,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey,
+        |  max(CASE WHEN rmin = 1 THEN o_totalprice END) AS bottom_price,
+        |  COUNT(*) AS n
+        |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     Q("join_multiway", joinMultiway, Some(
       s"""SELECT r_name, n_name,
          |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
