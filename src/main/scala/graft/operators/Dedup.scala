@@ -75,6 +75,37 @@ object Dedup {
       .select("content_md5", "canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** Incremental (batch-vs-corpus) dedup: the nightly-ingest shape —
+    * an existing corpus (here `source = 'src0'`) is already deduped;
+    * a new batch (every other source) must admit only content that is
+    * (a) novel within the batch and (b) absent from the corpus.
+    *
+    * Two hash-only steps: collapse the batch to one canonical row per
+    * distinct content (groupBy md5, min doc_id — the same idiom as
+    * [[exactDedup]]), then LEFT ANTI join against the corpus's hash
+    * set. At 100 TB both shuffles carry 32-byte keys, never document
+    * bodies, and the anti join's build side is just the corpus hash
+    * column — the scan of `text` never crosses the exchange. Output
+    * is the per-source admission accounting an ingest job reports. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val corpusHashes = docs(s, d)
+      .filter(col("source") === "src0")
+      .select(h.as("h")).distinct()
+    val batchCanonical = docs(s, d)
+      .filter(col("source") =!= "src0")
+      .groupBy(h.as("h"))
+      .agg(min("doc_id").as("doc_id"), min("source").as("source"),
+        min("n_chars").as("n_chars"))
+    batchCanonical
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        sum("n_chars").as("admitted_chars"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------------
   // Word-shingle MinHash-LSH
   // -------------------------------------------------------------------
@@ -394,6 +425,17 @@ object Dedup {
     Q("dedup_exact", exactDedup, Some(
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)),
+    Q("dedup_incremental", incrementalDedup, Some(
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'),
+        |batch AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id, min(source) AS source,
+        |    min(n_chars) AS n_chars
+        |  FROM documents WHERE source <> 'src0' GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_admitted,
+        |  CAST(SUM(n_chars) AS BIGINT) AS admitted_chars
+        |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+        |GROUP BY source ORDER BY source""".stripMargin)),
     Q("dedup_minhash_lsh", minhashLsh, Some(oJaccardPairs(oWordSets))),
     // Oracle: exact ground-truth pairs + a recursive-CTE transitive
     // closure; min(reachable) per doc = the same component labels the

@@ -105,6 +105,63 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** One-pass column profiler (ingest data-quality gate): per column
+    * of `documents` — row count, nulls, exact distinct count, min and
+    * max (rendered as strings so heterogeneous columns stack into one
+    * result shape). A single aggregate over one scan; the multi-column
+    * exact `count(DISTINCT …)` plans as one Expand(×|cols|) +
+    * partial/final aggregate — the deliberate trade for EXACT counts.
+    * A 100 TB profiling pass swaps `count_distinct` for
+    * `approx_count_distinct` (mergeable HLL sketches, no Expand) and
+    * keeps everything else; exact is kept here because the oracle
+    * must hash-match. The 1-row aggregate is then unpivoted to
+    * one-row-per-column with `stack` — driver-side trivia at
+    * cardinality |columns|. */
+  def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        count_distinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', n_rows, null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+    Tables(s, d, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy("col_name")
+  }
+
+  /** Fixed token-budget chunking (sequence packing, the simple form):
+    * every document is split into ceil(n_tokens / 32)-many 32-token
+    * windows — the map-side `explode` a pretraining tokenizer shard
+    * step runs. No shuffle until the |sources|-row accounting: chunks
+    * per source, how many are full, and the padding the final partial
+    * chunks would cost. Chunk boundaries are pure arithmetic on token
+    * counts (`sequence` + `least`), so no token array survives past
+    * the scan projection. */
+  def tokenChunks(s: SparkSession, d: String): DataFrame = {
+    val W = 32
+    Tables(s, d, "documents")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("n_tokens") > 0)
+      // (n-1) div W == ceil(n/W) - 1 for n ≥ 1; `div` keeps the
+      // arithmetic integral (Spark's `/` on ints returns double)
+      .select(col("source"), col("n_tokens"),
+        explode(expr(s"sequence(0, (n_tokens - 1) div $W)")).as("chunk_idx"))
+      .withColumn("chunk_tokens",
+        least(lit(W), col("n_tokens") - col("chunk_idx") * W))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_tokens") === W, 1L).otherwise(0L)).as("n_full"),
+        sum(lit(W) - col("chunk_tokens")).as("padding_tokens"))
+      .orderBy("source")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
@@ -147,5 +204,29 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
          |FROM b GROUP BY source ORDER BY source""".stripMargin)),
+    Q("profile_columns", profileColumns, Some {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val a = cols.map(c =>
+        s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c,
+           |    COUNT(DISTINCT $c) AS dist_$c,
+           |    CAST(min($c) AS VARCHAR) AS min_$c,
+           |    CAST(max($c) AS VARCHAR) AS max_$c""".stripMargin).mkString(",\n    ")
+      val rows = cols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, null_$c AS n_nulls, dist_$c AS n_distinct, " +
+          s"min_$c AS min_value, max_$c AS max_value FROM a").mkString("\nUNION ALL\n")
+      s"WITH a AS (\n  SELECT COUNT(*) AS n_rows,\n    $a\n  FROM documents)\n" +
+        s"$rows\nORDER BY col_name"
+    }),
+    Q("pipeline_token_chunks", tokenChunks, Some(
+      s"""WITH t AS (
+         |  SELECT source, len($oTok) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT source, n_tokens, unnest(range((n_tokens - 1) // 32 + 1)) AS chunk_idx
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT source, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN least(32, n_tokens - chunk_idx * 32) = 32
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  CAST(SUM(32 - least(32, n_tokens - chunk_idx * 32)) AS BIGINT) AS padding_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -186,7 +186,40 @@ object Similarity {
        |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Per-label centroids (the E-step accumulator of k-means / the
+    * class prototype of a nearest-centroid classifier), in long
+    * format (label, dim, centroid).
+    *
+    * Cross-row double addition is order-dependent, and aggregation
+    * order is nondeterministic under partitioning — so the components
+    * are first quantized to fixed point (`floor(x · 1e7)`, exact in a
+    * long) and summed EXACTLY; one double division at the end. The
+    * result is deterministic across any cluster size / partitioning
+    * and bit-equal in the oracle — the quantization error (≤ 1e-7
+    * per component, data is O(1)) is far below any downstream
+    * decision threshold.
+    *
+    * Scale: `posexplode` fans each row out ×Dim BEFORE the exchange,
+    * but partial aggregation folds every partition down to ≤
+    * |labels|·Dim rows map-side, so the shuffle carries sketches, not
+    * components. */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    embs(s, d)
+      .select(col("label"), posexplode(Vectors.toD(col("embedding"))))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(sum(floor(col("col") * 1e7)).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / col("n") / 1e7).as("centroid"))
+      .orderBy("label", "dim")
+
   val queries: Seq[Q] = Seq(
+    Q("sim_centroids", centroids, Some(
+      s"""SELECT label, dim,
+         |  CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(*) / 10000000.0 AS centroid
+         |FROM embeddings
+         |CROSS JOIN (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim) dims
+         |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
     Q("sim_topk_brute", topkBrute, Some(oBruteSql)),
     Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
     Q("sim_lsh_recall", lshRecall, Some(
