@@ -173,6 +173,29 @@ class PlanSpec extends SparkSpec {
     assert(executed(Similarity.topkLsh(spark, sf)).contains("hyperplane_buckets"))
   }
 
+  test("incremental dedup anti-joins on the hash, never shipping text") {
+    val s = formatted(Dedup.incrementalDedup(spark, sf))
+    assert(s.contains("LeftAnti"), s.take(800))
+    // both exchanges are keyed by the md5, and the document body is
+    // pruned before any of them: no Exchange output carries `text`
+    assert(!s.matches("(?s).*Exchange[^\\n]*text.*"), s.take(800))
+  }
+
+  test("token chunking explodes map-side; only the accounting shuffles") {
+    val s = executed(Pipeline.tokenChunks(spark, sf))
+    assert(s.contains("Generate"), s.take(600)) // the explode
+    // one Exchange pair at most: partial agg → shuffle → final agg
+    // (plus AQE readers); the explode itself must not repartition
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1, s.take(800))
+  }
+
+  test("column profiler is one scan with partial aggregation") {
+    val s = executed(Pipeline.profileColumns(spark, sf))
+    // exact multi-column count(DISTINCT) plans via a single Expand
+    assert(s.contains("Expand"), s.take(600))
+    assert("FileScan parquet".r.findAllIn(s).size == 1, s.take(800))
+  }
+
   test("whole-stage codegen covers the wordcount pipeline") {
     // AQE finalizes the plan only at execution; run, then inspect
     val df = WordCount.wordCount(spark.read.parquet(s"$sf/documents.parquet"))
