@@ -203,23 +203,89 @@ object Similarity {
     * but partial aggregation folds every partition down to ≤
     * |labels|·Dim rows map-side, so the shuffle carries sketches, not
     * components. */
-  def centroids(s: SparkSession, d: String): DataFrame =
+  private def centroidRows(s: SparkSession, d: String): DataFrame =
     embs(s, d)
       .select(col("label"), posexplode(Vectors.toD(col("embedding"))))
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(sum(floor(col("col") * 1e7)).as("s"), count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
         (col("s").cast("double") / col("n") / 1e7).as("centroid"))
-      .orderBy("label", "dim")
+
+  def centroids(s: SparkSession, d: String): DataFrame =
+    centroidRows(s, d).orderBy("label", "dim")
+
+  /** One Lloyd (k-means) assignment step: every vector is reassigned
+    * to its nearest [[centroids]] centroid; output is the
+    * (label, cluster) confusion matrix — |labels|² rows telling a
+    * training pipeline how coherent its class partitioning is.
+    *
+    * Scale shape: the k·Dim centroid table broadcasts; the corpus
+    * makes ONE scan, scoring each row against all k prototypes
+    * map-side via dist² = ‖x‖² − 2·x·c + ‖c‖² (each term a fixed
+    * left-fold, so distances — and the argmin — are deterministic and
+    * oracle-exact). The per-vector argmin is `min(struct(dist,
+    * clab))`, which partial aggregation collapses k-to-1 map-side —
+    * the only shuffles carry ≤ N argmin rows and the k² accounting. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val cent = centroidRows(s, d)
+      .groupBy(col("label").as("clab"))
+      .agg(collect_list(struct(col("dim"), col("centroid"))).as("cs"))
+      .select(col("clab"),
+        transform(array_sort(col("cs")), x => x.getField("centroid")).as("cv"))
+      .withColumn("cc", Vectors.dotd(col("cv"), col("cv")))
+    val vx = embs(s, d)
+      .select(col("vec_id"), col("label"), Vectors.toD(col("embedding")).as("embd"))
+      .withColumn("xx", Vectors.dotd(col("embd"), col("embd")))
+    vx.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        col("xx") - lit(2.0) * Vectors.dotd(col("embd"), col("cv")) + col("cc"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("dist"), col("clab"))).as("m"))
+      .groupBy(col("label"), col("m.clab").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "cluster")
+  }
+
+  /** Oracle CTE: the quantized-centroid rows of [[centroidRows]]. */
+  private val oCentCte =
+    s"""cent AS (
+       |  SELECT label AS clab, dim,
+       |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 10000000.0 AS c
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim) dims
+       |  GROUP BY label, dim)""".stripMargin
+
+  /** Oracle fold: `acc + f(k)` over 1-based dims, the [[Vectors.dotd]]
+    * sequence. */
+  private def oFold(term: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, ${Vectors.Dim}), " +
+      s"k -> $term)), (x, y) -> x + y)"
 
   val queries: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(
-      s"""SELECT label, dim,
-         |  CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
-         |    / COUNT(*) / 10000000.0 AS centroid
-         |FROM embeddings
-         |CROSS JOIN (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim) dims
-         |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+      s"""WITH $oCentCte
+         |SELECT clab AS label, dim, c AS centroid
+         |FROM cent ORDER BY label, dim""".stripMargin)),
+    Q("sim_kmeans_assign", kmeansAssign, Some(
+      s"""WITH $oCentCte,
+         |carr AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent GROUP BY clab),
+         |cw AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr),
+         |vx AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, label, clab,
+         |    (xx - 2.0 * ${oFold("CAST(embedding[k] AS DOUBLE) * cv[k]")}) + cc AS dist
+         |  FROM vx CROSS JOIN cw),
+         |assigned AS (
+         |  SELECT vec_id, label, clab,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clab) AS rn
+         |  FROM scored)
+         |SELECT label, clab AS cluster, COUNT(*) AS n
+         |FROM assigned WHERE rn = 1
+         |GROUP BY label, clab ORDER BY label, cluster""".stripMargin)),
     Q("sim_topk_brute", topkBrute, Some(oBruteSql)),
     Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
     Q("sim_lsh_recall", lshRecall, Some(
