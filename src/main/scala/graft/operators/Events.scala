@@ -134,6 +134,27 @@ object Events {
         dsum(col("value")).as("sum_value"))
       .orderBy("bin")
 
+  /** Cohort retention: users are cohorted by the hour of their first
+    * event; each later active hour counts them at its offset. The
+    * classic growth-analytics matrix, built from one window-min per
+    * user (one shuffle on the high-cardinality user_id) plus the
+    * (cohort, offset) distinct-user rollup. Hours are pure integer
+    * arithmetic on the nanosecond timestamps (`ts div 3.6e12`) so
+    * both engines bucket identically with no timezone/calendar
+    * machinery in the hot path. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    load(s, d)
+      .withColumn("hr", expr("ts div 3600000000000"))
+      .withColumn("cohort_hr", min("hr").over(byUser))
+      .groupBy(col("cohort_hr"), (col("hr") - col("cohort_hr")).as("offset_hours"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(
+        fmt(timestamp_micros(col("cohort_hr") * 3600000000L)).as("cohort"),
+        col("offset_hours"), col("n_users"))
+      .orderBy("cohort", "offset_hours")
+  }
+
   /** JSON extraction from the `props` column + aggregation. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     load(s, d)
@@ -219,6 +240,15 @@ object Events {
          |  min(value) AS min_value, max(value) AS max_value,
          |  ${oDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
+    Q("events_retention", retention, Some(
+      """WITH h AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr FROM events),
+        |c AS (
+        |  SELECT user_id, hr, min(hr) OVER (PARTITION BY user_id) AS cohort_hr FROM h)
+        |SELECT strftime(make_timestamp(cohort_hr * 3600000000), '%Y-%m-%d %H:%M:%S') AS cohort,
+        |  hr - cohort_hr AS offset_hours, COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort_hr, hr - cohort_hr
+        |ORDER BY cohort, offset_hours""".stripMargin)),
     Q("events_json", jsonExtract, Some(
       """SELECT event_type, COUNT(*) AS n,
         |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,

@@ -63,7 +63,39 @@ object ScalarFns {
         (col("s_nationkey") <=> lit(3)).cast("int").as("is_nation3"))
       .orderBy("s_suppkey")
 
+  /** Complex-type functions: array build/sort/slice/distinct/join/
+    * indexing (negative too), membership, map construction + lookup,
+    * and struct pack/field-access — per-row, codegen'd, the
+    * collection surface of the function library. Array-valued
+    * intermediates are rendered to strings/scalars in the output so
+    * the comparison stays representation-independent. */
+  def complexFns(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Tables(s, d, "part")
+      .select(
+        col("p_partkey"),
+        array_join(sort_array(words), "-").as("words_sorted"),
+        array_join(slice(words, 1, 3), "-").as("first3"),
+        element_at(words, -1).as("last_word"),
+        array_contains(words, "green").as("has_green"),
+        size(array_distinct(words)).as("n_uniq"),
+        element_at(map(lit("brand"), col("p_brand")), "brand").as("brand_via_map"),
+        struct(col("p_size").as("sz"), col("p_brand").as("br"))
+          .getField("sz").as("size_via_struct"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("scalar_complex", complexFns, Some(
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS words_sorted,
+        |  array_to_string(string_split(p_name, ' ')[1:3], '-') AS first3,
+        |  string_split(p_name, ' ')[-1] AS last_word,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_uniq,
+        |  MAP {'brand': p_brand}['brand'][1] AS brand_via_map,
+        |  struct_pack(sz := p_size, br := p_brand).sz AS size_via_struct
+        |FROM part ORDER BY p_partkey""".stripMargin)),
     Q("scalar_dates", dateFns, Some(
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,
