@@ -308,6 +308,62 @@ object Streams {
     runToMemory(distinctDocs, OutputMode.Append()).orderBy("content_md5")
   }
 
+  /** `foreachBatch` incremental upsert — the remaining sink API: a
+    * micro-batch MERGE maintaining a "latest event + lifetime count
+    * per user" serving table. Each batch folds to one row per user
+    * seen (argmax by (ts, event_id) via `max(struct(...))` + a
+    * count), then merges with the current state by the same
+    * commutative fold — so the result is independent of batch
+    * boundaries and arrival order, which is what makes the pattern
+    * safe under redelivery. State versions are swapped by pointer
+    * (write new dir, then read from it), the no-transactional-table
+    * equivalent of MERGE INTO; at production scale the same closure
+    * targets Delta/Iceberg `MERGE`. The replay is split into 4 files
+    * with `maxFilesPerTrigger=1`, so the merge really runs
+    * incrementally, not as one degenerate batch. */
+  def streamUpsertLatest(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-upsert-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-upsert-state")
+    @volatile var curState: Option[String] = None
+
+    def fold(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"),
+          sum("n_events").as("n_events"))
+        .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"),
+          col("n_events"))
+
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.withColumn("n_events", lit(1L))
+          .select("user_id", "ts", "event_id", "event_type", "value", "n_events")
+        val merged = curState match {
+          case None => fold(b)
+          case Some(p) => fold(s.read.parquet(p).unionByName(b))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(curState.get)
+      // µs, the engine's cross-engine timestamp precision (ns ordering
+      // still decided the argmax above)
+      .select(col("user_id"), expr("ts div 1000").as("last_ts"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   /** Shared by both range-join variants (memory spool / file sink) —
@@ -351,6 +407,16 @@ object Streams {
     Q("stream_dedup_exact", streamDedupExact, Some(
       """SELECT DISTINCT md5(text) AS content_md5
         |FROM documents ORDER BY content_md5""".stripMargin),
+      headline = false),
+    Q("stream_upsert_latest", streamUpsertLatest, Some(
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS last_ts, event_type AS last_type,
+        |  value AS last_value, n_events
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
       headline = false),
     Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
     Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),
