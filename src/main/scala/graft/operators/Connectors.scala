@@ -97,7 +97,43 @@ object Connectors {
     s.read.parquet(s"$dir/events_part")
       .filter(col("event_type") === "purchase")
 
+  /** Small-files compaction — the table-maintenance pass every
+    * large-scale ingest needs: a fragmented table (here deliberately
+    * shattered into 64 shards) is rewritten as a few large,
+    * range-partitioned, key-sorted files. `repartitionByRange` +
+    * `sortWithinPartitions` gives each output file a tight
+    * min/max range on the sort key, so later scans with key
+    * predicates skip whole files on parquet footer stats;
+    * `maxRecordsPerFile` bounds file size without an extra shuffle.
+    * The registered result is a content aggregate over the COMPACTED
+    * copy — a green row proves the rewrite lost nothing; the
+    * file-count collapse itself is asserted in PlanSpec. */
+  def compactionWithDirs(s: SparkSession, d: String): (DataFrame, String, String) = {
+    val dir = tmp("graft-compact")
+    Tables(s, d, "orders").repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/frag")
+    s.read.parquet(s"$dir/frag")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").option("maxRecordsPerFile", 500000)
+      .parquet(s"$dir/compact")
+    val agg = s.read.parquet(s"$dir/compact")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+    (agg, s"$dir/frag", s"$dir/compact")
+  }
+
+  def compaction(s: SparkSession, d: String): DataFrame =
+    compactionWithDirs(s, d)._1
+
   val queries: Seq[Q] = Seq(
+    Q("connector_compaction", compaction, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = false),
     Q("partition_pruning", partitionedPruning, Some(
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -196,6 +196,29 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(s).size == 1, s.take(800))
   }
 
+  test("compaction collapses the file count and sorts within files") {
+    import org.apache.spark.sql.functions.col
+    val (agg, frag, compact) = Connectors.compactionWithDirs(spark, sf)
+    agg.collect()
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 64)
+    assert(parquetFiles(compact) <= 4, s"compact dir has ${parquetFiles(compact)} files")
+    // key-range scans on the compacted copy can skip whole files:
+    // each file's o_orderkey footer stats are disjoint (range layout)
+    val s = formatted(spark.read.parquet(compact).filter(col("o_orderkey") < 100))
+    assert(s.matches("(?s).*PushedFilters: \\[.*LessThan\\(o_orderkey.*"), s.take(600))
+  }
+
+  test("kmeans assignment broadcasts centroids and folds the argmin map-side") {
+    val s = executed(Similarity.kmeansAssign(spark, sf))
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(600))
+    // the per-vector argmin is a partial+final aggregate (k-to-1
+    // collapse happens before the exchange), not a window sort
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
+    assert(!s.contains("Window"), s.take(600))
+  }
+
   test("whole-stage codegen covers the wordcount pipeline") {
     // AQE finalizes the plan only at execution; run, then inspect
     val df = WordCount.wordCount(spark.read.parquet(s"$sf/documents.parquet"))
