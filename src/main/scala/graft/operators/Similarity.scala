@@ -146,17 +146,23 @@ object Similarity {
     * themselves, so this row moves whenever the LSH parameters
     * (tables / bits) move — the health metric for the approximate
     * path. */
-  def lshRecall(s: SparkSession, d: String): DataFrame = {
-    val brute = topkBrute(s, d).select(col("q_id"), col("vec_id"))
-    val ls = topkLsh(s, d).select(col("q_id"), col("vec_id"))
-      .withColumn("hit", lit(1L))
-    brute.join(ls, Seq("q_id", "vec_id"), "left")
+  private def recallVs(brute: DataFrame, approx: DataFrame): DataFrame =
+    brute.select(col("q_id"), col("vec_id"))
+      .join(approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .select("q_id", "k", "hits", "recall")
       .orderBy("q_id")
-  }
+
+  def lshRecall(s: SparkSession, d: String): DataFrame =
+    recallVs(topkBrute(s, d), topkLsh(s, d))
+
+  /** Measured IVF recall vs the exact baseline — the nprobe-tuning
+    * feedback signal, same shape as [[lshRecall]]. */
+  def ivfRecall(s: SparkSession, d: String): DataFrame =
+    recallVs(topkBrute(s, d), topkIvf(s, d))
 
   private def oCosQ = Vectors.oCos("q.embedding", "e.embedding", Vectors.Dim)
 
@@ -185,6 +191,42 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
+
+  private def oIvfSql =
+    s"""WITH reps AS (
+       |  SELECT label, embedding AS rv FROM (
+       |    SELECT label, embedding,
+       |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1),
+       |probed AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id AS q_id, reps.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${Vectors.oCos("q.embedding", "reps.rv", Vectors.Dim)} DESC, reps.label) AS prb
+       |    FROM embeddings q CROSS JOIN reps
+       |    WHERE q.vec_id < $NQueries) WHERE prb <= 3),
+       |scored AS (
+       |  SELECT probed.q_id, e.vec_id, $oCosQ AS score
+       |  FROM probed
+       |  JOIN embeddings e ON e.label = probed.label
+       |  JOIN embeddings q ON q.vec_id = probed.q_id
+       |  WHERE e.vec_id <> probed.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Oracle recall template: exact top-k left-joined to an
+    * approximate top-k's SQL. */
+  private def oRecall(approxSql: String): String =
+    s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+       |FROM ($oBruteSql) b LEFT JOIN ($approxSql) l
+       |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+       |GROUP BY b.q_id ORDER BY q_id""".stripMargin
 
   /** Per-label centroids (the E-step accumulator of k-means / the
     * class prototype of a nearest-centroid classifier), in long
@@ -288,38 +330,9 @@ object Similarity {
          |GROUP BY label, clab ORDER BY label, cluster""".stripMargin)),
     Q("sim_topk_brute", topkBrute, Some(oBruteSql)),
     Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
-    Q("sim_lsh_recall", lshRecall, Some(
-      s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
-         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
-         |FROM ($oBruteSql) b LEFT JOIN ($oLshSql) l
-         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
-         |GROUP BY b.q_id ORDER BY q_id""".stripMargin)),
-    Q("sim_topk_ivf", topkIvf, Some(
-      s"""WITH reps AS (
-         |  SELECT label, embedding AS rv FROM (
-         |    SELECT label, embedding,
-         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-         |    FROM embeddings) WHERE rn = 1),
-         |probed AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q.vec_id AS q_id, reps.label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${Vectors.oCos("q.embedding", "reps.rv", Vectors.Dim)} DESC, reps.label) AS prb
-         |    FROM embeddings q CROSS JOIN reps
-         |    WHERE q.vec_id < $NQueries) WHERE prb <= 3),
-         |scored AS (
-         |  SELECT probed.q_id, e.vec_id, $oCosQ AS score
-         |  FROM probed
-         |  JOIN embeddings e ON e.label = probed.label
-         |  JOIN embeddings q ON q.vec_id = probed.q_id
-         |  WHERE e.vec_id <> probed.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
-         |ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_lsh_recall", lshRecall, Some(oRecall(oLshSql))),
+    Q("sim_ivf_recall", ivfRecall, Some(oRecall(oIvfSql))),
+    Q("sim_topk_ivf", topkIvf, Some(oIvfSql)),
     Q("sim_knn_label", knnPerLabel, Some(
       s"""SELECT q_id, label, vec_id, score, rn FROM (
          |  SELECT q.vec_id AS q_id, q.label AS label, e.vec_id AS vec_id, $oCosQ AS score,
