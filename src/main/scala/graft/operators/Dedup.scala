@@ -144,10 +144,11 @@ object Dedup {
     * is implied by the verify predicate, never lossy). At sf0.1 it
     * drops ~65% of candidates; the fraction GROWS with corpus
     * heterogeneity, exactly when the candidate set explodes. */
-  private def minhashPairs(
+  private def bandCandidates(
       sets: org.apache.spark.sql.DataFrame,
       seeds: Seq[Long],
-      nBands: Int): org.apache.spark.sql.DataFrame = {
+      nBands: Int,
+      jaccardSizeFilter: Boolean): org.apache.spark.sql.DataFrame = {
     val bands = sets
       .withColumn("n", size(col("sh")).cast("long"))
       .withColumn("mh",
@@ -161,21 +162,58 @@ object Dedup {
               element_at(col("mh"), 2 * j + 2)).as("band_val"))
         }: _*)).as("e"))
       .select(col("doc_id"), col("n"), col("e.band_idx"), col("e.band_val"))
-    val cand = bands
+    val joined = bands
       .select(col("doc_id").as("doc_a"), col("n").as("na"), col("band_idx"), col("band_val"))
       .join(
         bands.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("band_idx"), col("band_val")),
         Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
-      .select("doc_a", "doc_b").distinct()
-    cand
+      .filter(col("doc_a") < col("doc_b"))
+    val filtered =
+      if (jaccardSizeFilter)
+        joined.filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      else joined
+    filtered.select("doc_a", "doc_b").distinct()
+  }
+
+  private def minhashPairs(
+      sets: org.apache.spark.sql.DataFrame,
+      seeds: Seq[Long],
+      nBands: Int): org.apache.spark.sql.DataFrame =
+    bandCandidates(sets, seeds, nBands, jaccardSizeFilter = true)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+
+  /** Quote/containment detection: ordered near-dup pairs by SHINGLE
+    * CONTAINMENT `|A∩B| / min(|A|,|B|) ≥ 0.9` — catches a document
+    * substantially reproduced inside another even when symmetric
+    * Jaccard is diluted by the container's extra content. Candidates
+    * come from the same MinHash band join WITHOUT the Jaccard
+    * size-ratio prefilter (containment pairs may be size-skewed);
+    * the oracle is the exact all-pairs ground truth, so a green row
+    * MEASURES band recall on this corpus. Honest limit, documented:
+    * MinHash bands fire with probability driven by Jaccard, so a
+    * tiny quote inside a huge container needs asymmetric banding —
+    * at that regime, band the contained side's full signature
+    * against container SUBSTRING signatures. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = cached(wordShingled(s, d))
+    bandCandidates(sets, A12, MinhashBands, jaccardSizeFilter = false)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("la", size(col("sh_a")).cast("long"))
+      .withColumn("lb", size(col("sh_b")).cast("long"))
+      .withColumn("containment", col("i").cast("double") / least(col("la"), col("lb")))
+      .filter(col("containment") >= 0.9)
+      .select(
+        when(col("la") <= col("lb"), col("doc_a")).otherwise(col("doc_b")).as("contained_id"),
+        when(col("la") <= col("lb"), col("doc_b")).otherwise(col("doc_a")).as("container_id"),
+        col("containment"))
+      .orderBy("contained_id", "container_id")
   }
 
   /** Candidate pairs from an equi-join on any shared band, verified
@@ -459,6 +497,19 @@ object Dedup {
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
          |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
+    Q("dedup_containment", containmentPairs, Some(
+      s"""WITH $oWordSets,
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |c AS (
+         |  SELECT *, CAST(i AS DOUBLE) / least(la, lb) AS containment FROM p
+         |  WHERE CAST(i AS DOUBLE) / least(la, lb) >= 0.9)
+         |SELECT CASE WHEN la <= lb THEN da ELSE db END AS contained_id,
+         |  CASE WHEN la <= lb THEN db ELSE da END AS container_id, containment
+         |FROM c ORDER BY contained_id, container_id""".stripMargin)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(oJaccardPairs(oCharSets))),
     Q("dedup_simhash", simhash, Some(
       s"""WITH $oSimhashCte
