@@ -134,6 +134,23 @@ object Events {
         dsum(col("value")).as("sum_value"))
       .orderBy("bin")
 
+  /** VALUE-range window frame (`RANGE BETWEEN ... PRECEDING`): per
+    * event, activity in the user's trailing 30 minutes — the frame is
+    * bounded by the ORDER-BY VALUE (nanosecond ts), not a row count,
+    * so ties and irregular event spacing are handled by definition.
+    * Pure integer frame bounds keep both engines' peer semantics
+    * identical. One shuffle on user_id, in-partition sort — same
+    * scale shape as every other window here. */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-30L * 60 * 1000000000L, 0L)
+    load(s, d)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_30m"),
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("double").as("sum_30m"))
+      .orderBy("event_id")
+  }
+
   /** Cohort retention: users are cohorted by the hour of their first
     * event; each later active hour counts them at its offset. The
     * classic growth-analytics matrix, built from one window-min per
@@ -240,6 +257,14 @@ object Events {
          |  min(value) AS min_value, max(value) AS max_value,
          |  ${oDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
+    Q("events_range_frame", rangeFrame, Some(
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_30m,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
     Q("events_retention", retention, Some(
       """WITH h AS (
         |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr FROM events),

@@ -211,6 +211,27 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Multiset (bag) semantics: EXCEPT ALL keeps multiplicity
+    * max(m−n, 0) per key, INTERSECT ALL keeps min(m, n) — both plan
+    * as one shuffle with per-side counts, no join explosion. The
+    * result is aggregated per key (key, multiplicity) so the check
+    * pins the bag cardinalities exactly. */
+  def setopExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+  }
+
+  def setopIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+  }
+
   /** ROLLUP over (returnflag, linestatus). Grouping levels are marked
     * by coalescing to 'ALL' (data is never null) so null-ordering
     * differences between engines can't bite. */
@@ -420,6 +441,20 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin)),
+    Q("setop_except_all", setopExceptAll, Some(
+      """WITH x AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, COUNT(*) AS multiplicity
+        |FROM x GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+    Q("setop_intersect_all", setopIntersectAll, Some(
+      """WITH x AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, COUNT(*) AS multiplicity
+        |FROM x GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
     Q("rollup_sales", rollupSales, Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
