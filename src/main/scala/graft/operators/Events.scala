@@ -134,6 +134,33 @@ object Events {
         dsum(col("value")).as("sum_value"))
       .orderBy("bin")
 
+  /** z-score anomaly detection per event type, with PORTABLE
+    * variance: `stddev()` over doubles is aggregation-order-dependent
+    * and can never hash-match across engines, so mean and variance
+    * are derived from EXACT decimal Σv and Σv² (2-decimal inputs →
+    * 4-decimal squares, both exact), combined in double by one fixed
+    * expression — deterministic at any parallelism. Two-pass shape: a
+    * tiny per-type stats aggregate broadcasts back onto one event
+    * scan (NOT a whole-partition window — |types| is small, so a
+    * window would hot-spot its few partitions at 100 TB). */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    val dv = col("value").cast("decimal(12,2)")
+    val stats = load(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(dv).as("s"), sum(dv * dv).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("varr",
+        (col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+          / col("n"))
+    load(s, d).join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("varr")))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"), max("mean").as("mean"),
+        max(sqrt(col("varr"))).as("std"),
+        sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
   /** VALUE-range window frame (`RANGE BETWEEN ... PRECEDING`): per
     * event, activity in the user's trailing 30 minutes — the frame is
     * bounded by the ORDER-BY VALUE (nanosecond ts), not a row count,
@@ -257,6 +284,23 @@ object Events {
          |  min(value) AS min_value, max(value) AS max_value,
          |  ${oDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
+    Q("events_anomaly", anomalies, Some(
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS ss
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS varr
+        |  FROM st)
+        |SELECT e.event_type, max(m.n) AS n, max(m.mean) AS mean,
+        |  max(sqrt(m.varr)) AS std,
+        |  CAST(SUM(CASE WHEN abs((e.value - m.mean) / sqrt(m.varr)) > 3
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
     Q("events_range_frame", rangeFrame, Some(
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_30m,

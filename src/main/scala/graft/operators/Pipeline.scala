@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Core._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preparation (north star capstone): the
@@ -162,6 +163,32 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Fixed-size deterministic stratified sample: exactly K docs per
+    * source, chosen by CONTENT-HASH order (hash stream offset 11,
+    * independent of the split/mix streams; ties broken by doc_id) —
+    * a reservoir-style "give me exactly 100 eval docs per source"
+    * that is reproducible across runs and partitionings, unlike
+    * rand()-based reservoirs. Spelled as a per-stratum top-k window.
+    * At 100 TB with FEW strata the full window sort would hot-spot
+    * its handful of partitions — production first gates by hash rate
+    * to ~2K survivors per stratum (the [[sampleMix]] expression) and
+    * only then runs this exact top-k on the survivors; the semantics
+    * below are that final exact step. */
+  def stratifiedK(s: SparkSession, d: String): DataFrame = {
+    val K = 100
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables(s, d, "documents")
+      .withColumn("h", polyHash(concat(col("text"), lit("11"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum("n_chars").as("sampled_chars"),
+        max("rn").cast("long").as("k_effective"))
+      .orderBy("source")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
@@ -204,6 +231,17 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
          |FROM b GROUP BY source ORDER BY source""".stripMargin)),
+    Q("pipeline_stratified_k", stratifiedK, Some(
+      s"""WITH h AS (
+         |  SELECT source, n_chars, doc_id, ${oPolyHash("text || '11'")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |  FROM h)
+         |SELECT source, COUNT(*) AS n_sampled,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+         |  CAST(max(rn) AS BIGINT) AS k_effective
+         |FROM r WHERE rn <= 100 GROUP BY source ORDER BY source""".stripMargin)),
     Q("profile_columns", profileColumns, Some {
       val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
       val a = cols.map(c =>
