@@ -59,7 +59,7 @@ object Dedup {
     * oracle applies the identical hash so the metric is bit-equal.
     * Hash collisions (≪1e-9 per pair here) merge shingles on BOTH
     * sides identically. */
-  private val ShingleMix = 8191L
+  private[operators] val ShingleMix = 8191L
 
   // -------------------------------------------------------------------
   // Exact dedup
@@ -120,7 +120,13 @@ object Dedup {
     * the three token hashes — no per-shingle string building or
     * re-scanning, so shingling is O(tokens) not O(tokens × width). */
   private def wordShingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    wordSetsOf(docs(s, d))
+
+  /** Word-shingle sets of any frame with (doc_id, text) — shared with
+    * the end-to-end pipeline, which shingles only its gate/exact-dedup
+    * survivors. */
+  private[operators] def wordSetsOf(docFrame: DataFrame): DataFrame =
+    docFrame
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
       .withColumn("th", transform(col("t"), tk => polyHash(tk)))
@@ -129,6 +135,11 @@ object Dedup {
           ((element_at(col("th"), i) * ShingleMix + element_at(col("th"), i + 1)) % P
             * ShingleMix + element_at(col("th"), i + 2)) % P)))
       .select("doc_id", "sh")
+
+  /** Verified J ≥ 0.8 pairs of an arbitrary shingle-set frame — the
+    * [[minhashLsh]] machinery exposed for pipeline composition. */
+  private[operators] def verifiedPairsOf(sets: DataFrame): DataFrame =
+    minhashPairs(sets, A12, MinhashBands)
 
   /** Shared MinHash-LSH machinery: band the hash sets with the given
     * permutations (all minima in one codegen'd pass —

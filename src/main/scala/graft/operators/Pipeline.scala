@@ -163,6 +163,52 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** The FULL training-data preparation pipeline, end to end in one
+    * declarative plan — the capstone composition a 100 TB corpus
+    * actually runs before tokenization:
+    *
+    *   1. quality + language gates (row-local, fused into the scan);
+    *   2. exact dedup (min doc_id per md5 — 32-byte shuffle key);
+    *   3. NEAR-dup removal over the survivors: MinHash-LSH verified
+    *      J ≥ 0.8 pairs, then the one-pass keep policy "drop every
+    *      pair's higher doc_id" (each removed doc names a surviving
+    *      lower-id near-twin; the transitive-closure variant is
+    *      [[graft.operators.Dedup.dupClusters]]);
+    *   4. deterministic 80/10/10 content-hash split;
+    *   5. per-split accounting (docs + tokens).
+    *
+    * Wide dependencies: the exact-dedup exchange, the LSH band join,
+    * and the split rollup — everything else rides the initial scan.
+    * The near-dup drop is a LEFT ANTI join against the (tiny) pair
+    * victim set. */
+  def fullPrep(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val gated = Tables(s, d, "documents")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("stop_ratio",
+        size(filter(col("t"), x => x.isInCollection(stop))).cast("double") /
+          col("n_tokens"))
+      .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.05)
+      .filter(size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "and")))) > 0)
+    val canonical = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val survivors = cached(gated.join(canonical, "doc_id"))
+    val victims = Dedup.verifiedPairsOf(cached(Dedup.wordSetsOf(survivors)))
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(victims, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", polyHash(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   /** Fixed-size deterministic stratified sample: exactly K docs per
     * source, chosen by CONTENT-HASH order (hash stream offset 11,
     * independent of the split/mix streams; ties broken by doc_id) —
@@ -231,6 +277,44 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
          |FROM b GROUP BY source ORDER BY source""".stripMargin)),
+    Q("pipeline_full", fullPrep, Some {
+      val sm = Dedup.ShingleMix
+      val p = graft.Core.HashMod
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $oTok AS tok FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, tok, len(tok) AS n_tokens,
+         |    CAST(len(list_filter(tok, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |      / len(tok) AS stop_ratio,
+         |    len(list_filter(tok, x -> x IN ('the','a','and'))) AS en_hits
+         |  FROM t),
+         |gated AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 50 AND stop_ratio >= 0.05 AND en_hits > 0),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |surv AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
+         |th AS (
+         |  SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |  FROM surv WHERE len(tok) >= 3),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+         |    i -> ((th[i] * $sm + th[i+1]) % $p * $sm + th[i+2]) % $p)) AS sh
+         |  FROM th),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+         |victims AS (
+         |  SELECT DISTINCT doc_b FROM pr
+         |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
+         |keep AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_b FROM victims)),
+         |b AS (SELECT n_tokens, ${oPolyHash("text")} % 100 AS bucket FROM keep)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+    }),
     Q("pipeline_stratified_k", stratifiedK, Some(
       s"""WITH h AS (
          |  SELECT source, n_chars, doc_id, ${oPolyHash("text || '11'")} AS h
