@@ -183,14 +183,18 @@ object Pipeline {
     * victim set. */
   def fullPrep(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-    val gated = Tables(s, d, "documents")
+    // cached: the token-gate scan feeds BOTH the exact-dedup agg and
+    // the survivors join — without it the (regex-tokenizing) scan
+    // runs twice; at cluster scale this is the materialized
+    // gated-corpus stage every later stage reads
+    val gated = cached(Tables(s, d, "documents")
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .withColumn("n_tokens", size(col("t")))
       .withColumn("stop_ratio",
         size(filter(col("t"), x => x.isInCollection(stop))).cast("double") /
           col("n_tokens"))
       .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.05)
-      .filter(size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "and")))) > 0)
+      .filter(size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "and")))) > 0))
     val canonical = gated
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
