@@ -211,6 +211,40 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** FULL OUTER join — reconciliation shape: customers (minus a
+    * deterministic subset, so the right-only branch is non-empty)
+    * against per-customer order counts; unmatched sides survive with
+    * nulls. Full outer can't broadcast (both sides must surface
+    * unmatched rows), so it plans as a both-sides shuffle on the key
+    * — the honest cost of reconciliation at any scale. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d).filter(col("c_custkey") % 3 =!= 0).select("c_custkey")
+    val o = ord(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("int").as("has_customer"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** SQL LATERAL join: per nation, the top-2 customers by balance via
+    * a correlated derived table — the "top-N related rows per driving
+    * row" idiom. Catalyst decorrelates the lateral subquery; the
+    * equivalent window formulation is [[graft.operators.Windows]]'
+    * top-N, and both plan one shuffle on the correlation key. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "nation").createOrReplaceTempView("jl_nation")
+    cust(s, d).createOrReplaceTempView("jl_customer")
+    s.sql(
+      """SELECT n_nationkey, n_name, c_custkey, c_acctbal
+        |FROM jl_nation JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM jl_customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   /** Multiset (bag) semantics: EXCEPT ALL keeps multiplicity
     * max(m−n, 0) per key, INTERSECT ALL keeps min(m, n) — both plan
     * as one shuffle with per-side counts, no join explosion. The
@@ -441,6 +475,21 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin)),
+    Q("join_full_outer", joinFullOuter, Some(
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CAST(c_custkey IS NOT NULL AS INTEGER) AS has_customer,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin)),
+    Q("join_lateral", joinLateral, Some(
+      """SELECT n_nationkey, n_name, c_custkey, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin)),
     Q("setop_except_all", setopExceptAll, Some(
       """WITH x AS (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
