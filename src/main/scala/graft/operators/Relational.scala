@@ -330,6 +330,25 @@ object Relational {
         .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q14-style promotion-revenue share: conditional aggregation
+    * as a RATIO — both numerator and denominator accumulate in one
+    * partial+final aggregate over one scan (no self-join, no second
+    * pass), the dimension predicate rides a broadcast join. Exact
+    * decimal sums on both sides of the division keep the ratio
+    * bit-identical across engines. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val part = Tables(s, d, "part").select("p_partkey", "p_type")
+    val dp = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", dp).otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+          / sum(dp).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n"))
+  }
+
   /** TPC-H Q3-style shipping priority: selective fact⋈fact join +
     * grouped revenue + top-10. Customer filter broadcasts. */
   def shippingPriority(s: SparkSession, d: String): DataFrame =
@@ -509,6 +528,14 @@ object Relational {
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin)),
+    Q("q14_promo_share", promoRevenue, Some(
+      s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN $discPrice ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |  / CAST(SUM($discPrice) AS DOUBLE) AS promo_share_pct,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)),
     Q("q6_forecast", revenueForecast, Some(
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
