@@ -219,6 +219,46 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(600))
   }
 
+  test("full outer join shuffles both sides (no broadcast)") {
+    val s = executed(Relational.joinFullOuter(spark, sf))
+    assert(s.contains("FullOuter"), s.take(600))
+    assert(!s.contains("BroadcastHashJoin"), s.take(600))
+  }
+
+  test("lateral join decorrelates — no cartesian product") {
+    val s = executed(Relational.joinLateral(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(600))
+  }
+
+  test("full pipeline reuses the cached gate stage and anti-joins victims") {
+    val s = executed(Pipeline.fullPrep(spark, sf))
+    assert(s.contains("LeftAnti"), s.take(600))
+    assert(s.contains("InMemoryTableScan"), s.take(600))
+  }
+
+  test("AQE converts a runtime-small shuffle join to broadcast") {
+    import org.apache.spark.sql.functions._
+    // Static planning can't see through the selective filter (stats
+    // are file sizes), so the initial plan is SMJ; AQE measures the
+    // actual shuffle output and re-plans the join as broadcast — the
+    // 100 TB win when a dimension filter is far more selective than
+    // its table size suggests.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // runtime-tiny side
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      assert(executed(joined).contains("BroadcastHashJoin"), executed(joined).take(800))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("whole-stage codegen covers the wordcount pipeline") {
     // AQE finalizes the plan only at execution; run, then inspect
     val df = WordCount.wordCount(spark.read.parquet(s"$sf/documents.parquet"))
