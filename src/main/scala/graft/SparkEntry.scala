@@ -16,7 +16,7 @@ object SparkEntry {
       Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
       Udaf.queries ++ Connectors.queries ++ Bucketing.queries ++
-      Pipeline.queries ++ ScalarFns.queries ++
+      Pipeline.queries ++ ScalarFns.queries ++ TrainingFilters.queries ++
       graft.streaming.Streams.queries
 
   /** Flagship query; driver smoke-checks rows>0. The data dir is

@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * cosine are fixed-shape IEEE ops — bit-identical across engines.
   *
   * Recall guarantees, documented per operator:
-  *  - MinHash bands: probabilistic (P[miss] = (1-j^b)^bands — ~4e-9
-  *    at j≈0.98 with 6 bands of 2); the oracle is the exact
-  *    ground-truth pair set, so a green CORRECTNESS row *measures*
-  *    perfect recall on the test corpus.
+  *  - MinHash bands: probabilistic (P[miss] = (1-j^b)^bands — 4.8e-6
+  *    at j=0.8 with 12 bands of 2, ~1e-9 at j≈0.9; multipliers must
+  *    be large/decorrelated — see [[SeedPowers]]); the oracle is the
+  *    exact ground-truth pair set, so a green CORRECTNESS row
+  *    *measures* perfect recall on the test corpus.
   *  - SimHash pairs: EXACT by pigeonhole — 3 bands of 16 bits catch
   *    every pair with hamming distance ≤ 2 deterministically.
   *  - Hyperplane LSH: approximate by definition (the algorithm is
@@ -111,9 +112,22 @@ object Dedup {
   // -------------------------------------------------------------------
 
   private val P = HashMod
-  /** 12 minhash permutations (a·h + b mod P), banded 6 × 2. */
-  private val A12 = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L)
-  private val MinhashBands = 6
+  /** MinHash permutation multipliers: successive powers of the Knuth
+    * constant mod P — large, well-mixed, distinct (P prime). Small
+    * sequential multipliers (3, 5, 7, …) are a RECALL TRAP: `a·h mod
+    * P` with tiny `a` wraps P at most a few times, so every
+    * "permutation" tends to share its argmin with plain `min(h)` —
+    * the signatures collapse toward one test and band misses become
+    * CORRELATED (observed: a J=0.909 pair missed at sf0.001, nominal
+    * P[miss] 2.7e-5). Every `a·h + b` stays < P² + 64 < 2^63 — exact. */
+  private val SeedPowers: Seq[Long] = {
+    val g = 2654435761L % P
+    Iterator.iterate(g)(a => a * g % P).take(40).toSeq
+  }
+  /** 24 permutations banded 12 × 2: P[miss] = (1-J²)^12 — 4.8e-6 at
+    * the J=0.8 threshold, ~1e-9 at J=0.9. */
+  private val A24 = SeedPowers.take(24)
+  private val MinhashBands = 12
 
   /** doc_id + distinct word-3-shingle hash set (docs with ≥ 3
     * tokens). Each token is polyhashed ONCE; a shingle hash combines
@@ -139,7 +153,7 @@ object Dedup {
   /** Verified J ≥ 0.8 pairs of an arbitrary shingle-set frame — the
     * [[minhashLsh]] machinery exposed for pipeline composition. */
   private[operators] def verifiedPairsOf(sets: DataFrame): DataFrame =
-    minhashPairs(sets, A12, MinhashBands)
+    minhashPairs(sets, A24, MinhashBands)
 
   /** Shared MinHash-LSH machinery: band the hash sets with the given
     * permutations (all minima in one codegen'd pass —
@@ -212,7 +226,7 @@ object Dedup {
     * against container SUBSTRING signatures. */
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
     val sets = cached(wordShingled(s, d))
-    bandCandidates(sets, A12, MinhashBands, jaccardSizeFilter = false)
+    bandCandidates(sets, A24, MinhashBands, jaccardSizeFilter = false)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -233,14 +247,19 @@ object Dedup {
     // persist: the shingle-set projection feeds three plan branches
     // (banding + both sides of the verify join); at cluster scale the
     // analogue is materializing the signature table between stages
-    minhashPairs(cached(wordShingled(s, d)), A12, MinhashBands)
+    minhashPairs(cached(wordShingled(s, d)), A24, MinhashBands)
 
   // -------------------------------------------------------------------
   // Character-5-gram Jaccard (MinHash-LSH blocked)
   // -------------------------------------------------------------------
 
-  private val A8 = Seq(43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L)
-  private val NgramBands = 4
+  /** 16 permutations banded 8 × 2, multipliers from the same
+    * decorrelated power family as [[A24]] (disjoint slice; the small
+    * sequential multipliers previously here had the correlated-miss
+    * defect documented at [[SeedPowers]]). Char-5-gram hashes are
+    * < 1.2e8, so every `a·h + b` < P·1.2e8 ≈ 1.2e17 — exact. */
+  private val A16 = SeedPowers.slice(24, 40)
+  private val NgramBands = 8
 
   /** doc_id + distinct character-5-gram hash set over the canonical
     * (lowercased, alnum-only) byte stream, via the native codegen'd
@@ -258,9 +277,9 @@ object Dedup {
       .select("doc_id", "sh")
 
   /** Near-dup by character-n-gram Jaccard >= 0.8; candidates via an
-    * 8-hash / 4-band MinHash on the 5-gram sets. */
+    * 16-hash / 8-band MinHash on the 5-gram sets. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    minhashPairs(cached(charShingled(s, d)), A8, NgramBands)
+    minhashPairs(cached(charShingled(s, d)), A16, NgramBands)
 
   // -------------------------------------------------------------------
   // SimHash

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a large-scale LLM training-data pipeline
+  * runs between raw ingest and tokenization (north star; SURVEY §2b
+  * last row) — beyond dedup/similarity, the published filter suites
+  * add repetition screens, benchmark decontamination, and
+  * frequency-based LM scoring:
+  *
+  *  - [[repetition]]: per-document repetition metrics in the style of
+  *    the Gopher/MassiveText quality rules (fraction of repeated
+  *    tokens, coverage of the single most frequent bigram). Docs that
+  *    loop the same phrase score high and get filtered before
+  *    training.
+  *  - [[decontaminate]]: n-gram–overlap decontamination — flag corpus
+  *    documents sharing a token shingle with a benchmark/eval set so
+  *    test data never leaks into training data. The real-world width
+  *    is ~13 tokens; 8 here, matched to the driver's short synthetic
+  *    docs. Same hash-set + equi-join shape either way.
+  *  - [[unigramScore]]: mean corpus frequency of a document's tokens
+  *    under the corpus's own unigram model — the cheap stand-in for
+  *    LM perplexity filtering. Rare-gibberish docs score near 0,
+  *    boilerplate scores high; both tails are filter candidates.
+  *
+  * Scale notes (100 TB):
+  *  - repetition: one explode keyed (doc_id, bigram) with map-side
+  *    partial counts, then a doc-cardinality max — no candidate pairs,
+  *    no joins, linear in token count.
+  *  - decontamination: the benchmark shingle set is tiny next to the
+  *    corpus (AQE broadcasts it); the corpus side ships only 8-byte
+  *    shingle hashes per (doc, shingle) — document text never crosses
+  *    an exchange. With a huge benchmark it degrades gracefully to a
+  *    shuffle equi-join on the hash.
+  *  - unigram score: token stream collapses to per-doc term counts
+  *    FIRST (map-side partial agg), so the vocab aggregation and the
+  *    model join both run over doc×distinct-term rows, not raw
+  *    tokens; the (term, count) model table is vocab-sized.
+  *
+  * All scores are exact integer counts plus one final double
+  * division, so the DuckDB oracles reproduce them bit-for-bit.
+  */
+object TrainingFilters {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private val P = HashMod
+  private val M = Dedup.ShingleMix
+
+  // -------------------------------------------------------------------
+  // Repetition metrics (Gopher-style quality screens)
+  // -------------------------------------------------------------------
+
+  /** Per-document repetition profile over docs with ≥ 2 tokens:
+    * `dup_tok_frac` = fraction of token occurrences that repeat an
+    * earlier token, `top_bigram_n` / `top_bigram_frac` = count of the
+    * most frequent word bigram and the fraction of tokens it covers. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+    // adjacent-pair explode; the (doc_id, bigram) count collapses
+    // map-side, the outer max is doc-cardinality
+    val perBigram = t
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(transform(sequence(lit(1), col("n_tokens") - 1), g =>
+          concat_ws(" ", element_at(col("t"), g), element_at(col("t"), g + 1))))
+          .as("bigram"))
+      .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+      .agg(count(lit(1)).as("c"))
+    perBigram
+      .groupBy("doc_id", "n_tokens", "n_distinct")
+      .agg(max("c").as("top_bigram_n"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_tok_frac"),
+        col("top_bigram_n"),
+        ((col("top_bigram_n") * 2).cast("double") / col("n_tokens"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination (token-shingle overlap)
+  // -------------------------------------------------------------------
+
+  private val W = 8 // shingle width in tokens
+
+  /** doc_id + distinct W-token shingle hash set (docs with ≥ W
+    * tokens). Tokens are polyhashed once; a shingle hash folds the W
+    * token hashes (`acc·8191 + h mod P` — every intermediate < 2^44),
+    * so shingling is O(tokens·W) integer ops with no string building. */
+  private def tokenShingles(docFrame: DataFrame): DataFrame =
+    docFrame
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= W)
+      .withColumn("th", transform(col("t"), tk => polyHash(tk)))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("th")) - (W - 1)), g =>
+          aggregate(slice(col("th"), g, lit(W)), lit(0L),
+            (acc, x) => (acc * M + x) % P))).as("sh"))
+
+  /** Benchmark contamination report: for every corpus document (the
+    * pretend eval set is `doc_id % 97 = 0`), how many of its distinct
+    * W-token shingles also occur in the benchmark. `contam_frac` near
+    * 1 means the doc IS benchmark material (a leaked copy); any
+    * n_hits > 0 is a span-level leak worth excluding. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // persisted: the shingle projection feeds the benchmark set, the
+    // per-doc totals, and the hit counts
+    val sets = cached(tokenShingles(docs(s, d)))
+    val bench = sets.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(bench, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Unigram-model frequency scoring (perplexity stand-in)
+  // -------------------------------------------------------------------
+
+  /** Mean corpus frequency of each document's tokens: with C(w) the
+    * corpus count of word w and T the total token count, score(doc) =
+    * (Σ_tokens C(w)) / (n_tokens · T) — exact integers until the one
+    * final division. Equals the average unigram probability of the
+    * doc's tokens under the corpus's own unigram LM. */
+  def unigramScore(s: SparkSession, d: String): DataFrame = {
+    // collapse to per-doc term counts before anything wide — persisted
+    // because the unigram model, the total, and the scoring join all
+    // read it
+    val tfc = cached(
+      docs(s, d)
+        .withColumn("t", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), explode(col("t")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val wc = tfc.groupBy("word").agg(sum("tf").as("wcount"))
+    val total = tfc.agg(sum("tf").as("total"))
+    tfc.join(wc, "word")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("wcount")).as("sum_freq"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") /
+          (col("n_tokens") * col("total")).cast("double")).as("mean_freq"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Registration
+  // -------------------------------------------------------------------
+
+  private val oTok = TextAnalysis.oTokens
+
+  def queries: Seq[Q] = Seq(
+    Q("filter_repetition", repetition, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS t FROM documents),
+         |st AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd, t
+         |       FROM t WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, n, nd, t[g] || ' ' || t[g+1] AS bigram
+         |       FROM (SELECT doc_id, n, nd, t, unnest(generate_series(1, n - 1)) AS g FROM st)),
+         |pc AS (SELECT doc_id, n, nd, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, n, nd, bigram),
+         |mx AS (SELECT doc_id, n, nd, MAX(c) AS m FROM pc GROUP BY doc_id, n, nd)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(n - nd AS DOUBLE) / n AS dup_tok_frac,
+         |  m AS top_bigram_n,
+         |  CAST(m * 2 AS DOUBLE) / n AS top_bigram_frac
+         |FROM mx ORDER BY doc_id""".stripMargin)),
+    Q("filter_decontaminate", decontaminate, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+         |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |       FROM t WHERE len(tok) >= $W),
+         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - ${W - 1}),
+         |       g -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[g:g+${W - 1}]),
+         |            (a, b) -> (a * $M + b) % $P))) AS sh FROM th),
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, len(sh) AS n_shingles, sh FROM s WHERE doc_id % 97 <> 0),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+         |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM e
+         |      WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+         |SELECT c.doc_id, c.n_shingles,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / c.n_shingles AS contam_frac
+         |FROM corpus c LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    Q("filter_unigram_score", unigramScore, Some(
+      s"""WITH t AS (SELECT doc_id, unnest($oTok) AS word FROM documents),
+         |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY doc_id, word),
+         |wc AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS wcount FROM tfc GROUP BY word),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tfc),
+         |d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(tf * wcount) AS BIGINT) AS sum_freq
+         |      FROM tfc JOIN wc USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, sum_freq,
+         |  CAST(sum_freq AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS mean_freq
+         |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -289,8 +289,9 @@ case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
   * set in a single pass — `out(i) = min over h of (seeds(i)·h + (i+1))
   * % P`, the exact arithmetic of the interpreted
   * `array_min(transform(sh, h -> (seed·h + (i+1)) % P))` per seed it
-  * replaces (seeds ≤ 73, h < P ≈ 2^30, so every product < 2^37 —
-  * exact). Inputs are non-empty by the operators' length filters;
+  * replaces (seeds and h both < P ≈ 2^30, so every product < P² ≈
+  * 10^18 < 2^63 — exact). Inputs are non-empty by the operators'
+  * length filters;
   * the MinHash construction is recall machinery, not a result value —
   * the pair oracles are exact ground-truth Jaccard, so a green row
   * PROVES the banding missed nothing.

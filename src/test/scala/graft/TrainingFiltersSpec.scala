@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TrainingFilters
+
+/** Semantics tests for the corpus-hygiene filters against a tiny
+  * controlled corpus (written as `<dir>/documents.parquet`, like the
+  * driver tables).
+  */
+class TrainingFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** doc 0 (id % 97 == 0 → benchmark) is an 8-token eval question;
+    * doc 1 quotes it verbatim inside extra context; doc 2 is clean;
+    * doc 3 is a degenerate one-word loop; doc 4 is all-distinct. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-tf").toString
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (0L, bench, "en", "src0", bench.length.toLong),
+      (1L, s"prefix $bench suffix words here", "en", "src1", 60L),
+      (2L, "one two three four five six seven eight nine ten", "en", "src1", 50L),
+      (3L, "spam spam spam spam spam spam spam spam", "en", "src2", 39L),
+      (4L, "the quick brown fox jumps over a lazy dog today", "en", "src2", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("repetition profiles the degenerate loop and the distinct doc") {
+    val rows = TrainingFilters.repetition(spark, dir)
+      .select("doc_id", "n_tokens", "dup_tok_frac", "top_bigram_n", "top_bigram_frac")
+      .as[(Long, Int, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 3: 8 copies of one token → 7/8 repeated, "spam spam" × 7
+    assert(rows(3L) == ((8, 0.875, 7L, 1.75)))
+    // doc 4: 10 distinct tokens → nothing repeats, every bigram unique
+    assert(rows(4L) == ((10, 0.0, 1L, 0.2)))
+  }
+
+  test("decontamination flags the verbatim quote and clears the clean doc") {
+    val rows = TrainingFilters.decontaminate(spark, dir)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(rows(1L) >= 1L, "doc 1 embeds the benchmark 8-gram")
+    assert(rows(2L) == 0L, "doc 2 shares no 8-gram with the benchmark")
+    assert(!rows.contains(0L), "benchmark docs are not reported")
+  }
+
+  test("unigram score ranks the common-token loop above the distinct doc") {
+    val rows = TrainingFilters.unigramScore(spark, dir)
+      .select("doc_id", "mean_freq").as[(Long, Double)].collect().toMap
+    // 'spam' occurs 8× in the corpus, doc 4's words ~1–2× each
+    assert(rows(3L) > rows(4L))
+  }
+
+  test("decontamination plans as equi-joins — no cartesian product") {
+    val plan = TrainingFilters.decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(600))
+  }
+}
