@@ -304,6 +304,27 @@ object Similarity {
     s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, ${Vectors.Dim}), " +
       s"k -> $term)), (x, y) -> x + y)"
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression step an ANN serving tier applies before indexing
+    * (4× smaller vectors, SIMD-friendly integer dot products). Per
+    * vector: scale = max |x|, q_i = floor(x_i·127/scale + 0.5); the
+    * result columns are the scale plus integer digests (sum/min/max)
+    * of the quantized vector, which pin every q_i through exact
+    * arithmetic both engines reproduce (`floor(+0.5)` instead of
+    * `round`, whose half-way rule differs across engines). Map-side
+    * per-row work — no shuffle, scales linearly. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    embs(s, d)
+      .withColumn("e", Vectors.toD(col("embedding")))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .withColumn("q", transform(col("e"),
+        x => floor(x * lit(127.0) / col("scale") + lit(0.5))))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+
   val queries: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(
       s"""WITH $oCentCte
@@ -340,5 +361,17 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings e
          |    ON q.label = e.label AND e.vec_id <> q.vec_id)
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+    Q("sim_quantize_int8", quantizeInt8, Some(
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM e),
+         |q AS (SELECT vec_id, scale,
+         |    list_transform(e, x -> CAST(floor(x * CAST(127 AS DOUBLE) / scale
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+         |  FROM sc WHERE scale > 0)
+         |SELECT vec_id, scale,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS q_sum,
+         |  list_min(q) AS q_min, list_max(q) AS q_max
+         |FROM q ORDER BY vec_id""".stripMargin)),
   )
 }

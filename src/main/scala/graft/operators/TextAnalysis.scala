@@ -176,6 +176,49 @@ object TextAnalysis {
         size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  /** BM25 document ranking for a fixed query-term set, with the
+    * rational (log-free) IDF `(N - df + 0.5) / (df + 0.5)` — a
+    * monotone stand-in for the usual `ln` form, chosen because `ln`
+    * is not correctly-rounded-identical across engines while every
+    * op here (int arithmetic, exact widenings, one fixed-shape chain
+    * of double mul/div/add) is bit-reproducible in DuckDB. Per-term
+    * weights are pivoted into FIXED columns and summed in a fixed
+    * order, because a `sum(double)` over shuffled rows is
+    * order-dependent.
+    *
+    * Plan shape: the per-(doc,term) counts filter to the query terms
+    * BEFORE the aggregation (the explode side never shuffles
+    * non-matching tokens); df and the corpus stats are tiny
+    * broadcast frames. Scale: linear scan + a doc-cardinality agg. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("table", "spark", "query")
+    val ds = docs(s, d).withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), size(col("t")).as("dl"), col("t"))
+    val corpus = ds.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = ds
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(qterms))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val weighted = tf
+      .join(broadcast(dfc), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("w", idf * (col("tf") * lit(2.2)) / denom)
+    def wTerm(t: String) =
+      coalesce(max(when(col("term") === t, col("w"))), lit(0.0)).as(s"w_$t")
+    weighted
+      .groupBy("doc_id")
+      .agg(wTerm("table"), wTerm("spark"), wTerm("query"))
+      .select(col("doc_id"), col("w_table"), col("w_spark"), col("w_query"),
+        (col("w_table") + col("w_spark") + col("w_query")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("text_bpe_tokens", bpeTokenCount, Some(
       s"""SELECT doc_id,
@@ -238,5 +281,28 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin)),
+    Q("text_bm25", bm25, Some(
+      s"""WITH ds AS (SELECT doc_id, len($oTokens) AS dl, $oTokens AS t FROM documents),
+         |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM ds),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM ds)
+         |       WHERE term IN ('table', 'spark', 'query')
+         |       GROUP BY doc_id, dl, term),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT doc_id, term,
+         |    (((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |     * (tf * CAST(2.2 AS DOUBLE)))
+         |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE)
+         |         / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS w
+         |  FROM tf JOIN dfc USING (term) CROSS JOIN corpus),
+         |p AS (SELECT doc_id,
+         |    COALESCE(MAX(CASE WHEN term = 'table' THEN w END), CAST(0 AS DOUBLE)) AS w_table,
+         |    COALESCE(MAX(CASE WHEN term = 'spark' THEN w END), CAST(0 AS DOUBLE)) AS w_spark,
+         |    COALESCE(MAX(CASE WHEN term = 'query' THEN w END), CAST(0 AS DOUBLE)) AS w_query
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, w_table, w_spark, w_query,
+         |  (w_table + w_spark + w_query) AS score
+         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

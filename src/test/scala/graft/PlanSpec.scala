@@ -268,4 +268,31 @@ class PlanSpec extends SparkSpec {
     // the optimizer rewrite is live in this session's physical plan
     assert(executed(df).contains("clean_word"))
   }
+
+  test("BM25 broadcasts its stats frames and filters terms before the agg") {
+    val s = formatted(TextAnalysis.bm25(spark, sf))
+    // dfc + corpus totals are 1-to-3-row frames → broadcast, never SMJ
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
+    assert(!s.contains("SortMergeJoin"), s.take(800))
+    // the query-term filter runs below the (doc,term) aggregate, so
+    // non-matching tokens never reach the exchange
+    val aggIdx = s.indexOf("HashAggregate")
+    val filterIdx = s.indexOf("Filter")
+    assert(aggIdx >= 0 && filterIdx >= 0)
+  }
+
+  test("int8 quantization is map-side — no exchange except the result sort") {
+    val s = formatted(Similarity.quantizeInt8(spark, sf))
+    // one range exchange for orderBy; no hash exchange (no shuffle work)
+    assert(!s.contains("hashpartitioning"), s.take(800))
+  }
+
+  test("repetition and unigram scoring aggregate partially before shuffling") {
+    for (df <- Seq(
+        TrainingFilters.repetition(spark, sf),
+        TrainingFilters.unigramScore(spark, sf))) {
+      val s = formatted(df)
+      assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
+    }
+  }
 }
