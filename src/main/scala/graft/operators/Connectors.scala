@@ -128,7 +128,64 @@ object Connectors {
   def compaction(s: SparkSession, d: String): DataFrame =
     compactionWithDirs(s, d)._1
 
+  /** Z-order (Morton) clustering digest: rank-normalize `l_orderkey`
+    * and `l_partkey` to 16-bit grids, interleave the bits into one
+    * 32-bit code, and report row count + both keys' min/max per
+    * top-4-bit code bucket (= the 4×4 quadrant grid). The point of
+    * the interleave is multi-dimensional data skipping: a layout
+    * `repartitionByRange(morton).sortWithinPartitions(morton)` bounds
+    * EVERY file's min/max footer range in BOTH keys at once (a plain
+    * sort bounds only its leading key), so scans filtering on either
+    * column prune files. This query is the layout's audit — each
+    * bucket's key spans cover ~1/4 of the global span in each
+    * dimension. Normalization must start from the MOST significant
+    * bits of the key's span (raw low-bit interleaving has no spatial
+    * locality), so ranks are `(x - min)·65535 div (max - min)` with
+    * the min/max from a broadcast 1-row aggregate — all exact integer
+    * arithmetic (key spans < 2^47 keep the product < 2^63), expanded
+    * to literal-shift terms at plan build since Spark's `shiftright`
+    * takes a literal bit count; DuckDB reproduces it with `//`. */
+  def zorderStats(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables(s, d, "lineitem").agg(
+      min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"),
+      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
+    def rank(k: String, lo: String, hi: String) =
+      expr(s"(($k - $lo) * 65535) div ($hi - $lo)")
+    val morton = (0 until 16).map { b =>
+      (shiftright(col("r_ok"), b) % 2) * lit(1L << (2 * b)) +
+        (shiftright(col("r_pk"), b) % 2) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+    Tables(s, d, "lineitem")
+      .crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_partkey"),
+        rank("l_orderkey", "ok_min", "ok_max").as("r_ok"),
+        rank("l_partkey", "pk_min", "pk_max").as("r_pk"))
+      .select(col("l_orderkey"), col("l_partkey"), morton.as("morton"))
+      .groupBy(shiftright(col("morton"), 28).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      .orderBy("z_bucket")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("maint_zorder_stats", zorderStats, Some {
+      val terms = (0 until 16).map { b =>
+        s"((r_ok // ${1L << b}) % 2) * ${1L << (2 * b)}" +
+          s" + ((r_pk // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      s"""WITH st AS (SELECT MIN(l_orderkey) AS ok_min, MAX(l_orderkey) AS ok_max,
+         |    MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max FROM lineitem),
+         |r AS (SELECT l_orderkey, l_partkey,
+         |    ((l_orderkey - ok_min) * 65535) // (ok_max - ok_min) AS r_ok,
+         |    ((l_partkey - pk_min) * 65535) // (pk_max - pk_min) AS r_pk
+         |  FROM lineitem CROSS JOIN st),
+         |m AS (SELECT l_orderkey, l_partkey, ($terms) AS morton FROM r)
+         |SELECT morton // ${1L << 28} AS z_bucket, COUNT(*) AS n,
+         |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+         |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
+         |FROM m GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    }),
     Q("connector_compaction", compaction, Some(
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

@@ -211,7 +211,45 @@ object Events {
         sum(col("k").cast("long")).as("sum_k"))
       .orderBy("event_type")
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build: collapse
+    * each user's event-type stream into state-change rows with
+    * `[valid_from, valid_to)` validity; `valid_to` is null (and
+    * `is_current` true) for the latest state. The classic dimension-
+    * table maintenance query, as one plan: lag() marks type changes,
+    * lead() over the surviving change rows closes each interval. Both
+    * window passes partition by user_id, so the single exchange is
+    * reused; user_id is high-cardinality — no task hot-spots. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = load(s, d)
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("next_ts", lead("ts", 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        fmt(timestamp_micros(expr("ts div 1000"))).as("valid_from"),
+        fmt(timestamp_micros(expr("next_ts div 1000"))).as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("events_scd2", scd2, Some(
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM m
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |x AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c)
+        |SELECT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(CAST(next_ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  next_ts IS NULL AS is_current
+        |FROM x ORDER BY user_id, valid_from, event_type""".stripMargin)),
     Q("events_tumbling", tumblingHour, Some(
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value

@@ -162,6 +162,36 @@ object TrainingFilters {
   }
 
   // -------------------------------------------------------------------
+  // Bigram language model (count-based conditional probabilities)
+  // -------------------------------------------------------------------
+
+  /** Corpus bigram LM: P(w2 | w1) = c(w1,w2) / c(w1·) for the 20 most
+    * frequent bigrams — the count-based model behind next-token
+    * statistics and corpus-drift monitoring. The context totals
+    * c(w1·) are derived FROM the bigram counts (sum over w2), so the
+    * token stream is read once; `repartition(w1)` lets the context
+    * aggregation and the join reuse one exchange (the TF-IDF idiom —
+    * the w1 side is vocabulary-sized and deliberately not broadcast).
+    * Exact integer counts; one final division. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), g =>
+        struct(element_at(col("t"), g).as("w1"),
+          element_at(col("t"), g + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .repartition(col("w1"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1")).as("p"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -208,5 +238,15 @@ object TrainingFilters {
          |SELECT doc_id, n_tokens, sum_freq,
          |  CAST(sum_freq AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS mean_freq
          |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin)),
+    Q("lm_bigram_prob", bigramLm, Some(
+      s"""WITH t AS (SELECT $oTok AS t FROM documents),
+         |bg AS (SELECT t[g] AS w1, t[g+1] AS w2
+         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+         |             FROM t WHERE len(t) >= 2)),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
+         |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p
+         |FROM c12 JOIN c1 USING (w1)
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
   )
 }
