@@ -287,6 +287,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"), s.take(800))
   }
 
+  test("merge as-of join plans as CoGroup over one sorted exchange per side") {
+    val s = executed(Temporal.asofMergeJoin(spark, sf))
+    assert(s.contains("CoGroup"), s.take(800))
+    // exactly one hash exchange per input (plus the result-sort range
+    // exchange); never a join explosion
+    assert("hashpartitioning".r.findAllIn(s).size >= 2, s.take(800))
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s.take(800))
+  }
+
   test("repetition and unigram scoring aggregate partially before shuffling") {
     for (df <- Seq(
         TrainingFilters.repetition(spark, sf),
