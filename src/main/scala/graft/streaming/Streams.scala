@@ -5,7 +5,7 @@ import graft.Core._
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -377,7 +377,73 @@ object Streams {
       |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
       |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // transformWithState (arbitrary-state API v2)
+  // -------------------------------------------------------------------
+
+  /** Input/state rows for [[UserStatsProcessor]] (public: encoder
+    * codegen reflects on the constructors). `cents` is computed in
+    * the plan as `floor(value·100 + 0.5)` so the JVM state fold is
+    * pure integer arithmetic the DuckDB oracle reproduces exactly. */
+  case class UEvent(user_id: Long, cents: Long)
+  case class UStat(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user lifetime counters in a single `ValueState` — the
+    * canonical use of the modern `transformWithState` API (explicit
+    * typed state handles + RocksDB-backed store, the successor to
+    * `flatMapGroupsWithState`). Emits the running total once per
+    * (user, micro-batch); totals are monotone, so the final value per
+    * user is recoverable from any emission log. */
+  class UserStatsProcessor extends StatefulProcessor[Long, UEvent, UStat] {
+    @transient private var st: ValueState[UStat] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UStat]("ustat",
+        org.apache.spark.sql.Encoders.product[UStat], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[UEvent], tv: TimerValues): Iterator[UStat] = {
+      var cur = if (st.exists()) st.get() else UStat(key, 0L, 0L)
+      rows.foreach(e => cur = UStat(key, cur.n_events + 1, cur.sum_cents + e.cents))
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Streaming per-user lifetime stats via [[UserStatsProcessor]].
+    * The state store must be RocksDB (transformWithState requires
+    * it); the provider conf is scoped to this query and restored.
+    * The rollup takes each user's LAST emission — `max(struct(n,
+    * sum))` works because n_events strictly increases across a
+    * user's emissions. Matches the batch per-user aggregate oracle.
+    * State at scale is one small row per active user. */
+  def streamUserStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = eventStream(s, d)
+      .select(col("user_id"),
+        expr("floor(value * 100D + 0.5D)").as("cents"))
+      .as[UEvent]
+    val out = in.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(),
+        OutputMode.Update(), org.apache.spark.sql.Encoders.product[UStat])
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sunk =
+      try runToMemory(out.toDF(), OutputMode.Update())
+      finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    sunk
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_cents").as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("stream_user_stats", streamUserStats, Some(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("stream_wordcount", streamWordCount, Some(
       s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),

@@ -25,6 +25,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState user stats equal the batch per-user aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.streamUserStats(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("floor(value * 100D + 0.5D)")).as("sum_cents"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("sessionizer closes sessions on gap and emits exact bounds") {
     val min = 60L * 1000000000L
     // offset from epoch: a row at exactly ts=0 equals the initial
