@@ -239,6 +239,73 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Data-mixing weight table: the per-source numbers a training run
+    * uses to set sampling ratios. `token_share` is the exact
+    * proportional share (integer token counts, one exact division);
+    * `sqrt_weight_rel` is the alpha=0.5 temperature-scaled weight
+    * relative to the largest source — the standard "flatten the
+    * source distribution" reweighting (small sources get upsampled
+    * relative to proportional). Both are deterministic IEEE doubles:
+    * sqrt and division are correctly-rounded single ops over exact
+    * integers, so the DuckDB oracle reproduces them bit-for-bit —
+    * no sum-of-doubles normalizer anywhere (a Σ√tokens constant
+    * would be accumulation-order-dependent). One scan; output
+    * cardinality |sources|. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables(s, d, "documents")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+    val totals = perSrc.agg(
+      sum("total_tokens").as("grand_tokens"),
+      max(sqrt(col("total_tokens").cast("double"))).as("max_sqrt"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("grand_tokens").cast("double"))
+          .as("token_share"),
+        (sqrt(col("total_tokens").cast("double")) / col("max_sqrt"))
+          .as("sqrt_weight_rel"))
+      .orderBy("source")
+  }
+
+  /** Concat-and-chunk sequence packing: the exact accounting of the
+    * standard pretraining batcher — per hash shard, documents are
+    * concatenated in a deterministic content-hash order and the token
+    * stream is cut every L=256 tokens; a document whose span crosses
+    * a cut boundary is split across two training sequences. Reports
+    * per shard: docs, tokens, sequences produced (ceil(total/L)),
+    * and how many documents get split.
+    *
+    * Scale shape: the shard is the parallel unit — the running token
+    * sum is a window cumsum WITHIN each shard, so at 100 TB this is
+    * |shards|-way parallel with no global ordering anywhere (a global
+    * cumsum would serialize on one range-partition tail). Shard count
+    * scales with the cluster; 8 here to keep sf-scale outputs
+    * readable. All arithmetic is integer-exact. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val L = 256
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables(s, d, "documents")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("n_tokens") > 0)
+      .withColumn("h", polyHash(concat(col("text"), lit("13"))))
+      .withColumn("shard", pmod(col("h"), lit(8)))
+      .withColumn("cum", sum("n_tokens").over(w))
+      // doc occupies tokens [cum - n_tokens, cum); it crosses a cut
+      // iff its first and last token land in different L-windows
+      // (integer div keeps everything exact on both engines)
+      .withColumn("split_doc",
+        expr(s"(cum - n_tokens) div $L") =!= expr(s"(cum - 1) div $L"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        expr(s"(max(cum) + ${L - 1}) div $L").as("n_sequences"),
+        sum(when(col("split_doc"), 1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy("shard")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
@@ -343,6 +410,31 @@ object Pipeline {
       s"WITH a AS (\n  SELECT COUNT(*) AS n_rows,\n    $a\n  FROM documents)\n" +
         s"$rows\nORDER BY col_name"
     }),
+    Q("pipeline_mix_weights", mixWeights, Some(
+      s"""WITH t AS (SELECT source, len($oTok) AS n_tokens FROM documents),
+         |p AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |      FROM t GROUP BY source),
+         |g AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand_tokens,
+         |        MAX(sqrt(CAST(total_tokens AS DOUBLE))) AS max_sqrt FROM p)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / CAST(grand_tokens AS DOUBLE) AS token_share,
+         |  sqrt(CAST(total_tokens AS DOUBLE)) / max_sqrt AS sqrt_weight_rel
+         |FROM p CROSS JOIN g ORDER BY source""".stripMargin)),
+    Q("pipeline_pack_sequences", packSequences, Some(
+      s"""WITH t AS (SELECT doc_id, len($oTok) AS n_tokens,
+         |        ${oPolyHash("text || '13'")} AS h FROM documents),
+         |f AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM t WHERE n_tokens > 0),
+         |c AS (SELECT shard, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM f)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((MAX(cum) + 255) // 256 AS BIGINT) AS n_sequences,
+         |  CAST(SUM(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin)),
     Q("pipeline_token_chunks", tokenChunks, Some(
       s"""WITH t AS (
          |  SELECT source, len($oTok) AS n_tokens FROM documents),

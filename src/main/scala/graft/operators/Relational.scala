@@ -349,6 +349,62 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q18-style large-volume orders: a grouped HAVING subquery
+    * feeding a fact⋈fact join. The per-order quantity rollup hash-
+    * partitions lineitem on l_orderkey — the SAME key the orders join
+    * needs, so the aggregate's exchange is reused by the join (one
+    * lineitem shuffle total, asserted in PlanSpec); the HAVING
+    * filter collapses the join input to the few giant orders before
+    * anything wide touches `orders`, and customer broadcasts. Ties at
+    * the limit boundary are impossible to mis-order: o_orderkey is
+    * unique and breaks o_totalprice ties. */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = li(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    ord(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): a data-derived month
+    * spine — anchor = first order month (carrying the last month
+    * along as the stop bound so the recursive member references only
+    * the recursive relation), step = +1 month — LEFT-joined to the
+    * per-month order rollup so gap months surface as explicit zero
+    * rows. The spine is |months| rows built driver-side by the
+    * recursion (depth ≈ 80 « the 100-level default limit); the scan
+    * and rollup stay fully distributed, so at 100 TB the recursion
+    * cost is invisible — a deliberate contrast with the day-grain
+    * alternative (2400+ sequential levels), which is the WRONG tool:
+    * a `sequence()` explode generates large spines in parallel. */
+  def monthSpine(s: SparkSession, d: String): DataFrame = {
+    ord(s, d).createOrReplaceTempView("cf_orders")
+    s.sql(
+      """WITH RECURSIVE spine AS (
+        |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS mo,
+        |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS mx
+        |  FROM cf_orders
+        |  UNION ALL
+        |  SELECT add_months(mo, 1), mx FROM spine WHERE mo < mx
+        |)
+        |SELECT date_format(mo, 'yyyy-MM') AS month,
+        |  coalesce(n_orders, 0L) AS n_orders,
+        |  coalesce(revenue, 0.0D) AS revenue
+        |FROM spine LEFT JOIN (
+        |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mo,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM cf_orders GROUP BY 1) agg USING (mo)
+        |ORDER BY month""".stripMargin)
+  }
+
   /** TPC-H Q3-style shipping priority: selective fact⋈fact join +
     * grouped revenue + top-10. Customer filter broadcasts. */
   def shippingPriority(s: SparkSession, d: String): DataFrame =
@@ -553,6 +609,30 @@ object Relational {
          |  AND l_shipdate > TIMESTAMP '1996-03-15'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+    Q("q18_large_orders", largeOrders, Some(
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${oDsum("l_quantity")} > 300)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o_totalprice, total_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+    Q("rcte_month_spine", monthSpine, Some(
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+        |    date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+        |    INTERVAL 1 MONTH)) AS mo),
+        |agg AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(mo, '%Y-%m') AS month,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN agg USING (mo) ORDER BY month""".stripMargin)),
     Q("q12_shipmode", shipmodePriority, Some(
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

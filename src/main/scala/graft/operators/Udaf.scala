@@ -81,6 +81,45 @@ object Udaf {
         (abs(col("approx") - col("exact_custkeys")) /
           col("exact_custkeys") <= 0.08).as("within_bound"))
 
+  /** Mergeable-sketch rollup — the two-level distinct-count pattern a
+    * 100 TB deployment actually runs: build a DataSketches HLL sketch
+    * of customer keys PER NATION (`hll_sketch_agg`), then merge the
+    * 25 nation sketches up to regions (`hll_union_agg`) without
+    * touching the base table again. Re-aggregatability is the point:
+    * exact distinct counts cannot roll up (distinct-per-nation does
+    * not sum to distinct-per-region), sketches can — one base scan
+    * serves every level of a rollup hierarchy, and partial sketches
+    * merge associatively across executors/days/partitions.
+    *
+    * Hashability contract (same as [[approxDistinct]]): the sketch
+    * estimate itself is engine-specific, so the emitted row is the
+    * exact count plus a bool that the merged estimate landed within
+    * 8% relative error (default lgK=12 HLL is exact-in-sparse-mode at
+    * these cardinalities and ~1.6% rsd far beyond them; 8% gives the
+    * same 4-sigma-style headroom). Oracle emits the exact count and
+    * literal TRUE. */
+  def hllUnionRollup(s: SparkSession, d: String): DataFrame = {
+    val perNation = Tables(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    val nation = Tables(s, d, "nation").select("n_nationkey", "n_regionkey")
+    val region = Tables(s, d, "region").select("r_regionkey", "r_name")
+    val merged = perNation
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = Tables(s, d, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(countDistinct(col("c_custkey")).as("exact_custkeys"))
+    merged.join(exact, "n_regionkey")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("exact_custkeys"),
+        (abs(col("est") - col("exact_custkeys")).cast("double") /
+          col("exact_custkeys") <= 0.08).as("within_bound"))
+      .orderBy("r_name")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
@@ -91,5 +130,12 @@ object Udaf {
     Q("approx_distinct", approxDistinct, Some(
       """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, TRUE AS within_bound
         |FROM orders""".stripMargin)),
+    Q("sketch_hll_union", hllUnionRollup, Some(
+      """SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_custkeys,
+        |  TRUE AS within_bound
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
   )
 }

@@ -296,6 +296,43 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s.take(800))
   }
 
+  test("q18 reuses the quantity-rollup exchange for the orders join") {
+    // At sf scale the planner simply broadcasts orders (fine); disable
+    // broadcast to expose the 100 TB shuffle shape and pin the reuse:
+    // the per-order aggregate partitions lineitem on l_orderkey — the
+    // key the orders join needs — so the agg side joins WITHOUT a
+    // second exchange: two hash exchanges total (lineitem partial-agg
+    // + orders), customer still broadcast by its explicit hint. A
+    // third hash exchange would mean lineitem shuffled twice.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = executed(Relational.largeOrders(spark, sf))
+      assert("Exchange hashpartitioning".r.findAllIn(s).size == 2, s.take(1200))
+      assert(s.contains("BroadcastHashJoin"), s.take(600))
+      assert(s.contains("TakeOrderedAndProject"), s.take(600))
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
+  test("recursive month spine executes as a UnionLoop; rollup stays distributed") {
+    val df = Relational.monthSpine(spark, sf)
+    val s = executed(df)
+    assert(s.contains("UnionLoop"), s.take(800))
+    // the per-month rollup is still a partial+final aggregate over the
+    // parquet scan — recursion never absorbs the distributed side
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
+  }
+
+  test("sequence packing shuffles once: window and rollup share the shard key") {
+    val s = executed(Pipeline.packSequences(spark, sf))
+    // the cumsum window partitions by shard; the accounting groupBy
+    // uses the same key, so EnsureRequirements plans no second hash
+    // exchange — one shuffle end to end
+    assert(s.contains("Window"), s.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1, s.take(900))
+  }
+
   test("repetition and unigram scoring aggregate partially before shuffling") {
     for (df <- Seq(
         TrainingFilters.repetition(spark, sf),
