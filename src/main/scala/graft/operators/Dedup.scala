@@ -122,7 +122,7 @@ object Dedup {
     * P[miss] 2.7e-5). Every `a·h + b` stays < P² + 64 < 2^63 — exact. */
   private val SeedPowers: Seq[Long] = {
     val g = 2654435761L % P
-    Iterator.iterate(g)(a => a * g % P).take(40).toSeq
+    Iterator.iterate(g)(a => a * g % P).take(48).toSeq
   }
   /** 24 permutations banded 12 × 2: P[miss] = (1-J²)^12 — 4.8e-6 at
     * the J=0.8 threshold, ~1e-9 at J=0.9. */
@@ -173,18 +173,24 @@ object Dedup {
       sets: org.apache.spark.sql.DataFrame,
       seeds: Seq[Long],
       nBands: Int,
+      rowsPerBand: Int,
       jaccardSizeFilter: Boolean): org.apache.spark.sql.DataFrame = {
+    require(seeds.length == nBands * rowsPerBand)
     val bands = sets
       .withColumn("n", size(col("sh")).cast("long"))
       .withColumn("mh",
         graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(seeds)))
       .select(
         col("doc_id"), col("n"),
+        // band value = xxhash64 of the band's minima: stays in 64
+        // bits for any row count (the old m1·P + m2 packing overflows
+        // past 2 rows); a hash collision can only ADD a candidate the
+        // exact verify discards, never lose one
         explode(array((0 until nBands).map { j =>
           struct(
             lit(j).as("band_idx"),
-            (element_at(col("mh"), 2 * j + 1) * lit(P) +
-              element_at(col("mh"), 2 * j + 2)).as("band_val"))
+            xxhash64((0 until rowsPerBand).map(r =>
+              element_at(col("mh"), rowsPerBand * j + r + 1)): _*).as("band_val"))
         }: _*)).as("e"))
       .select(col("doc_id"), col("n"), col("e.band_idx"), col("e.band_val"))
     val joined = bands
@@ -203,8 +209,9 @@ object Dedup {
   private def minhashPairs(
       sets: org.apache.spark.sql.DataFrame,
       seeds: Seq[Long],
-      nBands: Int): org.apache.spark.sql.DataFrame =
-    bandCandidates(sets, seeds, nBands, jaccardSizeFilter = true)
+      nBands: Int,
+      rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame =
+    bandCandidates(sets, seeds, nBands, rowsPerBand, jaccardSizeFilter = true)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -226,7 +233,7 @@ object Dedup {
     * against container SUBSTRING signatures. */
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
     val sets = cached(wordShingled(s, d))
-    bandCandidates(sets, A24, MinhashBands, jaccardSizeFilter = false)
+    bandCandidates(sets, A24, MinhashBands, rowsPerBand = 2, jaccardSizeFilter = false)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -253,13 +260,26 @@ object Dedup {
   // Character-5-gram Jaccard (MinHash-LSH blocked)
   // -------------------------------------------------------------------
 
-  /** 16 permutations banded 8 × 2, multipliers from the same
+  /** 24 permutations banded 8 × 3, multipliers from the same
     * decorrelated power family as [[A24]] (disjoint slice; the small
     * sequential multipliers previously here had the correlated-miss
     * defect documented at [[SeedPowers]]). Char-5-gram hashes are
-    * < 1.2e8, so every `a·h + b` < P·1.2e8 ≈ 1.2e17 — exact. */
-  private val A16 = SeedPowers.slice(24, 40)
+    * < 1.2e8, so every `a·h + b` < P·1.2e8 ≈ 1.2e17 — exact.
+    *
+    * WHY 3 ROWS PER BAND (vs the word-LSH 2): band width must be
+    * tuned to the corpus's background similarity, not just the match
+    * threshold. Char-5-grams over a small shared vocabulary give
+    * unrelated documents J ≈ 0.08–0.23 (measured; word 3-shingles
+    * give ≈ 0), and 2-row bands fire at rate J² — ~2% of ALL pairs
+    * became candidates (344k at sf0.1), and the verify join, not the
+    * band join, dominated cost. Cubing the background rate (J³)
+    * drops candidates ~15× while true pairs (measured J ≥ 0.93 here;
+    * miss = (1-J³)^8 ≈ 2e-6) stay caught. The general rule at 100 TB:
+    * pick r with background^r · N² ≲ candidate budget, then b for
+    * (1-J_thresh^r)^b ≤ miss budget. */
+  private val A24Gram = SeedPowers.slice(24, 48)
   private val NgramBands = 8
+  private val NgramRows = 3
 
   /** doc_id + distinct character-5-gram hash set over the canonical
     * (lowercased, alnum-only) byte stream, via the native codegen'd
@@ -279,7 +299,7 @@ object Dedup {
   /** Near-dup by character-n-gram Jaccard >= 0.8; candidates via an
     * 16-hash / 8-band MinHash on the 5-gram sets. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    minhashPairs(cached(charShingled(s, d)), A16, NgramBands)
+    minhashPairs(cached(charShingled(s, d)), A24Gram, NgramBands, NgramRows)
 
   // -------------------------------------------------------------------
   // SimHash
