@@ -141,11 +141,19 @@ object TextAnalysis {
     * (identical subplans → ReuseExchange). */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).withColumn("t", tokens(col("text")))
-    val tf = base
+    // cached: the TF table feeds BOTH the document-frequency rollup
+    // and the scoring join. Relying on ReuseExchange instead is a
+    // trap — column pruning specializes the two subtrees (the df
+    // branch drops the count) so the exchanges stop being identical
+    // and the whole tokenize+explode+aggregate pipeline silently runs
+    // twice. Materializing TF between stages is also the production
+    // shape: it is vocabulary×docs-sized, far smaller than the token
+    // stream it summarizes.
+    val tf = cached(base
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
+      .repartition(col("term")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // doc count as a broadcast 1-row frame — no collect to the driver
     val nDf = docs(s, d).agg(count(lit(1)).as("n_docs"))
@@ -192,8 +200,15 @@ object TextAnalysis {
     * broadcast frames. Scale: linear scan + a doc-cardinality agg. */
   def bm25(s: SparkSession, d: String): DataFrame = {
     val qterms = Seq("table", "spark", "query")
-    val ds = docs(s, d).withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), size(col("t")).as("dl"), col("t"))
+    // cached: the tokenized per-doc frame feeds the corpus length
+    // stats AND the query-term TF — without it the regex tokenizer
+    // runs once per consumer (plan specialization defeats
+    // ReuseExchange — see [[tfidfTop]]). Caching the token arrays is
+    // the "materialized tokenized shard" production pattern; persist()
+    // is MEMORY_AND_DISK, so an outsized shard spills instead of
+    // failing.
+    val ds = cached(docs(s, d).withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), size(col("t")).as("dl"), col("t")))
     val corpus = ds.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = ds
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))

@@ -181,8 +181,12 @@ object TrainingFilters {
         struct(element_at(col("t"), g).as("w1"),
           element_at(col("t"), g + 1).as("w2")))).as("b"))
       .select(col("b.w1"), col("b.w2"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .repartition(col("w1"))
+    // cached: the bigram-count table feeds both the context rollup
+    // and the probability join; plan specialization would otherwise
+    // run the bigram explode once per consumer (see
+    // [[graft.operators.TextAnalysis.tfidfTop]])
+    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .repartition(col("w1")))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     c12.join(c1, "w1")
       .select(col("w1"), col("w2"), col("c12"), col("c1"),

@@ -424,13 +424,21 @@ object Streams {
     val out = in.groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor, TimeMode.None(),
         OutputMode.Update(), org.apache.spark.sql.Encoders.product[UStat])
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // State-store instance count = state partitions: every partition
+    // runs its own RocksDB with per-batch commit/snapshot work. On a
+    // cluster you size this to executors×cores; inside one local JVM
+    // 32 RocksDB instances are pure fixed overhead (~4× the query's
+    // actual work), so the stateful stream pins a host-sized value.
+    val tuned = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
     val sunk =
       try runToMemory(out.toDF(), OutputMode.Update())
-      finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      finally prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     sunk
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
