@@ -120,6 +120,35 @@ object Udaf {
       .orderBy("r_name")
   }
 
+  /** Quantile sketch with a rank-band contract: `approx_percentile`
+    * (Greenwald-Khanna, accuracy 100 → rank error ≤ 1%) next to the
+    * exact interpolated percentiles. Like [[approxDistinct]], the
+    * sketch value itself is engine-specific, so the hashable row is
+    * the exact quantiles plus bools asserting the sketch landed
+    * inside a wide exact-rank band (p50 within [p25, p75], p95
+    * within [p90, p99]) — loose enough never to bet a green row on
+    * tail luck, tight enough that a broken sketch fails. At 100 TB
+    * the sketch is the only option: GK summaries merge across
+    * partitions in O(1/accuracy) space; exact percentiles need a
+    * full sort. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.90)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        expr("approx_percentile(value, 0.5, 100)").as("a50"),
+        expr("approx_percentile(value, 0.95, 100)").as("a95"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("p50"), col("p95"), col("n"),
+        (col("a50") >= col("p25") && col("a50") <= col("p75")).as("p50_in_band"),
+        (col("a95") >= col("p90") && col("a95") <= col("p99")).as("p95_in_band"))
+      .orderBy("event_type")
+
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
@@ -130,6 +159,13 @@ object Udaf {
     Q("approx_distinct", approxDistinct, Some(
       """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, TRUE AS within_bound
         |FROM orders""".stripMargin)),
+    Q("sketch_approx_quantiles", approxQuantiles, Some(
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n,
+        |  TRUE AS p50_in_band, TRUE AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("sketch_hll_union", hllUnionRollup, Some(
       """SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_custkeys,
         |  TRUE AS within_bound

@@ -308,6 +308,27 @@ object Streams {
     runToMemory(distinctDocs, OutputMode.Append()).orderBy("content_md5")
   }
 
+  /** Watermark-bounded streaming dedup — the production fix for
+    * [[streamDedupExact]]'s unbounded state: `dropDuplicatesWithinWatermark`
+    * keeps a key's dedup state only until the event-time watermark
+    * passes it, so state is O(keys inside the horizon) forever, not
+    * O(all keys ever). The honest trade, documented: a duplicate
+    * arriving more than the horizon after its first occurrence is
+    * re-emitted (state was evicted) — at 100 TB you size the horizon
+    * to the source's real out-of-orderness. Which physical row wins
+    * a key is arrival-order dependent, so the registered result is
+    * the deterministic KEY set (the winning row's other columns are
+    * projected away); the replay covers one batch, where dedup-
+    * within-watermark equals exact distinct and the oracle is plain
+    * DISTINCT. */
+  def streamDedupWatermarked(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventStream(s, d)
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToMemory(deduped, OutputMode.Append()).orderBy("user_id", "event_type")
+  }
+
   /** `foreachBatch` incremental upsert — the remaining sink API: a
     * micro-batch MERGE maintaining a "latest event + lifetime count
     * per user" serving table. Each batch folds to one row per user
@@ -482,6 +503,9 @@ object Streams {
       """SELECT DISTINCT md5(text) AS content_md5
         |FROM documents ORDER BY content_md5""".stripMargin),
       headline = false),
+    Q("stream_dedup_watermarked", streamDedupWatermarked, Some(
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin)),
     Q("stream_upsert_latest", streamUpsertLatest, Some(
       """WITH ranked AS (
         |  SELECT user_id, ts, event_type, value, event_id,
