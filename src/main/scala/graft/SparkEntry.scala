@@ -35,6 +35,61 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
-  /** Subset benchmarked at sf0.1 (excludes quadratic oracle-parity demos). */
-  def benchQueries: Seq[Q] = all.filter(_.headline)
+  /** Curated bench subset — one representative per distinct physical
+    * plan family, capped at 70 names so three laps (warmup + two timed
+    * passes) fit the driver's wall-clock budget on a host with
+    * documented 10–20× interference waves (the full catalog ×3 timed
+    * out in r7 before printing anything). Correctness still covers
+    * EVERY registered query; demotion here only drops oracle-parity
+    * twins and variants whose plan shape is already timed under
+    * another name (e.g. `wordcount_text`/`wordcount_salted` vs
+    * `wordcount`, `setop_intersect` vs `setop_except_all`,
+    * memory-sink streaming twins of file-sink queries). */
+  val benchSet: Set[String] = Set(
+    // word count family
+    "wordcount", "wordcount_topk",
+    // relational / TPC-H-style
+    "q1_pricing", "q_filter_pushdown", "join_broadcast",
+    "join_null_aware_anti", "subquery_above_avg", "agg_arg_minmax",
+    "join_multiway", "topk_orders", "distinct_parts", "setop_except_all",
+    "join_full_outer", "join_lateral", "cube_sales", "q14_promo_share",
+    "q6_forecast", "q3_shipping_priority", "q18_large_orders",
+    // scalar function library
+    "scalar_complex", "scalar_dates",
+    // window functions
+    "window_topn_per_cust", "window_running_sum",
+    // event analytics
+    "events_scd2", "events_tumbling", "events_sessionize",
+    "events_funnel", "events_anomaly", "events_range_frame",
+    "events_retention",
+    // text analysis
+    "text_bpe_tokens", "text_stats", "text_langid", "text_fingerprint",
+    "tfidf_top_terms", "text_bm25",
+    // corpus hygiene
+    "filter_repetition", "filter_decontaminate", "filter_unigram_score",
+    "lm_bigram_prob",
+    // dedup
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_embedding_lsh",
+    // similarity / ANN
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_knn_label",
+    "sim_quantize_int8",
+    // temporal joins
+    "asof_click_purchase", "range_clicks_purchase",
+    // sketches / UDAF
+    "udaf_weighted_disc", "sketch_approx_quantiles", "sketch_hll_union",
+    // connectors / maintenance
+    "maint_zorder_stats",
+    // multimodal
+    "multimodal_features",
+    // pipeline
+    "pipeline_corpus_prep", "pipeline_full", "pipeline_mix_weights",
+    "pipeline_pack_sequences",
+    // streaming
+    "stream_wordcount", "stream_dedup_watermarked", "stream_user_stats")
+
+  /** Benchmarked at sf0.1: the curated set minus anything a module
+    * marked non-headline (quadratic oracle-parity demos). */
+  def benchQueries: Seq[Q] = all.filter(q => q.headline && benchSet(q.name))
 }

@@ -31,6 +31,14 @@ object Verify {
     // nothing and dumps the full catalog.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on misspelled names: a silently-empty selection would
+    // write no parquet, dump `{}` as oracle_sql.json, and read as a
+    // vacuous 0-query success downstream.
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val picked = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     picked.foreach { case (name, fn) =>

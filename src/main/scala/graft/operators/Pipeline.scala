@@ -252,11 +252,13 @@ object Pipeline {
     * would be accumulation-order-dependent). One scan; output
     * cardinality |sources|. */
   def mixWeights(s: SparkSession, d: String): DataFrame = {
-    val perSrc = Tables(s, d, "documents")
+    // perSrc feeds both the totals subtree and the crossJoin stream
+    // side; cached() so the tokenize scan runs once, not twice
+    val perSrc = cached(Tables(s, d, "documents")
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("total_tokens"))
+        sum(col("n_tokens").cast("long")).as("total_tokens")))
     val totals = perSrc.agg(
       sum("total_tokens").as("grand_tokens"),
       max(sqrt(col("total_tokens").cast("double"))).as("max_sqrt"))
@@ -273,9 +275,10 @@ object Pipeline {
     * standard pretraining batcher — per hash shard, documents are
     * concatenated in a deterministic content-hash order and the token
     * stream is cut every L=256 tokens; a document whose span crosses
-    * a cut boundary is split across two training sequences. Reports
-    * per shard: docs, tokens, sequences produced (ceil(total/L)),
-    * and how many documents get split.
+    * a cut boundary is split across multiple training sequences (a
+    * doc longer than L spans 3+). Reports per shard: docs, tokens,
+    * sequences produced (ceil(total/L)), and how many documents get
+    * split at least once (not the number of split points).
     *
     * Scale shape: the shard is the parallel unit — the running token
     * sum is a window cumsum WITHIN each shard, so at 100 TB this is

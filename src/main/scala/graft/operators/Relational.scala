@@ -58,11 +58,14 @@ object Relational {
       .select(col("n_name"), col("r_name"))
       .orderBy("n_name")
 
-  /** Fact⋈dim join + agg: revenue per market segment. Customer is a
-    * dimension — broadcast it; orders never moves. */
+  /** Fact⋈dim join + agg: revenue per market segment. Customer is
+    * SF-proportional (SF×150k rows), so no hardcoded broadcast hint:
+    * parquet size stats + AQE pick broadcast while it fits under
+    * autoBroadcastJoinThreshold and fall back to a shuffled join at
+    * cluster scale, where forcing the hint would OOM the driver. */
   def joinMktsegment(s: SparkSession, d: String): DataFrame =
     ord(s, d)
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
@@ -155,12 +158,15 @@ object Relational {
       .orderBy("o_orderpriority")
 
   /** 5-way star join: revenue per (region, nation). The two fact
-    * tables (lineitem⋈orders) shuffle on orderkey; all three
-    * dimensions broadcast — one shuffle total for the join tree. */
+    * tables (lineitem⋈orders) shuffle on orderkey; nation/region are
+    * constant-size and carry explicit broadcast hints, while customer
+    * (SF-proportional) is left to stats/AQE — broadcast while small,
+    * shuffled at the scale where a forced multi-GB broadcast would
+    * OOM. One fact shuffle total for the join tree either way. */
   def joinMultiway(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -333,16 +339,18 @@ object Relational {
   /** TPC-H Q14-style promotion-revenue share: conditional aggregation
     * as a RATIO — both numerator and denominator accumulate in one
     * partial+final aggregate over one scan (no self-join, no second
-    * pass), the dimension predicate rides a broadcast join. Exact
-    * decimal sums on both sides of the division keep the ratio
-    * bit-identical across engines. */
+    * pass), the dimension predicate rides the part join. Part is
+    * SF-proportional (SF×200k rows) so the join strategy is left to
+    * stats/AQE — broadcast while the 2-column projection is small,
+    * shuffled at cluster scale. Exact decimal sums on both sides of
+    * the division keep the ratio bit-identical across engines. */
   def promoRevenue(s: SparkSession, d: String): DataFrame = {
     val part = Tables(s, d, "part").select("p_partkey", "p_type")
     val dp = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
     li(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", dp).otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
           / sum(dp).cast("double")).as("promo_share_pct"),
@@ -355,7 +363,8 @@ object Relational {
     * needs, so the aggregate's exchange is reused by the join (one
     * lineitem shuffle total, asserted in PlanSpec); the HAVING
     * filter collapses the join input to the few giant orders before
-    * anything wide touches `orders`, and customer broadcasts. Ties at
+    * anything wide touches `orders`; the customer join strategy is
+    * stats-driven (no hint — customer is SF-proportional). Ties at
     * the limit boundary are impossible to mis-order: o_orderkey is
     * unique and breaks o_totalprice ties. */
   def largeOrders(s: SparkSession, d: String): DataFrame = {
@@ -365,7 +374,7 @@ object Relational {
       .filter(col("total_qty") > 300)
     ord(s, d)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
@@ -406,13 +415,16 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: selective fact⋈fact join +
-    * grouped revenue + top-10. Customer filter broadcasts. */
+    * grouped revenue + top-10. The filtered customer side is still
+    * SF-proportional (one market segment ≈ SF×30k rows), so no
+    * broadcast hint — stats/AQE choose, and AQE re-plans to broadcast
+    * at runtime when the filtered size comes in under threshold. */
   def shippingPriority(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
       .join(ord(s, d).filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING")),
+      .join(cust(s, d).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))

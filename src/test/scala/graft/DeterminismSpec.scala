@@ -19,4 +19,14 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(flaky.isEmpty, s"nondeterministic queries: ${flaky.mkString(", ")}")
   }
+
+  test("bench set names only registered queries and fits the time budget") {
+    val names = SparkEntry.all.map(_.name).toSet
+    val unknown = SparkEntry.benchSet.filterNot(names)
+    assert(unknown.isEmpty, s"benchSet typos: ${unknown.mkString(", ")}")
+    // 70 is the cap that keeps 3 bench laps inside the driver's
+    // wall-clock budget on this host (see SparkEntry.benchSet)
+    assert(SparkEntry.benchSet.size <= 70)
+    assert(SparkEntry.benchQueries.nonEmpty)
+  }
 }

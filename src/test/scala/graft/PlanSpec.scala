@@ -36,6 +36,29 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("SF-proportional joins are stats-driven, not hint-forced") {
+    // customer/part carry NO broadcast hint (they grow with SF; a
+    // forced hint OOMs at cluster scale). At test stats the planner
+    // still picks broadcast on its own...
+    for (df <- Seq(
+        Relational.joinMktsegment(spark, sf),
+        Relational.joinMultiway(spark, sf),
+        Relational.promoRevenue(spark, sf),
+        Relational.shippingPriority(spark, sf)))
+      assert(formatted(df).contains("BroadcastHashJoin"))
+    // ...and with large stats (simulated by disabling the threshold)
+    // the same plan degrades gracefully to a shuffled join instead of
+    // a forced broadcast — the behavior a hint would destroy.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = formatted(Relational.joinMktsegment(spark, sf))
+      assert(!s.contains("BroadcastHashJoin"), s.take(800))
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s.take(800))
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val s = formatted(Relational.topkOrders(spark, sf))
     assert(s.contains("TakeOrderedAndProject"))
@@ -301,15 +324,17 @@ class PlanSpec extends SparkSpec {
     // broadcast to expose the 100 TB shuffle shape and pin the reuse:
     // the per-order aggregate partitions lineitem on l_orderkey — the
     // key the orders join needs — so the agg side joins WITHOUT a
-    // second exchange: two hash exchanges total (lineitem partial-agg
-    // + orders), customer still broadcast by its explicit hint. A
-    // third hash exchange would mean lineitem shuffled twice.
+    // second exchange: four hash exchanges total (lineitem
+    // partial-agg + orders + the orderkey-join output re-keyed to
+    // o_custkey + customer, all hint-free — each base table moves
+    // once). A fifth hash exchange would mean lineitem shuffled
+    // twice. Upper bound, not ==, per plan-string brittleness across
+    // Spark versions.
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val s = executed(Relational.largeOrders(spark, sf))
-      assert("Exchange hashpartitioning".r.findAllIn(s).size == 2, s.take(1200))
-      assert(s.contains("BroadcastHashJoin"), s.take(600))
+      assert("Exchange hashpartitioning".r.findAllIn(s).size <= 4, s.take(1200))
       assert(s.contains("TakeOrderedAndProject"), s.take(600))
     } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
