@@ -70,11 +70,12 @@ object SparkEntry {
     "lm_bigram_prob",
     // dedup
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_containment", "dedup_containment_asym",
+    "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     // similarity / ANN
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_knn_label",
-    "sim_quantize_int8",
+    "sim_quantize_int8", "sim_kmeans_full",
     // temporal joins
     "asof_click_purchase", "range_clicks_purchase",
     // sketches / UDAF

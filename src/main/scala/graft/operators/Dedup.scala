@@ -248,6 +248,79 @@ object Dedup {
       .orderBy("contained_id", "container_id")
   }
 
+  /** Asymmetric containment: the tiny-quote-in-huge-container regime
+    * [[containmentPairs]] documents as its limit. MinHash bands fire
+    * with probability driven by SYMMETRIC Jaccard, which a large
+    * container dilutes toward 0 no matter how fully the quote is
+    * reproduced — so the contained side needs its own candidate
+    * scheme. Rather than probabilistic substring-window signatures,
+    * this uses PREFIX FILTERING (the PPJoin-family bound), which is
+    * pigeonhole-EXACT for the asymmetric measure: if
+    * |A∩B| / |A| ≥ t, then fewer than ⌊(1−t)·|A|⌋ + 1 of A's
+    * shingles are missing from B, so B must contain at least one of
+    * A's ⌊(1−t)·|A|⌋ + 1 smallest shingles (any fixed total order
+    * works; numeric order here). Candidates are therefore an
+    * equi-join of each contained doc's tiny probe prefix against the
+    * corpus-wide inverted shingle index — 100% recall by
+    * construction, so the exact all-pairs oracle is a deterministic
+    * match, not a recall measurement.
+    *
+    * Fixtures: the corpus' natural short docs (≤ [[AsymMaxTokens]]
+    * tokens) PLUS planted quotes — every [[QuoteStride]]-th doc with
+    * ≥ 60 tokens contributes its token span [11, 41] as a synthetic
+    * contained doc (id + [[QuoteOffset]]) whose shingles are verbatim
+    * a subset of its source's, so ground truth contains one known
+    * containment = 1.0 pair per plant on both engines.
+    *
+    * Scale shape: probe side is |contained| × (⌊0.1·|A|⌋+1) rows —
+    * tiny by the regime's own definition; index side is one explode
+    * of corpus shingles (the same cardinality any inverted index
+    * pays), shuffled once on the shingle value. Background hits are
+    * rare-shingle collisions (the standard prefix-filter result), and
+    * the exact intersect verify touches candidates only. */
+  def containmentAsym(s: SparkSession, d: String): DataFrame = {
+    val th = docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("th", transform(col("t"), tk => polyHash(tk)))
+      .select("doc_id", "th")
+    val quotes = th
+      .filter(pmod(col("doc_id"), lit(QuoteStride)) === 0 && size(col("th")) >= 60)
+      .select((col("doc_id") + QuoteOffset).as("doc_id"), slice(col("th"), 11, 31).as("th"))
+    def shOf(f: DataFrame): DataFrame = f
+      .withColumn("sh", array_distinct(
+        transform(sequence(lit(1), size(col("th")) - 2), i =>
+          ((element_at(col("th"), i) * ShingleMix + element_at(col("th"), i + 1)) % P
+            * ShingleMix + element_at(col("th"), i + 2)) % P)))
+      .select("doc_id", "sh")
+    val containers = cached(shOf(th))
+    val contained = cached(shOf(
+      th.filter(size(col("th")) <= AsymMaxTokens).unionByName(quotes)))
+    val probes = contained
+      .withColumn("pfx", slice(array_sort(col("sh")), lit(1),
+        (floor(size(col("sh")).cast("double") * (1 - AsymT)) + 1).cast("int")))
+      .select(col("doc_id").as("contained_id"), explode(col("pfx")).as("g"))
+    val index = containers
+      .select(col("doc_id").as("container_id"), explode(col("sh")).as("g"))
+    val cand = probes.join(index, "g")
+      .filter(col("contained_id") =!= col("container_id"))
+      .select("contained_id", "container_id").distinct()
+    cand
+      .join(contained.select(col("doc_id").as("contained_id"), col("sh").as("sh_a")), "contained_id")
+      .join(containers.select(col("doc_id").as("container_id"), col("sh").as("sh_b")), "container_id")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= AsymT)
+      .select("contained_id", "container_id", "containment")
+      .orderBy("contained_id", "container_id")
+  }
+
+  private val AsymT = 0.9
+  private val AsymMaxTokens = 40
+  private val QuoteStride = 10
+  private val QuoteOffset = 1000000L
+
   /** Candidate pairs from an equi-join on any shared band, verified
     * with exact Jaccard >= 0.8 over the shingle sets. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
@@ -560,6 +633,31 @@ object Dedup {
          |SELECT CASE WHEN la <= lb THEN da ELSE db END AS contained_id,
          |  CASE WHEN la <= lb THEN db ELSE da END AS container_id, containment
          |FROM c ORDER BY contained_id, container_id""".stripMargin)),
+    Q("dedup_containment_asym", containmentAsym, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+         |th AS (
+         |  SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |  FROM t WHERE len(tok) >= 3),
+         |cth AS (
+         |  SELECT doc_id, th FROM th WHERE len(th) <= $AsymMaxTokens
+         |  UNION ALL
+         |  SELECT doc_id + $QuoteOffset AS doc_id, th[11:41] AS th
+         |  FROM th WHERE doc_id % $QuoteStride = 0 AND len(th) >= 60),
+         |a AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+         |    i -> ((th[i] * $ShingleMix + th[i+1]) % $P * $ShingleMix + th[i+2]) % $P)) AS sh
+         |  FROM cth),
+         |b AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+         |    i -> ((th[i] * $ShingleMix + th[i+1]) % $P * $ShingleMix + th[i+2]) % $P)) AS sh
+         |  FROM th),
+         |p AS (
+         |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la
+         |  FROM a JOIN b ON a.doc_id <> b.doc_id)
+         |SELECT contained_id, container_id, CAST(i AS DOUBLE) / la AS containment
+         |FROM p WHERE CAST(i AS DOUBLE) / la >= $AsymT
+         |ORDER BY contained_id, container_id""".stripMargin)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(oJaccardPairs(oCharSets))),
     Q("dedup_simhash", simhash, Some(
       s"""WITH $oSimhashCte

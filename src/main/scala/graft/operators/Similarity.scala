@@ -288,6 +288,70 @@ object Similarity {
       .orderBy("label", "cluster")
   }
 
+  /** (clab, dim, c) centroid rows → (clab, cv, cc): the dense ordered
+    * component array plus its precomputed self-dot, the broadcastable
+    * form every assignment step consumes. */
+  private def cwOf(centRows: DataFrame): DataFrame =
+    centRows
+      .groupBy("clab")
+      .agg(collect_list(struct(col("dim"), col("c"))).as("cs"))
+      .select(col("clab"),
+        transform(array_sort(col("cs")), x => x.getField("c")).as("cv"))
+      .withColumn("cc", Vectors.dotd(col("cv"), col("cv")))
+
+  /** Full Lloyd's k-means: [[KmeansRounds]] assignment/update rounds
+    * seeded by the per-label mean centroids (deterministic init).
+    * Output per final cluster: member count, quantized inertia
+    * (Σ dist², the convergence measure), and a quantized centroid
+    * checksum pinning every component of the post-update prototypes.
+    *
+    * Scale shape — the classic iterate-on-broadcast loop: the corpus
+    * projection (embd, ‖x‖²) is cached ONCE; each round broadcasts
+    * the k·Dim centroid table, scores map-side (dist² = ‖x‖² − 2·x·c
+    * + ‖c‖², fixed-fold, oracle-exact), collapses the per-vector
+    * argmin k-to-1 in the partial aggregate, and re-aggregates
+    * centroids as quantized integer component sums — order-
+    * independent, so the whole T-round trajectory is bit-reproducible
+    * on both engines. Per round the shuffles carry ≤ N argmin rows
+    * and k·Dim centroid sketches; the corpus itself never moves. A
+    * cluster that loses all members drops out of the next round on
+    * both engines identically. */
+  def kmeansFull(s: SparkSession, d: String): DataFrame = {
+    val vx = cached(embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .withColumn("xx", Vectors.dotd(col("embd"), col("embd"))))
+    // one assignment step: nearest centroid per vector (argmin is
+    // min(struct(dist, clab)) — ties break on cluster id, total order)
+    def assign(cw: DataFrame): DataFrame =
+      vx.crossJoin(broadcast(cw))
+        .withColumn("dist",
+          col("xx") - lit(2.0) * Vectors.dotd(col("embd"), col("cv")) + col("cc"))
+        .groupBy("vec_id")
+        // embd is constant within the group (k rows of one vector)
+        .agg(min(struct(col("dist"), col("clab"))).as("m"), first("embd").as("embd"))
+        .select(col("vec_id"), col("m.clab").as("cl"), col("m.dist").as("dist"), col("embd"))
+    // one update step: quantized-exact component means per cluster
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cl"), posexplode(col("embd")))
+        .groupBy(col("cl").as("clab"), col("pos").cast("long").as("dim"))
+        .agg(sum(floor(col("col") * 1e7)).as("s"), count(lit(1)).as("n"))
+        .select(col("clab"), col("dim"),
+          (col("s").cast("double") / col("n") / 1e7).as("c"))
+    var cw = cwOf(centroidRows(s, d)
+      .select(col("label").as("clab"), col("dim"), col("centroid").as("c")))
+    for (_ <- 1 until KmeansRounds) cw = cwOf(update(assign(cw)))
+    val fin = cached(assign(cw)) // final assignment feeds stats AND centroids
+    val stats = fin.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(floor(col("dist") * 1e7)).cast("double") / 1e7).as("inertia"))
+    val checksum = update(fin)
+      .groupBy(col("clab").as("cluster"))
+      .agg(sum(floor(col("c") * 1e7)).cast("long").as("centroid_checksum"))
+    stats.join(checksum, "cluster").orderBy("cluster")
+  }
+
+  private val KmeansRounds = 3
+
   /** Oracle CTE: the quantized-centroid rows of [[centroidRows]]. */
   private val oCentCte =
     s"""cent AS (
@@ -325,7 +389,56 @@ object Similarity {
         array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
       .orderBy("vec_id")
 
+  /** One oracle Lloyd round: score → argmin-assign → quantized
+    * centroid update, mirroring [[kmeansFull]]'s `assign`/`update`
+    * with identical arithmetic shape. */
+  private def oKmeansRound(i: Int): String =
+    s"""scored$i AS (
+       |  SELECT vec_id, embedding, clab,
+       |    (xx - 2.0 * ${oFold("CAST(embedding[k] AS DOUBLE) * cv[k]")}) + cc AS dist
+       |  FROM vx CROSS JOIN cw$i),
+       |assigned$i AS (
+       |  SELECT vec_id, embedding, clab, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clab) AS rn
+       |  FROM scored$i),
+       |cent${i + 1} AS (
+       |  SELECT clab, dim,
+       |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 10000000.0 AS c
+       |  FROM assigned$i CROSS JOIN dims WHERE rn = 1 GROUP BY clab, dim),
+       |carr${i + 1} AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY clab),
+       |cw${i + 1} AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
+
+  private val oKmeansFull: String = {
+    val rounds = (0 until KmeansRounds).map(oKmeansRound).mkString(",\n")
+    val last = KmeansRounds - 1
+    s"""WITH dims AS (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim),
+       |vx AS (
+       |  SELECT vec_id, embedding,
+       |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT label AS clab, dim,
+       |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 10000000.0 AS c
+       |  FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+       |carr0 AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY clab),
+       |cw0 AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr0),
+       |$rounds,
+       |stats AS (
+       |  SELECT clab AS cluster, COUNT(*) AS n_vectors,
+       |    CAST(SUM(CAST(floor(dist * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 AS inertia
+       |  FROM assigned$last WHERE rn = 1 GROUP BY clab),
+       |chk AS (
+       |  SELECT clab AS cluster,
+       |    CAST(SUM(CAST(floor(c * 10000000.0) AS BIGINT)) AS BIGINT) AS centroid_checksum
+       |  FROM cent$KmeansRounds GROUP BY clab)
+       |SELECT cluster, n_vectors, inertia, centroid_checksum
+       |FROM stats JOIN chk USING (cluster) ORDER BY cluster""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("sim_kmeans_full", kmeansFull, Some(oKmeansFull)),
     Q("sim_centroids", centroids, Some(
       s"""WITH $oCentCte
          |SELECT clab AS label, dim, c AS centroid

@@ -113,6 +113,28 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (q, v, s) => assert(brute.get((q, v)).forall(_ == s)) }
   }
 
+  test("asymmetric containment recovers every planted quote at 1.0") {
+    // every 10th doc with >= 60 tokens plants a verbatim 31-token
+    // quote (id + 1e6); the prefix-filter candidates are pigeonhole-
+    // exact, so each plant MUST surface against its source with
+    // containment exactly 1.0 (its shingles are a strict subset)
+    val rows = Dedup.containmentAsym(spark, sf)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    // each planted quote finds its own source doc at containment 1.0
+    val bySource = planted.filter { case (q, c, _) => q - 1000000L == c }
+    assert(bySource.map(_._1).distinct.length == bySource.length)
+    bySource.foreach { case (_, _, ct) => assert(ct == 1.0) }
+    // and the source pairing is present for every plantable doc
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id % 10 = 0")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2.trim.split("\\s+").length >= 60).map(_._1).toSet
+    assert(bySource.map(_._2).toSet == expected)
+  }
+
   test("hyperplane buckets are deterministic and within range") {
     val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
