@@ -379,8 +379,17 @@ object Dedup {
   // -------------------------------------------------------------------
 
   private val SimBits = graft.plans.SimHash48Util.Bits // 48
-  private val SimChunks = 3 // 3 × 16 bits → exact for hamming ≤ 2
-  private val SimChunkBits = SimBits / SimChunks // 16 → 65536 buckets/chunk
+  // COMBINATION banding: 5 chunks (10/10/10/9/9 bits) joined on all
+  // C(5,2) = 10 chunk PAIRS. Hamming ≤ 2 corrupts at most 2 chunks,
+  // leaving ≥ 3 intact, and any 3 intact chunks cover one of the 10
+  // pairs — pigeonhole-EXACT recall, same as the previous 3×16-bit
+  // single-chunk scheme, but each join key is now ~19–20 bits
+  // (≈ 2^19.6 buckets/table vs 2^16): random-fingerprint bucket
+  // occupancy at 10^9 docs drops ~12× per table, shrinking the
+  // quadratic intra-bucket candidate term ~12²/(10/3) ≈ 43× — the
+  // widening [[graft.plans.SimHash48Util]]'s width note calls for.
+  private val SimChunkStarts = Array(0, 10, 20, 30, 39)
+  private val SimChunkWidths = Array(10, 10, 10, 9, 9)
 
   /** Per-document 48-bit SimHash via the native codegen'd
     * [[graft.plans.SimHash48]]: one JVM loop per row hashes each
@@ -401,27 +410,33 @@ object Dedup {
     simhashDocs(s, d).orderBy("doc_id")
 
   /** Near-identical pairs by SimHash hamming ≤ 2. Candidates come
-    * from a 3-chunk band join; by pigeonhole any pair within hamming
-    * 2 shares an intact 16-bit chunk, so recall is EXACTLY 100% —
-    * the all-pairs oracle is provably equal, not probabilistically.
-    * 16-bit chunks = 65536 buckets per band: bucket occupancy (and
-    * the quadratic intra-bucket pair count) stays bounded ~65× longer
-    * than the earlier 10-bit bands as the corpus grows. */
+    * from the C(5,2) combination-band join (see [[SimChunkStarts]]):
+    * any pair within hamming 2 shares ≥ 3 intact chunks and
+    * therefore at least one fully-intact chunk PAIR, so recall is
+    * EXACTLY 100% — the all-pairs oracle is provably equal, not
+    * probabilistically. The two chunk values pack into one ≤ 20-bit
+    * band key (chunk_i · 1024 + chunk_j — widths ≤ 10 bits, no
+    * collision by construction). */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val fps = cached(simhashDocs(s, d))
-    val chunks = fps.select(
+    def chunk(c: Int) =
+      shiftright(col("simhash"), SimChunkStarts(c))
+        .bitwiseAND(lit((1L << SimChunkWidths(c)) - 1))
+    val chunkPairs =
+      for { i <- SimChunkStarts.indices; j <- i + 1 until SimChunkStarts.length }
+        yield (i, j)
+    val bands = fps.select(
       col("doc_id"),
-      explode(array((0 until SimChunks).map { c =>
+      explode(array(chunkPairs.zipWithIndex.map { case ((i, j), p) =>
         struct(
-          lit(c).as("chunk_idx"),
-          shiftright(col("simhash"), SimChunkBits * c)
-            .bitwiseAND(lit((1L << SimChunkBits) - 1)).as("chunk_val"))
+          lit(p).as("band_idx"),
+          (chunk(i) * 1024 + chunk(j)).as("band_val"))
       }: _*)).as("e"))
-      .select(col("doc_id"), col("e.chunk_idx"), col("e.chunk_val"))
-    val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk_val"))
+      .select(col("doc_id"), col("e.band_idx"), col("e.band_val"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
       .join(
-        chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk_val")),
-        Seq("chunk_idx", "chunk_val"))
+        bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
