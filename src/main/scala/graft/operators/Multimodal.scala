@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   * Pandas-UDF `mapInPandas` decode: per-partition batches of rows in,
   * typed feature rows out, no shuffle.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment — see [[DecodeStub]]): the stub is a deterministic
-  * byte-level "decode" so the Spark-side plumbing — binary schema,
-  * partition-local batch iteration, typed output encoders, metadata
-  * pushdown — is real and oracle-checkable end to end.
+  * Two codecs:
+  *  - [[PpmCodec]] is a REAL image decode, pure JVM: the media column
+  *    holds genuine binary PPM (P6) files — magic, dimension header,
+  *    raw RGB triplets — and the decoder parses the header and folds
+  *    per-channel pixel statistics. No external library needed, and
+  *    the byte-exact construction lets the DuckDB oracle recompute
+  *    the same stats from the same bytes.
+  *  - [[DecodeStub]] stands in for codecs that genuinely need native
+  *    libraries (JPEG/ffmpeg/PCM — absent in this environment): a
+  *    deterministic byte-level "decode" keeping the batch plumbing —
+  *    binary schema, partition-local iteration, typed encoders,
+  *    metadata pushdown — real and oracle-checkable end to end.
   *
   * The media table is synthesized deterministically from `documents`
   * (`media` = UTF-8 bytes of `text`; modality round-robins on
@@ -79,6 +86,62 @@ object Multimodal {
     }
   }
 
+  /** Decoded image statistics — one row per successfully parsed PPM. */
+  final case class PpmStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long,
+      luma_q: Long)
+
+  /** ====== REAL ======
+    * Pure-JVM decoder for binary PPM (P6): parses the magic, the
+    * whitespace-separated width/height/maxval header, and the raw
+    * interleaved RGB payload. Strict by design — the require()s make
+    * a malformed file an error, not a silent zero row. */
+  object PpmCodec {
+    /** Header ints are ASCII decimal separated by single whitespace. */
+    private def readInt(bytes: Array[Byte], from: Int): (Int, Int) = {
+      var i = from
+      while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n')) i += 1
+      var v = 0
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      require(i > start, s"PPM: expected integer at offset $from")
+      (v, i)
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): PpmStats = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "PPM: bad magic (want P6)")
+      val (w, i1) = readInt(bytes, 2)
+      val (h, i2) = readInt(bytes, i1)
+      val (maxv, i3) = readInt(bytes, i2)
+      require(maxv == 255, s"PPM: unsupported maxval $maxv")
+      val body = i3 + 1 // exactly one whitespace byte after maxval
+      require(bytes.length >= body + w * h * 3,
+        s"PPM: truncated payload (${bytes.length - body} of ${w * h * 3} bytes)")
+      var r = 0L; var g = 0L; var b = 0L; var luma = 0L
+      var p = body
+      val end = body + w * h * 3
+      while (p < end) {
+        val pr = bytes(p) & 0xff
+        val pg = bytes(p + 1) & 0xff
+        val pb = bytes(p + 2) & 0xff
+        r += pr; g += pg; b += pb
+        // Rec.709 luma in exact integer milli-weights (×10000)
+        luma += 2126L * pr + 7152L * pg + 722L * pb
+        p += 3
+      }
+      PpmStats(docId, w, h, w.toLong * h, r, g, b, luma)
+    }
+  }
+
   /** Deterministic media table synthesized from `documents`:
     * modality by doc_id mod 3, fake dimensions from metadata. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
@@ -110,6 +173,37 @@ object Multimodal {
   def features(s: SparkSession, d: String): DataFrame =
     decodeFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
 
+  private val PpmW = 8
+  private val PpmH = 6
+  private val PpmBytes = PpmW * PpmH * 3 // 144-byte raster
+
+  /** documents → REAL binary PPM (P6) files: magic + dimension header
+    * + raw RGB payload, the payload being the document's own bytes
+    * cycled to fill the raster. Construction is byte-exact on both
+    * engines: the decoder reads exactly the first [[PpmBytes]] payload
+    * bytes, and the oracle indexes the same byte positions. */
+  def ppmTable(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit(s"P6\n$PpmW $PpmH\n255\n").cast("binary"),
+          expr(s"CAST(substring(repeat(text, CAST($PpmBytes div length(text) AS INT) + 1), " +
+            s"1, $PpmBytes) AS BINARY)")).as("media"))
+
+  /** Registered query: real image decode — parse every PPM header and
+    * fold per-channel pixel sums + Rec.709 integer luma. Same
+    * partition-local batched mapPartitions shape as [[decodeFeatures]],
+    * but the codec is a genuine format parser, not a stub. */
+  def ppmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => PpmCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Metadata-only aggregation: never reads the `media` column (the
     * parquet scan prunes it), groups tiny cardinality (3 rows). */
   def metaAgg(s: SparkSession, d: String): DataFrame =
@@ -135,14 +229,16 @@ object Multimodal {
   /** Oracle spelling of the modality round-robin. */
   private val oType =
     "(['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1]"
-  /** The payload's actual UTF-8 byte values as a DuckDB list. The stub
-    * folds BYTES (what a codec sees), not codepoints, so the oracle
-    * must too or any non-ASCII document silently breaks parity; DuckDB
-    * has no blob→byte-array accessor, so decode hex pairs. */
-  private val oBytes =
-    "list_transform(range(1, octet_length(encode(text)) + 1), i -> " +
-      "CAST(16*(strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) " +
-      "+ (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1) AS BIGINT))"
+  /** A string expression's actual UTF-8 byte values as a DuckDB list.
+    * The codecs fold BYTES (what a decoder sees), not codepoints, so
+    * the oracle must too or any non-ASCII document silently breaks
+    * parity; DuckDB has no blob→byte-array accessor, so decode hex
+    * pairs. */
+  private def oBytesOf(x: String): String =
+    s"list_transform(range(1, octet_length(encode($x)) + 1), i -> " +
+      s"CAST(16*(strpos('0123456789ABCDEF', substr(hex(encode($x)), 2*i-1, 1)) - 1) " +
+      s"+ (strpos('0123456789ABCDEF', substr(hex(encode($x)), 2*i, 1)) - 1) AS BIGINT))"
+  private val oBytes = oBytesOf("text")
   private val oByteSum =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $oBytes), (a, b) -> a + b)"
   private val oByteHash =
@@ -166,5 +262,27 @@ object Multimodal {
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_frames
          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin)),
+    // luma is linear, so the oracle folds channel sums once and takes
+    // the same integer milli-weight combination the decoder applies
+    // per pixel — identical exact integers either way
+    Q("multimodal_ppm_decode", ppmDecode, Some {
+      val oPix = oBytesOf(
+        s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
+      val n = PpmW * PpmH
+      s"""WITH px AS (SELECT doc_id, $oPix AS pb FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range($n), j -> pb[3*j + 1])), (a, b) -> a + b) AS r_sum,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range($n), j -> pb[3*j + 2])), (a, b) -> a + b) AS g_sum,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range($n), j -> pb[3*j + 3])), (a, b) -> a + b) AS b_sum
+         |  FROM px)
+         |SELECT doc_id, $PpmW AS width, $PpmH AS height,
+         |  CAST($n AS BIGINT) AS n_pixels, r_sum, g_sum, b_sum,
+         |  2126 * r_sum + 7152 * g_sum + 722 * b_sum AS luma_q
+         |FROM ch ORDER BY doc_id""".stripMargin
+    }),
   )
 }

@@ -49,4 +49,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_ % 3 == 2))
   }
+
+  test("PpmCodec parses a handcrafted P6 file to exact channel stats") {
+    val header = "P6\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60)
+    val st = Multimodal.PpmCodec.decode(7L, header ++ pixels)
+    assert(st == Multimodal.PpmStats(7L, 2, 1, 2L,
+      r_sum = 50L, g_sum = 70L, b_sum = 90L,
+      luma_q = 2126L * 50 + 7152L * 70 + 722L * 90))
+  }
+
+  test("PpmCodec rejects malformed files loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode(0L, "JFIF....".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      Multimodal.PpmCodec.decode(0L, "P6\n2 2\n255\n abc".getBytes("US-ASCII"))
+    }
+  }
+
+  test("every synthesized PPM round-trips through the real decoder") {
+    val decoded = Multimodal.ppmDecode(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(decoded.count() == n)
+    val row = decoded.filter($"doc_id" === 0).collect().head
+    assert(row.getAs[Int]("width") == 8 && row.getAs[Int]("height") == 6)
+    assert(row.getAs[Long]("n_pixels") == 48L)
+  }
 }
