@@ -385,6 +385,54 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming ANN index maintenance — the missing piece between the
+    * batch LSH builders and a serving tier: vectors ARRIVE (file
+    * replay, 4 micro-batches) and a `foreachBatch` loop incrementally
+    * upserts the hyperplane bucket table. Each batch computes its own
+    * (vec_id, tbl, bucket) entries map-side with the same native
+    * codegen'd buckets the batch path uses, then merges them into the
+    * index deduping on (vec_id, tbl) — idempotent under redelivery
+    * (bucket ids are deterministic per vector, so a duplicate row is
+    * bit-identical and the dedup is lossless). State versions swap by
+    * pointer exactly like [[streamUpsertLatest]]; at production scale
+    * the closure is a Delta/Iceberg MERGE with the index partitioned
+    * by (tbl, bucket) for probe locality, and each batch touches only
+    * its own vectors' entries — never a rebuild. The replay result
+    * equals the batch-computed bucket table row for row. */
+  def streamAnnUpsert(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-ann-src")
+    graft.Tables(s, d, "embeddings")
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-ann-state")
+    @volatile var curState: Option[String] = None
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = graft.functions.Vectors
+        val entries = batch
+          .select(col("vec_id"), posexplode(v.lshBuckets(v.toD(col("embedding")))))
+          .select(col("vec_id"), col("pos").cast("long").as("tbl"), col("col").as("bucket"))
+        val merged = curState match {
+          case None => entries
+          case Some(p) => s.read.parquet(p).unionByName(entries)
+            .dropDuplicates("vec_id", "tbl")
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(curState.get).orderBy("vec_id", "tbl")
+  }
+
   private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   /** Shared by both range-join variants (memory spool / file sink) —
@@ -516,6 +564,10 @@ object Streams {
         |  value AS last_value, n_events
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
       headline = false),
+    Q("stream_ann_upsert", streamAnnUpsert, Some(
+      s"""WITH b AS (${graft.functions.Vectors.oBucketCte()})
+         |SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, bucket
+         |FROM b ORDER BY vec_id, tbl""".stripMargin)),
     Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
     Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),
       headline = false),
