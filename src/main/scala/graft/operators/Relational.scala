@@ -435,6 +435,55 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
+  /** TPC-H Q10-style returned-item revenue: which customers returned
+    * the most revenue in one half-year. Both fact filters (returnflag,
+    * order-date range) push into the parquet scans; the fact⋈fact
+    * join shuffles on orderkey once; customer is SF-proportional so
+    * its join is stats-driven (no hint), nation broadcasts by hint.
+    * Top-20 plans as TakeOrderedAndProject (per-partition heap +
+    * 20-row merge, never a global sort); o_custkey... c_custkey
+    * breaks revenue ties, so the limit boundary is deterministic. */
+  def returnedRevenue(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_returnflag") === "R")
+      .join(ord(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19-style disjunctive predicate: revenue from an OR of
+    * three (brand, size-range, quantity-range) clauses — the classic
+    * "can the optimizer see through a disjunction" probe. Catalyst
+    * pushes the whole OR below the join on each side's columns it
+    * can: the per-side disjunction of brand/size terms reaches the
+    * part scan, the quantity disjunction the lineitem scan (asserted
+    * in PlanSpec), so at 100 TB neither scan materializes
+    * non-qualifying rows just to throw them away at the join. */
+  def brandQuantity(s: SparkSession, d: String): DataFrame = {
+    val part = Tables(s, d, "part").select("p_partkey", "p_brand", "p_size")
+    def clause(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li(s, d)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#11", 10, 1, 11) ||
+        clause("Brand#12", 15, 10, 20) ||
+        clause("Brand#13", 25, 20, 30))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q12-style shipmode classification: join + conditional
     * aggregation (CASE inside SUM). */
   def shipmodePriority(s: SparkSession, d: String): DataFrame =
@@ -621,6 +670,25 @@ object Relational {
          |  AND l_shipdate > TIMESTAMP '1996-03-15'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+    Q("q10_returned_revenue", returnedRevenue, Some(
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+    Q("q19_brand_quantity", brandQuantity, Some(
+      s"""SELECT CAST(SUM($discPrice) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
     Q("q18_large_orders", largeOrders, Some(
       s"""WITH big AS (
          |  SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty

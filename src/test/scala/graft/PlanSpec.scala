@@ -64,6 +64,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"))
   }
 
+  test("q19 disjunction pushes per-side predicates into both scans") {
+    // the OR of (brand, size, quantity) clauses references both join
+    // sides; Catalyst must still extract each side's disjunction and
+    // sink it into the parquet scan, or 100 TB of non-qualifying rows
+    // would be materialized just to die at the join
+    val s = formatted(Relational.brandQuantity(spark, sf))
+    assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"), s.take(1200))
+    assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*p_brand[^\\]]*\\].*"), s.take(1200))
+  }
+
   test("wordcount aggregates partially before the exchange") {
     val s = formatted(WordCount.wordCount(
       spark.read.parquet(s"$sf/documents.parquet")))
@@ -78,10 +88,22 @@ class PlanSpec extends SparkSpec {
         Dedup.ngramJaccard(spark, sf),
         Dedup.simhashPairs(spark, sf),
         Dedup.embeddingLsh(spark, sf),
+        Dedup.containmentAsym(spark, sf),
         Similarity.topkLsh(spark, sf))) {
       val s = executed(df)
       assert(!s.contains("CartesianProduct"), s.take(400))
     }
+  }
+
+  test("full k-means broadcasts centroids every round; corpus never shuffles whole") {
+    val s = executed(Similarity.kmeansFull(spark, sf))
+    // every assignment round scores against a broadcast of the tiny
+    // k·Dim centroid frame (nested-loop on a broadcast side); a merge
+    // join keyed on vec_id would mean the corpus itself shuffled.
+    // (The final k-row stats⋈checksum join may plan as SMJ pre-AQE —
+    // that joins 10 rows, not the corpus, and is fine.)
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(800))
+    assert(!s.contains("SortMergeJoin [vec_id"), s.take(800))
   }
 
   test("bucketed fact join runs with zero exchanges") {
