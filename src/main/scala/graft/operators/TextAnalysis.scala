@@ -127,6 +127,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  private val PrScale = 1000000000L // rank mass in integer micro-units
+  private val PrIters = 5
+  private val PrDampPct = 85 // damping 0.85 as an integer percentage
+
+  /** TextRank keyword scoring: PageRank over the directed word
+    * co-occurrence graph (edges = bigram counts, edge weight =
+    * occurrence count). The classic iterate-until-stable graph
+    * algorithm, run [[PrIters]] damped rounds ENTIRELY in integer
+    * arithmetic: ranks live in micro-units of [[PrScale]], each
+    * edge's contribution is `(pr · c) div outweight` and the damping
+    * step `base + (85 · Σ) div 100` — every sum a sum of longs, so
+    * the whole trajectory is order-independent and the DuckDB oracle
+    * (the same rounds unrolled as CTEs) matches bit-for-bit. A
+    * floating-point PageRank could never hash-match: the in-neighbor
+    * sum order varies with partitioning.
+    *
+    * Scale shape: nodes = vocabulary, edges = distinct bigrams —
+    * both grow sublinearly vs the corpus; each round is one
+    * edges⋈ranks shuffle join + a partially-aggregated sum, the
+    * standard distributed-PageRank plan (Pregel's join-based dual).
+    * Edge and node frames are cached once; rank frames are tiny.
+    * At 10^12-token scale the rank mass stays < 2^63 because
+    * contributions divide by out-weight BEFORE summing. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = cached(docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c")))
+    val outw = edges.groupBy("src").agg(sum("c").as("ow"))
+    val nodes = cached(edges.select(col("src").as("word"))
+      .union(edges.select(col("dst").as("word"))).distinct())
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .selectExpr("word", s"${PrScale}L div n_nodes AS pr")
+    for (_ <- 1 to PrIters) {
+      val sums = edges.join(outw, "src")
+        .join(pr.withColumnRenamed("word", "src"), "src")
+        .selectExpr("dst", "(pr * c) div ow AS contrib")
+        .groupBy(col("dst").as("word")).agg(sum("contrib").as("s"))
+      pr = nodes.crossJoin(broadcast(n))
+        .join(sums, Seq("word"), "left")
+        .selectExpr("word",
+          s"(15L * ${PrScale}L) div (100L * n_nodes) + " +
+            s"(${PrDampPct}L * coalesce(s, 0L)) div 100L AS pr")
+    }
+    pr.orderBy(col("pr").desc, col("word")).limit(20)
+  }
+
   /** TF-IDF: top-3 terms per document by tf·(N/df) (a log-free IDF —
     * same ranking monotonicity, exactly reproducible arithmetic).
     * Plan shape: explode → (doc,term) agg → repartition by `term` →
@@ -275,6 +328,31 @@ object TextAnalysis {
     Q("text_fingerprint", fingerprint, Some(
       s"""SELECT doc_id, ${oPolyHash("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("text_pagerank", pagerank, Some {
+      // the same integer rounds [[pagerank]] runs, unrolled as CTEs
+      val rounds = (0 until PrIters).map { i =>
+        s"""c$i AS (
+           |  SELECT dst, (pr * c) // ow AS contrib
+           |  FROM edges JOIN outw USING (src) JOIN pr$i ON pr$i.word = edges.src),
+           |s$i AS (SELECT dst AS word, CAST(SUM(contrib) AS BIGINT) AS s FROM c$i GROUP BY dst),
+           |pr${i + 1} AS (
+           |  SELECT word, CAST((15 * CAST($PrScale AS BIGINT)) // (100 * n_nodes)
+           |    + ($PrDampPct * COALESCE(s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes CROSS JOIN n LEFT JOIN s$i USING (word))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT $oTokens AS t FROM documents),
+         |e0 AS (
+         |  SELECT t[g] AS src, t[g+1] AS dst
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+         |        FROM tok WHERE len(t) >= 2)),
+         |edges AS (SELECT src, dst, COUNT(*) AS c FROM e0 GROUP BY src, dst),
+         |outw AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS word FROM edges UNION SELECT dst AS word FROM edges),
+         |n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |pr0 AS (SELECT word, CAST($PrScale AS BIGINT) // n_nodes AS pr FROM nodes CROSS JOIN n),
+         |$rounds
+         |SELECT word, pr FROM pr$PrIters ORDER BY pr DESC, word LIMIT 20""".stripMargin
+    }),
     Q("text_bigrams", topBigrams, Some(
       s"""SELECT bigram, COUNT(*) AS n FROM (
          |  SELECT t[g] || ' ' || t[g+1] AS bigram
