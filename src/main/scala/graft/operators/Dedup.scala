@@ -579,6 +579,29 @@ object Dedup {
        |         + codes[i+3] * 31 + codes[i+4])) AS sh
        |  FROM codes)""".stripMargin
 
+  /** Oracle CTE chain ending in `cc(doc_id, cluster_id)` — the
+    * recursive-closure component labels over the exact ground-truth
+    * near-dup pairs (the same labels the propagation loop in
+    * [[dupClusters]] converges to). Must appear under
+    * `WITH RECURSIVE`. Shared with the leakage-aware split oracle in
+    * [[Pipeline]]. */
+  private[operators] val oClusterChain: String =
+    s"""$oWordSets,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i,
+       |    len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |pr AS (SELECT doc_a, doc_b FROM p
+       |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION SELECT doc_b, doc_a FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
   /** SimHash fingerprint CTE `fp(doc_id, sh)` (explode-based; the
     * same integer math as the codegen'd [[graft.plans.SimHash48Util]]
     * loop): per token the shared 31-base polyHash mod P, then the
@@ -617,21 +640,7 @@ object Dedup {
     // closure; min(reachable) per doc = the same component labels the
     // propagation loop converges to (both deterministic).
     Q("dedup_clusters", dupClusters, Some(
-      s"""WITH RECURSIVE $oWordSets,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.sh, b.sh)) AS i,
-         |    len(a.sh) AS la, len(b.sh) AS lb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
-         |pr AS (SELECT doc_a, doc_b FROM p
-         |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |  UNION SELECT doc_b, doc_a FROM pr),
-         |reach(src, dst) AS (
-         |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
-         |  UNION
-         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $oClusterChain,
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
          |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),

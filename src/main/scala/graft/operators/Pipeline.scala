@@ -163,6 +163,46 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Leakage-AWARE train/val/test split: a plain per-document hash
+    * split (pipeline_hash_split) puts near-duplicate documents in
+    * DIFFERENT splits ~27% of the time per pair — evaluation then
+    * scores the model on paraphrases of its training data. Here the
+    * split decision hashes the GROUP id — the near-dup cluster id
+    * where one exists ([[Dedup.dupClusters]]), else the doc's own id
+    * — so whole clusters move together. The output carries the proof:
+    * `n_leaky_clusters` (clusters spanning >1 split) is 0 by
+    * construction, and the oracle recomputes it from the exact
+    * ground-truth closure.
+    *
+    * Scale shape: the cluster table is the (comparatively tiny)
+    * output of the iterative components job; the guarantee then costs
+    * ONE left join on doc_id + a map-side hash — the split itself
+    * never shuffles the corpus, and the accounting is a |splits|-row
+    * aggregate. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dupClusters(s, d).select("doc_id", "cluster_id")
+    val g = cached(Tables(s, d, "documents")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(polyHash(concat(col("gid").cast("string"), lit("split"))), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test")))
+    val leaky = g.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(count_distinct(col("split")).as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky_clusters"))
+    g.groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("gid")).as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
   /** The FULL training-data preparation pipeline, end to end in one
     * declarative plan — the capstone composition a 100 TB corpus
     * actually runs before tokenization:
@@ -338,6 +378,28 @@ object Pipeline {
          |            ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+    Q("pipeline_cluster_split", clusterSplit, Some(
+      s"""WITH RECURSIVE ${Dedup.oClusterChain},
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS gid, cc.cluster_id AS cluster_id
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         |sp AS (
+         |  SELECT doc_id, gid, cluster_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT *, ${oPolyHash("CAST(gid AS VARCHAR) || 'split'")} % 100 AS bucket FROM g)),
+         |leaky AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_leaky_clusters
+         |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS ns
+         |        FROM sp WHERE cluster_id IS NOT NULL GROUP BY cluster_id))
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gid) AS n_groups,
+         |  CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered_docs,
+         |  n_leaky_clusters
+         |FROM sp CROSS JOIN leaky
+         |GROUP BY split, n_leaky_clusters ORDER BY split""".stripMargin)),
     Q("pipeline_sample_mix", sampleMix, Some(
       s"""WITH b AS (
          |  SELECT source, n_chars,
