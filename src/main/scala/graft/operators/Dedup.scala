@@ -155,6 +155,28 @@ object Dedup {
   private[operators] def verifiedPairsOf(sets: DataFrame): DataFrame =
     minhashPairs(sets, A24, MinhashBands)
 
+  /** (doc_id, band_idx, m1, m2) MinHash band rows of a documents
+    * frame — the [[minhashLsh]] banding exposed (RAW minima, no
+    * xxhash compaction, so a DuckDB oracle can recompute the exact
+    * band keys) for the streaming ingest filter in
+    * [[graft.streaming.Streams]]. */
+  private[graft] def minhashBandRows(docFrame: DataFrame): DataFrame =
+    wordSetsOf(docFrame)
+      .withColumn("mh", graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(A24)))
+      .select(col("doc_id"), explode(array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          element_at(col("mh"), 2 * b + 1).as("m1"),
+          element_at(col("mh"), 2 * b + 2).as("m2"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx"), col("e.m1"), col("e.m2"))
+
+  /** Literal (band, seedA, offsetA, seedB, offsetB) rows for the
+    * oracle's replay of [[minhashBandRows]]' 12×2 banding. */
+  private[graft] def oBandSeedRows: String =
+    (0 until MinhashBands).map { b =>
+      s"(${b}, ${A24(2 * b)}, ${2 * b + 1}, ${A24(2 * b + 1)}, ${2 * b + 2})"
+    }.mkString(", ")
+
   /** Shared MinHash-LSH machinery: band the hash sets with the given
     * permutations (all minima in one codegen'd pass —
     * [[graft.plans.MinHashSigs]]), equi-join on any shared band, and
@@ -557,7 +579,7 @@ object Dedup {
        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val oWordSets =
+  private[graft] val oWordSets =
     s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
        |th AS (
        |  SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th

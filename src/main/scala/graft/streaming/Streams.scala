@@ -433,6 +433,63 @@ object Streams {
     s.read.parquet(curState.get).orderBy("vec_id", "tbl")
   }
 
+  /** Streaming NEAR-dup ingest filter — the fuzzy sibling of
+    * [[streamDedupExact]]: documents ARRIVE (file replay, 4
+    * micro-batches) and only band-bucket canonicals survive. The
+    * admission rule is deliberately ORDER-INDEPENDENT: a doc is
+    * admitted iff it is the minimum doc_id in EVERY MinHash band
+    * bucket it occupies (min is commutative, so replay order and
+    * batch boundaries cannot change the outcome — unlike
+    * first-arrival-wins, which would tie results to scheduling).
+    * `foreachBatch` maintains two incremental states: the band→min
+    * table (merged by groupBy-min each batch — a MERGE at production
+    * scale) and an append-only per-doc band log; the final admission
+    * check is one join of log against minima. Near-dups of a
+    * canonical share ≥ 1 band with it (that is the LSH fire
+    * condition), lose the min there, and are rejected.
+    *
+    * Scale: state is |distinct band keys| rows of 4 longs; each
+    * batch shuffles only its own band rows plus the merge. The raw
+    * (m1, m2) minima are kept unhashed so the DuckDB oracle replays
+    * the identical band keys from the seed constants. */
+  def streamDedupNeardup(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-nd-src")
+    graft.Tables(s, d, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-nd-state")
+    val bandLog = graft.Core.tempDir("graft-nd-bands")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bands = graft.operators.Dedup.minhashBandRows(batch)
+        bands.write.mode("append").parquet(bandLog)
+        val mins = bands
+          .select(col("band_idx"), col("m1"), col("m2"), col("doc_id").as("min_doc"))
+        val merged = (curState match {
+          case None => mins
+          case Some(p) => s.read.parquet(p).unionByName(mins)
+        }).groupBy("band_idx", "m1", "m2").agg(min("min_doc").as("min_doc"))
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    val adm = s.read.parquet(bandLog)
+      .join(s.read.parquet(curState.get), Seq("band_idx", "m1", "m2"))
+      .groupBy("doc_id")
+      .agg(min(when(col("min_doc") === col("doc_id"), 1L).otherwise(0L)).as("ok"))
+    graft.Tables(s, d, "documents").join(adm, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("ok")).as("n_admitted"),
+        sum(lit(1L) - col("ok")).as("n_rejected"))
+      .orderBy("source")
+  }
+
   private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   /** Shared by both range-join variants (memory spool / file sink) —
@@ -554,6 +611,25 @@ object Streams {
     Q("stream_dedup_watermarked", streamDedupWatermarked, Some(
       """SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin)),
+    // oracle replays the identical 12×2 banding from the seed
+    // constants: admission is arrival-order-independent by design,
+    // so the batch recomputation IS the streaming result
+    Q("stream_dedup_neardup", streamDedupNeardup, Some(
+      s"""WITH ${graft.operators.Dedup.oWordSets},
+         |seeds(b, sa, oa, sz, oz) AS (VALUES ${graft.operators.Dedup.oBandSeedRows}),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    list_min(list_transform(sh, x -> (sa * x + oa) % ${graft.Core.HashMod})) AS m1,
+         |    list_min(list_transform(sh, x -> (sz * x + oz) % ${graft.Core.HashMod})) AS m2
+         |  FROM s CROSS JOIN seeds),
+         |mins AS (SELECT b, m1, m2, MIN(doc_id) AS min_doc FROM bands GROUP BY b, m1, m2),
+         |adm AS (
+         |  SELECT doc_id, MIN(CASE WHEN min_doc = doc_id THEN 1 ELSE 0 END) AS ok
+         |  FROM bands JOIN mins USING (b, m1, m2) GROUP BY doc_id)
+         |SELECT source, CAST(SUM(ok) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(1 - ok) AS BIGINT) AS n_rejected
+         |FROM documents JOIN adm USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin)),
     Q("stream_upsert_latest", streamUpsertLatest, Some(
       """WITH ranked AS (
         |  SELECT user_id, ts, event_type, value, event_id,
