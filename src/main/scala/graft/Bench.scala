@@ -24,8 +24,18 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=scalar_dates,pipeline_corpus_prep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on misspelled names (same hazard as Verify): an empty
+    // selection would print a vacuous ~0 s "total" that reads as a
+    // speedup. The filter runs over the FULL catalog so profiling a
+    // non-headline query by name still works.
+    only.foreach { names =>
+      val known = SparkEntry.all.map(_.name).toSet
+      val unknown = names.filterNot(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val picked = only.fold(SparkEntry.benchQueries)(names =>
-      SparkEntry.benchQueries.filter(q => names(q.name)))
+      SparkEntry.all.filter(q => names(q.name)))
     // A failing query must surface in the output, never read as a ~0 s
     // "speedup": names land in the "errors" array and get no timing.
     val errors = scala.collection.mutable.LinkedHashSet[String]()
