@@ -316,7 +316,13 @@ object Similarity {
     * and k·Dim centroid sketches; the corpus itself never moves. A
     * cluster that loses all members drops out of the next round on
     * both engines identically. */
-  def kmeansFull(s: SparkSession, d: String): DataFrame = {
+  def kmeansFull(s: SparkSession, d: String): DataFrame =
+    kmeansRounds(s, d, KmeansRounds)
+
+  /** [[kmeansFull]] with an explicit round count — exposed so the
+    * spec can assert Lloyd's invariant (inertia is non-increasing in
+    * the round count), i.e. that the loop genuinely optimizes. */
+  private[graft] def kmeansRounds(s: SparkSession, d: String, rounds: Int): DataFrame = {
     val vx = cached(embs(s, d)
       .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
       .withColumn("xx", Vectors.dotd(col("embd"), col("embd"))))
@@ -339,7 +345,7 @@ object Similarity {
           (col("s").cast("double") / col("n") / 1e7).as("c"))
     var cw = cwOf(centroidRows(s, d)
       .select(col("label").as("clab"), col("dim"), col("centroid").as("c")))
-    for (_ <- 1 until KmeansRounds) cw = cwOf(update(assign(cw)))
+    for (_ <- 1 until rounds) cw = cwOf(update(assign(cw)))
     val fin = cached(assign(cw)) // final assignment feeds stats AND centroids
     val stats = fin.groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vectors"),

@@ -157,14 +157,16 @@ case class CharGramHashes(child: Expression) extends UnaryExpression {
   * token occurrences and takes the sign bits.
   *
   * WIDTH IS A SCALE PARAMETER (compile-time here): a band join over
-  * `c` chunks of `w` bits keeps every bucket at O(1) occupancy only
-  * while 2^w ≳ N / desired-bucket-size (bits ≈ log2(N / occupancy)).
-  * The constant 48 bits / 16-bit chunks (set in
-  * [[graft.operators.Dedup]]) hold ~10^7–10^8 docs per shuffle
-  * partition group; pigeonhole exactness for hamming ≤ 2 needs only
-  * chunks ≥ hamming + 1 = 3, which any width split preserves. A
-  * deployment at different N re-derives the constant from the log
-  * rule; the expression itself is width-agnostic up to 63 bits.
+  * chunk keys keeps every bucket at O(1) occupancy only while the
+  * key width w satisfies 2^w ≳ N / desired-bucket-size (bits ≈
+  * log2(N / occupancy)). The banding in [[graft.operators.Dedup]]
+  * joins 5 chunks on all C(5,2)=10 chunk PAIRS (~19–20-bit keys):
+  * hamming ≤ 2 corrupts ≤ 2 chunks, leaving ≥ 3 intact, and any 3
+  * intact chunks cover a fully-intact pair — pigeonhole exactness
+  * (generally: split into hamming + pair-size chunks ⇒ some intact
+  * pair survives). A deployment at different N re-derives chunk
+  * count/width from the log rule; the expression itself is
+  * width-agnostic up to 63 bits.
   */
 object SimHash48Util {
   val Bits = 48

@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
     assert(bySource.map(_._2).toSet == expected)
   }
 
+  test("Lloyd's rounds monotonically reduce k-means inertia") {
+    // the invariant that proves the loop OPTIMIZES (each assignment
+    // picks nearer centroids; each update is the within-cluster
+    // mean): total inertia is non-increasing in the round count.
+    // Quantization (1e-7 grid) can't flip it at this data scale.
+    def inertia(rounds: Int): Double = {
+      val v = Similarity.kmeansRounds(spark, sf, rounds)
+        .agg(org.apache.spark.sql.functions.sum("inertia")).as[Double].head()
+      Core.releaseCaches()
+      v
+    }
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    val i3 = inertia(3)
+    assert(i1 > 0.0)
+    assert(i2 <= i1, s"round 2 raised inertia: $i1 -> $i2")
+    assert(i3 <= i2, s"round 3 raised inertia: $i2 -> $i3")
+  }
+
   test("hyperplane buckets are deterministic and within range") {
     val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
