@@ -201,7 +201,57 @@ object TrainingFilters {
 
   private val oTok = TextAnalysis.oTokens
 
+  /** PII redaction — the scrub step every training-data pipeline
+    * runs before tokenization. The driver corpus is deliberately
+    * PII-free, so the fixtures are PLANTED in-query, byte-identically
+    * on both engines: each doc gets a synthetic contact line built
+    * from its own first token and doc_id (an e-mail and a 555 phone
+    * number), then the scrubber replaces e-mails with `<EMAIL>` and
+    * phones with `<PHONE>`. Output is per-doc redaction counts plus
+    * `md5(clean_text)` — the hash pins every scrubbed BYTE, so a
+    * regex-dialect divergence between Spark (java.util.regex) and
+    * DuckDB (RE2) cannot hide; the patterns stay in the common
+    * dialect subset (character classes, +, {n}).
+    *
+    * Scale: pure per-row scan work — two codegen'd regex passes and
+    * a hash, zero shuffle before the Verify sort. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+    val phoneRe = "555-[0-9]{4}"
+    Tables(s, d, "documents")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 1)
+      .withColumn("dirty",
+        concat(col("text"), lit(" contact "),
+          element_at(col("t"), 1), lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("filter_pii_scrub", piiScrub, Some {
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+      val phoneRe = "555-[0-9]{4}"
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $oTok AS t FROM documents),
+         |dirty AS (
+         |  SELECT doc_id,
+         |    text || ' contact ' || t[1] || '@example.com or 555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+         |  FROM t WHERE len(t) >= 1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(dirty, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(dirty, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS clean_md5
+         |FROM dirty ORDER BY doc_id""".stripMargin
+    }),
     Q("filter_repetition", repetition, Some(
       s"""WITH t AS (SELECT doc_id, $oTok AS t FROM documents),
          |st AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd, t
