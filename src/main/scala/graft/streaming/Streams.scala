@@ -490,6 +490,53 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Streaming mergeable-sketch maintenance — the distinct-count
+    * analogue of [[streamAnnUpsert]]: events arrive in micro-batches
+    * and a per-event-type DataSketches HLL state is UNIONed forward
+    * each batch, never recomputed from history. Re-aggregatability is
+    * the whole point at 100 TB: exact distinct state grows with the
+    * key universe, a sketch stays ~KB per group and merges
+    * associatively across batches/executors/days. The final exact
+    * recount exists only as the PROOF (the bound-check hashability
+    * contract of [[graft.operators.Udaf]]): the emitted row is the
+    * exact count plus a bool that the merged estimate landed within
+    * 8% — oracle emits the exact count and literal TRUE. */
+  def streamHllUsers(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-hll-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-hll-state")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sk = batch.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = curState match {
+          case None => sk
+          case Some(p) => s.read.parquet(p).unionByName(sk)
+            .groupBy("event_type").agg(expr("hll_union_agg(sk)").as("sk"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    val est = s.read.parquet(curState.get)
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
+    val exact = graft.Tables(s, d, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.08).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   private val cleanedSql = graft.operators.WordCount.cleanedSql
 
   /** Shared by both range-join variants (memory spool / file sink) —
@@ -644,6 +691,10 @@ object Streams {
       s"""WITH b AS (${graft.functions.Vectors.oBucketCte()})
          |SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, bucket
          |FROM b ORDER BY vec_id, tbl""".stripMargin)),
+    Q("stream_hll_users", streamHllUsers, Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
     Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),
       headline = false),
