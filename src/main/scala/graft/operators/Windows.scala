@@ -31,6 +31,23 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** [[topnPerCustomer]] re-planned through the engine's own
+    * whole-operator extension ([[graft.plans.TopKPerGroup]]): same
+    * result set, but the physical plan is Exchange → bounded-heap
+    * TopKPerGroupExec instead of Exchange → full per-partition Sort →
+    * Window → Filter. At 100 TB the window spelling sorts every
+    * group's n rows to keep 3; the heap does O(n log k) comparisons
+    * in O(groups·k) memory with no sort/spill buffer. PlanSpec
+    * asserts the sort-free shape; the oracle is the same SQL as the
+    * window twin (minus the rank column). */
+  def topnPerCustomerNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      3)
+      .orderBy("o_custkey", "o_orderkey")
+
   /** rank vs dense_rank over order priority per status. */
   def rankByPriority(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
@@ -118,6 +135,12 @@ object Windows {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+    Q("window_topk_native", topnPerCustomerNative, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)),
     Q("window_rank", rankByPriority, Some(
       """SELECT o_orderstatus, o_orderpriority, min(rnk) AS rnk, min(drnk) AS drnk, COUNT(*) AS n FROM (
         |  SELECT o_orderstatus, o_orderpriority,

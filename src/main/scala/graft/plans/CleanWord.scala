@@ -94,6 +94,9 @@ object CleanWordRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CleanWordRewrite)
+    // whole-operator extension: logical node + strategy + physical
+    // bounded-heap top-k per group ([[TopKPerGroup]])
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     // clean_word is normally produced by the rewrite rule above, but
     // register it by name too so a SQL-text user can call it directly.
     ext.injectFunction((

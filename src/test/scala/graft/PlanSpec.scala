@@ -64,6 +64,36 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"))
   }
 
+  test("native per-group top-k plans heap-exec with no sort and one exchange") {
+    val s = executed(Windows.topnPerCustomerNative(spark, sf))
+    // the custom strategy planned the custom node...
+    assert(s.contains("TopKPerGroup"), s.take(900))
+    // ...EnsureRequirements inserted exactly the group-key exchange...
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1, s.take(900))
+    // ...and no Window/per-partition Sort exists below the operator
+    // (the final orderBy sorts 3·|custs| result rows, above it)
+    assert(!s.contains("Window"), s.take(900))
+    val beforeTopK = s.substring(s.indexOf("TopKPerGroup"))
+    assert(!beforeTopK.contains("+- Sort"), beforeTopK.take(900))
+  }
+
+  test("native per-group top-k handles short groups, ties, and k-boundaries") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 10.0, 100L), (1, 10.0, 101L), (1, 9.0, 102L), (1, 11.0, 103L),
+      (2, 5.0, 200L), // group smaller than k
+      (3, 7.0, 300L), (3, 7.0, 301L), (3, 7.0, 302L), (3, 7.0, 303L))
+      .toDF("g", "score", "id")
+    val got = graft.plans.TopKPerGroup(
+        df, Seq("g"), Seq("score" -> false, "id" -> true), 3)
+      .orderBy("g", "id")
+      .as[(Int, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 10.0, 100L), (1, 10.0, 101L), (1, 11.0, 103L), // 9.0 dropped
+      (2, 5.0, 200L),                                    // short group kept whole
+      (3, 7.0, 300L), (3, 7.0, 301L), (3, 7.0, 302L)))   // tie broken by id
+  }
+
   test("q19 disjunction pushes per-side predicates into both scans") {
     // the OR of (brand, size, quantity) clauses references both join
     // sides; Catalyst must still extract each side's disjunction and
