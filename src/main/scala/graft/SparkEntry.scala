@@ -54,10 +54,13 @@ object SparkEntry {
     "join_multiway", "topk_orders", "distinct_parts", "setop_except_all",
     "join_full_outer", "join_lateral", "cube_sales", "q14_promo_share",
     "q6_forecast", "q3_shipping_priority", "q18_large_orders",
-    // scalar function library
-    "scalar_complex", "scalar_dates",
-    // window functions
-    "window_topn_per_cust", "window_running_sum",
+    // scalar function library (scalar_dates represents the family;
+    // scalar_complex is its oracle-parity twin)
+    "scalar_dates",
+    // window functions — window_topn_per_cust vs window_topk_native is
+    // a deliberate A/B: built-in sort+window spelling vs the custom
+    // bounded-heap operator on the same query
+    "window_topn_per_cust", "window_topk_native", "window_running_sum",
     // event analytics
     "events_scd2", "events_tumbling", "events_sessionize",
     "events_funnel", "events_anomaly", "events_range_frame",
