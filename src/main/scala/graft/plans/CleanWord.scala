@@ -95,8 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CleanWordRewrite)
     // whole-operator extension: logical node + strategy + physical
-    // bounded-heap top-k per group ([[TopKPerGroup]])
+    // bounded-heap top-k per group ([[TopKPerGroup]]), plus the
+    // opt-in idiom rewrite that plans it from plain window SQL
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
     // clean_word is normally produced by the rewrite rule above, but
     // register it by name too so a SQL-text user can call it directly.
     ext.injectFunction((

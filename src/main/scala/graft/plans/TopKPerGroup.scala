@@ -72,6 +72,46 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Opt-in optimizer rule (`spark.graft.topk.rewrite=true`) that
+  * rewrites the classic top-k idiom
+  * {{{ row_number() OVER (PARTITION BY g ORDER BY s) rn ... WHERE rn <= k }}}
+  * into [[TopKPerGroupNode]] whenever the rank column itself is
+  * dropped by the enclosing projection — the plan goes from
+  * Exchange→Sort→Window→Filter to Exchange→heap with NO user code
+  * change. Off by default: with a non-total ORDER BY, row_number
+  * breaks ties by sort incidence and the heap by competition order,
+  * so the rewrite is only identical under total orders — the user
+  * opts in exactly like with any tie-sensitive optimization.
+  * Idempotent (the matched shape disappears), and conservative:
+  * any reference to the rank column above the filter blocks it. */
+object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow}
+  import org.apache.spark.sql.types.IntegerType
+
+  private val ConfKey = "spark.graft.topk.rewrite"
+
+  private def boundOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(ConfKey, "false") != "true") return plan
+    plan.transformUp {
+      case Project(pl, Filter(cond, LWindow(Seq(al @ Alias(
+            WindowExpression(_: RowNumber, WindowSpecDefinition(ps, os, _)), _)),
+            _, _, child, _)))
+          if boundOf(cond, al.toAttribute).exists(_ > 0) &&
+            pl.forall(_.references.subsetOf(child.outputSet)) =>
+        Project(pl, TopKPerGroupNode(ps, os, boundOf(cond, al.toAttribute).get, child))
+    }
+  }
+}
+
 /** Bounded-heap per-group top-k. Each partition holds one k-row
   * binary heap per group key (head = worst retained row); a new row
   * competes against the head only — rows beyond the top k are

@@ -94,6 +94,33 @@ class PlanSpec extends SparkSpec {
       (3, 7.0, 300L), (3, 7.0, 301L), (3, 7.0, 302L)))   // tie broken by id
   }
 
+  test("opt-in rule rewrites the row_number idiom into the heap operator") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    def idiom() = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice") // rank dropped → eligible
+    val baseline = idiom().orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(executed(idiom()).contains("Window")) // off by default
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      val s = executed(idiom())
+      assert(s.contains("TopKPerGroup"), s.take(900))
+      assert(!s.contains("Window"), s.take(900))
+      // same rows as the window spelling (total order → identical set)
+      assert(idiom().orderBy("o_custkey", "o_orderkey").collect().toSeq == baseline)
+      // a query that KEEPS the rank column must not rewrite
+      val keepsRn = spark.read.parquet(s"$sf/orders.parquet")
+        .withColumn("rn", row_number().over(
+          W.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+      assert(executed(keepsRn).contains("Window"), executed(keepsRn).take(600))
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
   test("q19 disjunction pushes per-side predicates into both scans") {
     // the OR of (brand, size, quantity) clauses references both join
     // sides; Catalyst must still extract each side's disjunction and
