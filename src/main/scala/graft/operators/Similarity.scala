@@ -91,18 +91,27 @@ object Similarity {
   }
 
   /** k-NN self-join blocked on `label` (IVF-style coarse partition):
-    * each vector's top-3 neighbors within its block. */
+    * each vector's top-3 neighbors within its block. The re-rank is
+    * the engine's own [[graft.plans.TopKPerGroup]] heap operator over
+    * a NARROW (q_id, label, vec_id, score) projection — the window
+    * spelling would sort every query's full candidate block (and
+    * would carry whatever columns ride along); the heap keeps 3 rows
+    * per query in O(cands · log 3). The rank column is then a window
+    * over the REDUCED ≤3-row groups, which costs no extra exchange:
+    * the heap's output keeps the q_id clustering. */
   def knnPerLabel(s: SparkSession, d: String): DataFrame = {
     val e = cached(withD(embs(s, d)))
     val a = e.select(col("vec_id").as("q_id"), col("label"), col("embd").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("vec_id"), col("label"), col("embd"), col("nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    a.join(b, Seq("label"))
+    val scored = a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
       .withColumn("score", score)
+      .select("q_id", "label", "vec_id", "score")
+    graft.plans.TopKPerGroup(scored,
+        Seq("q_id"), Seq("score" -> false, "vec_id" -> true), 3)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
       .select(col("q_id"), col("label"), col("vec_id"), col("score"), col("rn"))
       .orderBy("q_id", "rn")
   }

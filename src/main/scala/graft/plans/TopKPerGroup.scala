@@ -131,6 +131,13 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(group) :: Nil
 
+  /** Rows never move (partition-local heaps), so the child's
+    * group-clustered partitioning survives — a downstream operator
+    * keyed on the same group (e.g. a rank window over the reduced
+    * rows) plans zero additional exchanges. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortOrders = order

@@ -77,6 +77,17 @@ class PlanSpec extends SparkSpec {
     assert(!beforeTopK.contains("+- Sort"), beforeTopK.take(900))
   }
 
+  test("kNN re-rank heap keeps the q_id clustering — rank window adds no exchange") {
+    val s = executed(Similarity.knnPerLabel(spark, sf))
+    assert(s.contains("TopKPerGroup"), s.take(900))
+    // exchanges: label-block join (+the heap's q_id clustering); the
+    // rank window over the reduced ≤3-row groups rides the heap's
+    // outputPartitioning instead of re-shuffling — so no exchange
+    // appears between TopKPerGroup and Window
+    val betweenOps = s.substring(s.indexOf("Window"), s.indexOf("TopKPerGroup"))
+    assert(!betweenOps.contains("Exchange"), betweenOps)
+  }
+
   test("native per-group top-k handles short groups, ties, and k-boundaries") {
     import spark.implicits._
     val df = Seq(
