@@ -331,7 +331,35 @@ object Similarity {
   /** [[kmeansFull]] with an explicit round count — exposed so the
     * spec can assert Lloyd's invariant (inertia is non-increasing in
     * the round count), i.e. that the loop genuinely optimizes. */
-  private[graft] def kmeansRounds(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  private[graft] def kmeansRounds(s: SparkSession, d: String, rounds: Int): DataFrame =
+    kmeansLoop(s, d, rounds,
+      centroidRows(s, d)
+        .select(col("label").as("clab"), col("dim"), col("centroid").as("c")))
+
+  /** Fully UNSUPERVISED k-means: k = [[KmeansSeeds]] seed vectors
+    * chosen by a deterministic hash rank over vec_ids (multiplicative
+    * hash mod P is injective below P, so ranks are tie-free) — no
+    * label column consulted anywhere, answering the "k-means only
+    * works because labels exist" objection to [[kmeansFull]]'s
+    * label-mean seeding. Seed selection plans as
+    * TakeOrderedAndProject (per-partition top-k merge, never a
+    * global sort); the rank-within-8 window runs over 8 rows. */
+  def kmeansSeeded(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod))
+    val picked = embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .orderBy(h, col("vec_id"))
+      .limit(KmeansSeeds)
+    val w = Window.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod)), col("vec_id"))
+    val cent0 = picked
+      .withColumn("clab", (row_number().over(w) - 1).cast("long"))
+      .select(col("clab"), posexplode(col("embd")))
+      .select(col("clab"), col("pos").cast("long").as("dim"), col("col").as("c"))
+    kmeansLoop(s, d, KmeansRounds, cent0)
+  }
+
+  private def kmeansLoop(
+      s: SparkSession, d: String, rounds: Int, cent0: DataFrame): DataFrame = {
     val vx = cached(embs(s, d)
       .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
       .withColumn("xx", Vectors.dotd(col("embd"), col("embd"))))
@@ -352,8 +380,7 @@ object Similarity {
         .agg(sum(floor(col("col") * 1e7)).as("s"), count(lit(1)).as("n"))
         .select(col("clab"), col("dim"),
           (col("s").cast("double") / col("n") / 1e7).as("c"))
-    var cw = cwOf(centroidRows(s, d)
-      .select(col("label").as("clab"), col("dim"), col("centroid").as("c")))
+    var cw = cwOf(cent0)
     for (_ <- 1 until rounds) cw = cwOf(update(assign(cw)))
     val fin = cached(assign(cw)) // final assignment feeds stats AND centroids
     val stats = fin.groupBy(col("cl").as("cluster"))
@@ -366,6 +393,7 @@ object Similarity {
   }
 
   private val KmeansRounds = 3
+  private val KmeansSeeds = 8
 
   /** Oracle CTE: the quantized-centroid rows of [[centroidRows]]. */
   private val oCentCte =
@@ -424,7 +452,9 @@ object Similarity {
        |carr${i + 1} AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY clab),
        |cw${i + 1} AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
 
-  private val oKmeansFull: String = {
+  /** The full oracle replay parameterized by the `cent0` seed CTE —
+    * shared by the label-mean and hash-seeded variants. */
+  private def oKmeansChain(cent0Cte: String): String = {
     val rounds = (0 until KmeansRounds).map(oKmeansRound).mkString(",\n")
     val last = KmeansRounds - 1
     s"""WITH dims AS (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim),
@@ -432,11 +462,7 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
        |  FROM embeddings),
-       |cent0 AS (
-       |  SELECT label AS clab, dim,
-       |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
-       |      / COUNT(*) / 10000000.0 AS c
-       |  FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+       |$cent0Cte,
        |carr0 AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY clab),
        |cw0 AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr0),
        |$rounds,
@@ -452,8 +478,27 @@ object Similarity {
        |FROM stats JOIN chk USING (cluster) ORDER BY cluster""".stripMargin
   }
 
+  private val oKmeansFull: String = oKmeansChain(
+    s"""cent0 AS (
+       |  SELECT label AS clab, dim,
+       |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 10000000.0 AS c
+       |  FROM embeddings CROSS JOIN dims GROUP BY label, dim)""".stripMargin)
+
+  private val oKmeansSeeded: String = oKmeansChain(
+    s"""cent0 AS (
+       |  SELECT clab, dim, CAST(embedding[dim + 1] AS DOUBLE) AS c
+       |  FROM (
+       |    SELECT embedding,
+       |      row_number() OVER (ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id) - 1 AS clab
+       |    FROM embeddings
+       |    ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id
+       |    LIMIT $KmeansSeeds) seeds
+       |  CROSS JOIN dims)""".stripMargin)
+
   val queries: Seq[Q] = Seq(
     Q("sim_kmeans_full", kmeansFull, Some(oKmeansFull)),
+    Q("sim_kmeans_seeded", kmeansSeeded, Some(oKmeansSeeded)),
     Q("sim_centroids", centroids, Some(
       s"""WITH $oCentCte
          |SELECT clab AS label, dim, c AS centroid
