@@ -149,6 +149,24 @@ object Udaf {
         (col("a95") >= col("p90") && col("a95") <= col("p99")).as("p95_in_band"))
       .orderBy("event_type")
 
+  /** Frequent tokens via the Misra-Gries sketch
+    * ([[graft.plans.MisraGries]], `misra_gries(key, w, cap)`): the raw
+    * cleaned-token stream folds into ≤ 64 counters per partition and
+    * the partials merge — NO groupBy shuffle of the token stream at
+    * all, unlike every other top-k spelling in the engine. At 100 TB
+    * the exact spelling must first shuffle one row per distinct key;
+    * this moves O(cap × partitions) bytes total. cap = 64 exceeds the
+    * corpus vocabulary (~31), so the sketch runs in its exact regime
+    * and the output hashes against the exact top-10 oracle; the
+    * approximate regime's undercount/recall bounds are pinned by
+    * HeavyHittersSpec. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    WordCount.cleanTokens(Tables(s, d, "documents"), "text")
+      .agg(expr("misra_gries(word, 1, 64)").as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
+
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
@@ -166,6 +184,11 @@ object Udaf {
         |  COUNT(*) AS n,
         |  TRUE AS p50_in_band, TRUE AS p95_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("sketch_heavy_hitters", heavyHitters, Some(
+      s"""SELECT row_number() OVER (ORDER BY count DESC, word) AS rn, word, count
+         |FROM (SELECT word, COUNT(*) AS count FROM (${WordCount.cleanedSql})
+         |      WHERE word <> '' GROUP BY word)
+         |ORDER BY count DESC, word LIMIT 10""".stripMargin)),
     Q("sketch_hll_union", hllUnionRollup, Some(
       """SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_custkeys,
         |  TRUE AS within_bound

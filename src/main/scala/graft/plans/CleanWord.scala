@@ -113,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[TopKCounts].getName, "topk_counts"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKCounts(args(0), args(1), args(2))))
+    // Mergeable frequent-items sketch over raw (unaggregated) rows.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGries(args(0), args(1), args(2))))
     // Native signature expressions for the dedup / ANN operators
     // ([[TextHashes]]); invoked by name via functions.call_function.
     ext.injectFunction((
