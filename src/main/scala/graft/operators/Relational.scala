@@ -499,6 +499,64 @@ object Relational {
           .as("low_line_count"))
       .orderBy("l_linestatus")
 
+  /** TPC-H Q4-style priority check: EXISTS-correlated subquery →
+    * LEFT SEMI join + agg. (The synthetic schema lacks Q4's
+    * commit/receipt dates, so the exists predicate is "has a returned
+    * line".) The semi join emits each qualifying order once — no
+    * duplicate-then-distinct — and the lineitem side's returnflag
+    * filter pushes into its scan, so at 100 TB the probe side ships
+    * only ~¼ of lineitem keys into the shuffle. */
+  def orderPriorityCheck(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(li(s, d).filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    * join with a predicate in the ON clause (NOT a post-join WHERE —
+    * customers with zero matching orders must survive with count 0),
+    * then a two-level aggregation. The first agg keys on c_custkey
+    * (shuffle is O(customers) — already co-partitioned with the join
+    * output, so no second exchange); the distribution agg collapses
+    * to |distinct counts| rows map-side. */
+  def custOrderDistribution(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17-style small-quantity revenue: a correlated scalar-agg
+    * subquery (l_quantity < 0.2 × avg quantity OF THAT PART),
+    * decorrelated by hand into pre-agg + join — the plan Catalyst's
+    * DecorrelateInnerQuery would produce, written explicitly: compute
+    * the per-partkey average ONCE over the brand-qualifying rows
+    * (partkey determines brand, so restricting before the avg is
+    * semantics-preserving and skips 24/25 of lineitem), then join it
+    * back. A per-row subquery re-scan — the naive spelling — would be
+    * O(rows × partkeys) at 100 TB. The brand-filtered part side is
+    * SF-proportional, so no broadcast hint: stats/AQE decide. */
+  def smallQuantityRevenue(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables(s, d, "part")
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val lq = cached(li(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(parts, col("l_partkey") === col("p_partkey")))
+    val perPart = lq.groupBy("l_partkey").agg(davg(col("l_quantity")).as("avg_qty"))
+    lq.join(perPart, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
   /** Explicit GROUPING SETS through the SQL surface: per-flag,
     * per-status, and grand-total rows in one pass. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
@@ -689,6 +747,32 @@ object Relational {
          |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+    Q("q4_order_priority", orderPriorityCheck, Some(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    Q("q13_custdist", custOrderDistribution, Some(
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    Q("q17_small_qty_avg", smallQuantityRevenue, Some(
+      s"""WITH lq AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#13'),
+         |pp AS (
+         |  SELECT l_partkey, ${oDavg("l_quantity")} AS avg_qty
+         |  FROM lq GROUP BY l_partkey)
+         |SELECT ${oDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lq JOIN pp USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
     Q("q18_large_orders", largeOrders, Some(
       s"""WITH big AS (
          |  SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty
