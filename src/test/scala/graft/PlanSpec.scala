@@ -372,6 +372,38 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB a selective dimension filter should reach the FACT
+    // side before the shuffle: Spark's runtime-filter rule builds a
+    // bloom filter from the filtered creation side and injects a
+    // might_contain predicate above the fact scan, shrinking shuffle
+    // bytes by the filter's selectivity. The rule only fires when the
+    // application side is big (default threshold 10 GB) — invisible at
+    // test SF — so this pins ELIGIBILITY by lowering the threshold:
+    // our plain equi-join shapes qualify with no code change, i.e. the
+    // pruning arrives for free exactly when the data gets big enough
+    // to need it.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective creation side
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt.take(800))
+      assert(opt.contains("bloom_filter_agg"), opt.take(800))
+      // the injected filter sits on the lineitem (application) side
+      assert(opt.indexOf("might_contain") < opt.indexOf("l_partkey"), opt.take(1500))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("whole-stage codegen covers the wordcount pipeline") {
     // AQE finalizes the plan only at execution; run, then inspect
     val df = WordCount.wordCount(spark.read.parquet(s"$sf/documents.parquet"))
