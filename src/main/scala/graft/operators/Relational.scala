@@ -557,6 +557,84 @@ object Relational {
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** TPC-H Q21-style "sole problem supplier": the classic
+    * EXISTS + NOT-EXISTS double-correlation on the fact table itself —
+    * suppliers with a returned line in a multi-supplier order where NO
+    * other supplier returned anything. Plans as one semi and one anti
+    * join over the deduplicated (orderkey, suppkey) pair set: the
+    * correlation key is orderkey, so all three legs co-partition on
+    * the same shuffle key and AQE can reuse the exchange; nothing is
+    * evaluated per-row against a subquery. Supplier is
+    * SF-proportional — stats-driven join, no hint. */
+  def soleProblemSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairs = li(s, d).select("l_orderkey", "l_suppkey").distinct()
+    val rPairs = li(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = pairs
+      .withColumnRenamed("l_orderkey", "o2_orderkey")
+      .withColumnRenamed("l_suppkey", "o2_suppkey")
+    val rOthers = rPairs
+      .withColumnRenamed("l_orderkey", "r2_orderkey")
+      .withColumnRenamed("l_suppkey", "r2_suppkey")
+    rPairs
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(rOthers, col("l_orderkey") === col("r2_orderkey") &&
+        col("l_suppkey") =!= col("r2_suppkey"), "left_anti")
+      .join(Tables(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style dormant high-balance accounts: a scalar-agg
+    * subquery (global average balance of in-credit customers) feeding
+    * a filter, plus a NOT EXISTS anti join against orders. The scalar
+    * is one row — broadcast as a 1-row cross join, evaluated once,
+    * never per-row; the anti join probes the filtered custkey set.
+    * Grouped by nation (the synthetic schema's analog of Q22's phone
+    * country code; "dormant" here = no urgent-priority orders, since
+    * every synthetic customer has at least one order). */
+  def dormantBalances(s: SparkSession, d: String): DataFrame = {
+    val avgBal = cust(s, d).filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    cust(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Incremental aggregate maintenance — the pattern that makes a
+    * 100 TB rollup affordable day over day: yesterday's materialized
+    * partial aggregate MERGES with today's delta through a full-outer
+    * join + coalesced combine, never rescanning history. Works
+    * because sum/count partials are re-aggregatable state (the same
+    * property the HLL rollup exploits for distincts); the decimal
+    * sums stay exact through the merge and convert to double ONCE at
+    * the end, so the merged result is bit-identical to the oracle's
+    * single-pass aggregate over all rows. */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1999-01-01").cast("timestamp")
+    def rollup(df: DataFrame, n: String, t: String) = df
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as(n), sum(dec(col("o_totalprice"))).as(t))
+    val base = rollup(ord(s, d).filter(col("o_orderdate") < cut), "n0", "t0")
+    val delta = rollup(ord(s, d).filter(col("o_orderdate") >= cut), "n1", "t1")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_orders"),
+        (coalesce(col("t0"), lit(0).cast("decimal(22,2)")) +
+          coalesce(col("t1"), lit(0).cast("decimal(22,2)")))
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Explicit GROUPING SETS through the SQL surface: per-flag,
     * per-status, and grand-total rows in one pass. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
@@ -773,6 +851,32 @@ object Relational {
          |SELECT ${oDsum("l_extendedprice")} / 7.0 AS avg_yearly
          |FROM lq JOIN pp USING (l_partkey)
          |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+    Q("q21_sole_supplier", soleProblemSupplier, Some(
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |rpairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM rpairs r JOIN supplier ON r.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs p
+        |              WHERE p.l_orderkey = r.l_orderkey
+        |                AND p.l_suppkey <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM rpairs r2
+        |                  WHERE r2.l_orderkey = r.l_orderkey
+        |                    AND r2.l_suppkey <> r.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+    Q("q22_dormant_balances", dormantBalances, Some(
+      s"""SELECT c_nationkey, COUNT(*) AS numcust,
+         |  ${oDsum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${oDavg("c_acctbal")} FROM customer
+         |                   WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+    Q("agg_incremental_merge", incrementalRollup, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     Q("q18_large_orders", largeOrders, Some(
       s"""WITH big AS (
          |  SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty
