@@ -97,6 +97,43 @@ object Connectors {
     s.read.parquet(s"$dir/events_part")
       .filter(col("event_type") === "purchase")
 
+  /** DYNAMIC partition pruning: the partition predicate is not a
+    * literal but the output of a dim-side filter, known only at
+    * runtime — the other half of layout pruning at 100 TB (static
+    * pruning handles literals; star-schema queries filter the fact
+    * through a dimension). Spark broadcasts the filtered dim and
+    * injects its join keys into the fact scan's PartitionFilters as a
+    * `dynamicpruningexpression` (asserted in PlanSpec), so only the
+    * matching event_type directories are ever listed or read. */
+  def dynamicPruning(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-dpp")
+    Tables(s, d, "events")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$dir/events_part")
+    dynamicPrunedJoin(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The runtime-pruned join (split out for PlanSpec): fact
+    * partitioned by event_type ⋈ dim filtered on a NON-partition
+    * attribute (category). The dim is a real parquet scan — a literal
+    * in-memory relation constant-folds its filter away and Spark's
+    * DPP rule then sees no selective predicate to prune with. */
+  def dynamicPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("click", "engagement"), ("view", "engagement"),
+      ("error", "telemetry")).toDF("event_type", "category")
+      .write.mode("overwrite").parquet(s"$dir/event_dim")
+    val dim = s.read.parquet(s"$dir/event_dim")
+    s.read.parquet(s"$dir/events_part")
+      .join(broadcast(dim).filter(col("category") === "conversion"), Seq("event_type"))
+  }
+
   /** Small-files compaction — the table-maintenance pass every
     * large-scale ingest needs: a fragmented table (here deliberately
     * shattered into 64 shards) is rewritten as a few large,
@@ -190,6 +227,12 @@ object Connectors {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = false),
+    Q("partition_pruning_dynamic", dynamicPruning, Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
       headline = false),
     Q("partition_pruning", partitionedPruning, Some(
       """SELECT user_id, COUNT(*) AS n,

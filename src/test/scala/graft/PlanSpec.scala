@@ -372,6 +372,19 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("dynamic partition pruning injects the dim filter into the fact scan") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.Core.tempDir("graft-dpp-test")
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$dir/events_part")
+    val s = executed(Connectors.dynamicPrunedJoin(spark, dir))
+    // the fact scan's partition filter is the RUNTIME output of the
+    // dim-side category filter, not a literal
+    assert(s.contains("dynamicpruning"), s.take(1200))
+    assert(s.contains("PartitionFilters"), s.take(1200))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB a selective dimension filter should reach the FACT
