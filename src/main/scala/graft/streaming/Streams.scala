@@ -269,6 +269,54 @@ object Streams {
     rangeRollup(s.read.parquet(s"$out/data"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[rangeJoined]]'s outer
+    * twin: every purchase emits, WITH its clicks when they exist and
+    * with nulls once the click-side watermark proves no match can
+    * still arrive. The outer side is what makes eviction semantics
+    * visible: an unmatched purchase is only emitted when the global
+    * watermark passes its match window, so purchases in the last
+    * watermark-delay of the replay are never finalized. The
+    * registered result therefore restricts to the FINALIZED region —
+    * purchases below the replay's final watermark, computed
+    * batch-side with the same formula Spark uses (per-side max event
+    * time floored to ms, minus the 1 h delay, min across sides) less
+    * a 1 ms guard band so the cutoff is a conservative lower bound of
+    * the engine's internal ms-granular threshold. The oracle applies
+    * the identical cutoff to a batch left join. */
+  private def leftOuterJoined(s: SparkSession, d: String): DataFrame = {
+    val p = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("ets").as("pets"))
+      .withWatermark("pets", "1 hour")
+    val c = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("ets").as("cets"))
+      .withWatermark("cets", "1 hour")
+    p.join(c, expr(
+      """user_id = c_user AND
+        |cets >= pets - interval 30 minutes AND cets <= pets""".stripMargin),
+      "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("pts"), col("cts"))
+  }
+
+  def streamLeftOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val sunk = runToMemory(leftOuterJoined(s, d), OutputMode.Append())
+    val batch = s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+    // final global watermark (micros): min over both sides of
+    // (max event-time ms - 1 h), minus the 1 ms guard band
+    val wm = batch
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(max(expr("ts div 1000000")).as("max_ms"))
+      .agg(((min(col("max_ms")) - lit(3600000L) - lit(1L)) * lit(1000L)).as("wm_us"))
+    sunk.crossJoin(broadcast(wm))
+      .filter(expr("pts div 1000") < col("wm_us"))
+      .groupBy("user_id", "purchase_id")
+      .agg(count(col("cts")).as("n_clicks"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Stream–static enrichment: the unbounded event stream joined to
     * a STATIC dimension (event_type → deterministic code, computed
     * batch-side). A stream-static inner join is STATELESS — each
@@ -697,6 +745,25 @@ object Streams {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("stream_range_join", streamRangeJoin, Some(oRangeJoin), headline = false),
     Q("stream_range_join_files", streamRangeJoinFiles, Some(oRangeJoin),
+      headline = false),
+    // Finalized region only: purchases below the replay's final global
+    // watermark (per-side max event-time ms − 1 h, min across sides,
+    // − 1 ms guard), where outer-null emission is proven complete.
+    Q("stream_leftouter_join", streamLeftOuterJoin, Some(
+      """WITH wm AS (
+        |  SELECT (min(max_ms) - 3600000 - 1) * 1000 AS wm_us
+        |  FROM (SELECT event_type, max(epoch_us(ts) // 1000) AS max_ms
+        |        FROM events WHERE event_type IN ('purchase', 'click')
+        |        GROUP BY 1))
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  COUNT(c.ts) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |CROSS JOIN wm
+        |WHERE epoch_us(p.ts) < wm.wm_us
+        |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin),
       headline = false),
     // Emitted = inline-closed sessions (all but each user's last)
     // ∪ last sessions whose event-time timeout fired before the final
