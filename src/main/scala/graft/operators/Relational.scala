@@ -649,6 +649,135 @@ object Relational {
          |ORDER BY rf, ls""".stripMargin)
   }
 
+  /** TPC-H Q5-style local-supplier volume: the six-table regional
+    * revenue join. The region filter collapses to a handful of nation
+    * keys that BROADCAST into the supplier join, so fact rows from
+    * non-ASIA suppliers die before anything wide happens; the
+    * customer join then carries the classic Q5 twist — an equi-key
+    * (o_custkey = c_custkey) PLUS the residual c_nationkey =
+    * s_nationkey "local" condition, which Catalyst keeps as a cheap
+    * post-probe filter on the same hash join rather than a second
+    * shuffle. Customer/supplier are SF-proportional: stats/AQE pick
+    * their strategies. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val natAsia = Tables(s, d, "nation")
+      .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    li(s, d)
+      .join(ord(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .join(cust(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7-style two-nation shipping volume: both nation dims are
+    * pre-filtered to the two nations of interest BEFORE broadcasting,
+    * so each fact join is also a prune (only lines with a qualifying
+    * supplier survive to meet orders/customer); the residual
+    * disjunction then only rejects the two same-nation pairings. The
+    * group key includes a derived year column — computed once in the
+    * projection, partial-aggregated map-side. */
+  def nationVolume(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = Tables(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(ord(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style market share: one nation's fraction of regional
+    * revenue per year — numerator and denominator accumulate in ONE
+    * partial+final aggregate (conditional sum), no self-join. The
+    * customer-side region restriction broadcasts as a filtered
+    * nation-key set; part is SF-proportional (no hint — its
+    * type-filtered 1-column projection is left to stats/AQE, which
+    * broadcast it while small and shuffle it at cluster scale). */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    val asiaKeys = Tables(s, d, "nation")
+      .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"))
+    val n2 = Tables(s, d, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    li(s, d)
+      .join(Tables(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("asia_nk"))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15-style top supplier: a grouped revenue rollup consumed
+    * TWICE — once to find the global max, once as the join input —
+    * so it is [[graft.Core.cached]] (one lineitem scan, not two; the
+    * rollup is O(suppliers), small enough to pin). The max is a
+    * 1-row broadcast; the tie-exact equality compares the EXACT
+    * DECIMAL sums (doubles only appear in the final projection), so
+    * "ties at the max" mean true value equality on both engines. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = cached(li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .as("rev_dec")))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    Tables(s, d, "supplier").select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
@@ -908,6 +1037,64 @@ object Relational {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+    Q("q5_local_supplier", localSupplierVolume, Some(
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+    Q("q7_nation_volume", nationVolume, Some(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    Q("q8_market_share", marketShare, Some(
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $discPrice
+         |               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST(SUM($discPrice) AS DOUBLE) AS mkt_share,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+    Q("q15_top_supplier", topSupplier, Some(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, SUM($discPrice) AS rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)),
     Q("grouping_sets_sales", groupingSets, Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n

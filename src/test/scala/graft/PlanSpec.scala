@@ -142,6 +142,39 @@ class PlanSpec extends SparkSpec {
     assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*p_brand[^\\]]*\\].*"), s.take(1200))
   }
 
+  test("q5 prunes facts through broadcast nation keys; no cartesian") {
+    // the ASIA restriction must reach the fact rows as a broadcast
+    // hash join on the tiny nation-key set, and the residual
+    // c_nationkey = s_nationkey condition must ride the customer
+    // equi-join (no extra exchange, no cartesian)
+    val s = formatted(Relational.localSupplierVolume(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // the order-date range predicate pushes into the orders scan
+    assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"), s.take(1200))
+  }
+
+  test("q7 nation pair filter pushes into the dimension scans") {
+    // filtering n_name BEFORE the broadcast means each fact join is
+    // also a prune — only the two nations' suppliers/customers ship
+    val s = formatted(Relational.nationVolume(spark, sf))
+    assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*n_name[^\\]]*\\].*"), s.take(1200))
+    assert(s.contains("BroadcastHashJoin"), s.take(900))
+  }
+
+  test("q15 scans lineitem once for both max and join consumers") {
+    // the cached revenue rollup feeds the global max AND the supplier
+    // join; both consumers must read the InMemoryRelation, not
+    // re-scan lineitem. (Each InMemoryTableScan also PRINTS the
+    // cached relation's original FileScan — so assert one cache hit
+    // per lineitem-scan printout, not zero lineitem mentions.)
+    val s = executed(Relational.topSupplier(spark, sf))
+    val cacheHits = "InMemoryTableScan".r.findAllIn(s).size
+    val liScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(cacheHits >= 2, s.take(900))
+    assert(liScans <= cacheHits, s.take(900))
+  }
+
   test("wordcount aggregates partially before the exchange") {
     val s = formatted(WordCount.wordCount(
       spark.read.parquet(s"$sf/documents.parquet")))
