@@ -395,6 +395,181 @@ object Similarity {
   private val KmeansRounds = 3
   private val KmeansSeeds = 8
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound ANN scale path
+  // -------------------------------------------------------------------
+
+  private val PqM = 8                      // subspaces
+  private val PqSubDim = Vectors.Dim / PqM // dims per subspace
+  private val PqK = 16                     // codewords per subspace
+  private val PqRounds = 2                 // Lloyd updates after seeding
+  private val PqPool = 50                  // ADC shortlist size for re-rank
+
+  /** Each vector exploded into its M subvectors:
+    * (vec_id, sub, sv, xx) with xx = ‖sv‖² precomputed. */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .withColumn("sub", explode(sequence(lit(0L), lit(PqM - 1L))))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embd"), (col("sub") * PqSubDim + 1).cast("int"), lit(PqSubDim)).as("sv"))
+      .withColumn("xx", Vectors.dotd(col("sv"), col("sv")))
+
+  /** (sub, code, cv, cc): one codebook row per subspace codeword. */
+  private def pqCw(centRows: DataFrame): DataFrame =
+    centRows
+      .groupBy("sub", "code")
+      .agg(collect_list(struct(col("dim"), col("c"))).as("cs"))
+      .select(col("sub"), col("code"),
+        transform(array_sort(col("cs")), x => x.getField("c")).as("cv"))
+      .withColumn("cc", Vectors.dotd(col("cv"), col("cv")))
+
+  /** Nearest codeword per (vector, subspace) — all M subspace
+    * assignments in ONE pass: the codebook (M·k rows) broadcasts,
+    * distances fold map-side (dist² = ‖x‖² − 2·x·c + ‖c‖², the
+    * oracle-exact shape), and partial aggregation collapses the
+    * k-way argmin before the exchange. */
+  private def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame =
+    sv.join(broadcast(cw), "sub")
+      .withColumn("dist",
+        col("xx") - lit(2.0) * Vectors.dotd(col("sv"), col("cv")) + col("cc"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("m"), first("sv").as("sv"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"), col("sv"))
+
+  /** Quantized-exact codeword update (per sub, code, within-dim). */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("code"), col("pos").cast("long").as("dim"))
+      .agg(sum(floor(col("col") * 1e7)).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("dim"),
+        (col("s").cast("double") / col("n") / 1e7).as("c"))
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the method that makes billion-vector ANN memory-bound
+    * feasible: vectors compress to M small codes (here 8×3 bits vs
+    * 64 floats, a 85× index shrink), and queries never touch raw
+    * corpus vectors at scoring time.
+    *
+    * Training: M per-subspace k-means codebooks (k = [[PqK]]), seeded
+    * by the deterministic hash-rank vectors ([[kmeansSeeded]]'s
+    * trick) + one quantized-exact Lloyd update — all M trainings run
+    * in the SAME plan with `sub` as a key column. Encoding: one
+    * corpus pass against the broadcast codebook (map-side argmin).
+    * Query: per (query, sub, codeword) distance table (M·k rows per
+    * query, broadcast), then score = Σ_sub lut[sub, code(x, sub)] —
+    * a broadcast equi-join on (sub, code) + an integer partial-sum
+    * aggregate. LUT entries are quantized to integer 1e-7 units so
+    * the M-way sums are order-independent longs, bit-equal in the
+    * oracle.
+    *
+    * Scale: corpus touches = one encode scan + one M-rows-per-vector
+    * scoring join (both linear, no shuffle of raw vectors); the only
+    * quadratic-ish object is |queries|·N partial sums, the same
+    * shape every ADC implementation scans. At 100 TB the codes table
+    * IS the index — 8 bytes/vector — and re-ranking the ADC top-k
+    * with exact distances (see [[pqRecall]]'s baseline) touches only
+    * k raw vectors per query. */
+  /** The shared PQ pipeline up to ADC scores: train ([[PqRounds]]
+    * Lloyd updates over hash-picked seeds), encode, build the query
+    * LUT, and produce the integer ADC score per (query, vector). */
+  private def pqScores(s: SparkSession, d: String): DataFrame = {
+    val sv = cached(subVectors(embs(s, d)))
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod))
+    val seeds = embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .orderBy(h, col("vec_id"))
+      .limit(PqK)
+    val w = Window.orderBy(
+      pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod)), col("vec_id"))
+    val cw0 = seeds
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .withColumn("sub", explode(sequence(lit(0L), lit(PqM - 1L))))
+      .select(col("sub"), col("code"),
+        slice(col("embd"), (col("sub") * PqSubDim + 1).cast("int"), lit(PqSubDim)).as("cv"))
+      .withColumn("cc", Vectors.dotd(col("cv"), col("cv")))
+    var cw = cw0
+    for (_ <- 1 to PqRounds) cw = pqCw(pqUpdate(pqAssign(sv, cw)))
+    val codes = pqAssign(sv, cw).select("vec_id", "sub", "code")
+    val lut = sv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"), col("xx").as("qxx"))
+      .join(broadcast(cw), "sub")
+      .withColumn("qd",
+        col("qxx") - lit(2.0) * Vectors.dotd(col("qv"), col("cv")) + col("cc"))
+      .select(col("q_id"), col("sub"), col("code"),
+        floor(col("qd") * 1e7).cast("long").as("lq"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("lq")).as("adcq"))
+  }
+
+  /** Pure ADC top-k — pins every stage of the PQ pipeline (codebook
+    * training, encoding, LUT, integer score sums) through the hash
+    * check. This is the quantization-fidelity signal; the RETRIEVAL
+    * path a user runs is [[pqRerank]]. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val rw = Window.partitionBy("q_id").orderBy(col("adcq"), col("vec_id"))
+    pqScores(s, d)
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"),
+        (col("adcq").cast("double") / 1e7).as("adc"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Two-stage PQ retrieval — the production ANN serving shape: the
+    * compressed index (ADC) shortlists [[PqPool]] candidates per
+    * query, then exact L2 re-ranks ONLY the shortlist to top-k. At
+    * scale the expensive exact arithmetic touches PqPool raw vectors
+    * per query instead of N; the shortlist size is the recall/cost
+    * dial ([[pqRecall]] measures where it sits). */
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val pw = Window.partitionBy("q_id").orderBy(col("adcq"), col("vec_id"))
+    val pool = pqScores(s, d)
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= PqPool)
+      .select("q_id", "vec_id")
+    val e = embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .withColumn("xx", Vectors.dotd(col("embd"), col("embd")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"), col("xx").as("qxx"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    pool
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist",
+        col("qxx") - lit(2.0) * Vectors.dotd(col("qv"), col("embd")) + col("xx"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Exact-L2 top-k baseline (same (‖q‖² − 2·q·x) + ‖x‖² arithmetic
+    * as the ADC folds) — what PQ approximates; feeds [[pqRecall]]. */
+  private def topkL2(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
+      .withColumn("xx", Vectors.dotd(col("embd"), col("embd")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"), col("xx").as("qxx"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist",
+        col("qxx") - lit(2.0) * Vectors.dotd(col("qv"), col("embd")) + col("xx"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("q_id", "vec_id")
+  }
+
+  /** Measured recall of the re-ranked PQ retrieval vs the exact-L2
+    * top-k — the health metric that moves when M / k / training
+    * rounds / shortlist size move. */
+  def pqRecall(s: SparkSession, d: String): DataFrame =
+    recallVs(topkL2(s, d), pqRerank(s, d))
+
   /** Oracle CTE: the quantized-centroid rows of [[centroidRows]]. */
   private val oCentCte =
     s"""cent AS (
@@ -496,7 +671,132 @@ object Similarity {
        |    LIMIT $KmeansSeeds) seeds
        |  CROSS JOIN dims)""".stripMargin)
 
+  /** Oracle fold over the PqSubDim-element double lists (already
+    * cast at CTE-build time, so terms carry no CASTs). */
+  private def oFoldSub(term: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $PqSubDim), " +
+      s"k -> $term)), (x, y) -> x + y)"
+
+  /** One oracle PQ training round: assign every (vector, subspace)
+    * to its nearest `cw$i` codeword, recompute quantized means →
+    * `cw${i+1}`. */
+  private def oPqRound(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, sub, sv, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |  FROM (
+       |    SELECT s.vec_id, s.sub, s.sv, c.code,
+       |      (s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc AS dist
+       |    FROM sv s JOIN cw$i c ON s.sub = c.sub)),
+       |cent${i + 1} AS (
+       |  SELECT sub, code, dim,
+       |    CAST(SUM(CAST(floor(sv[dim + 1] * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 10000000.0 AS c
+       |  FROM a$i CROSS JOIN sdims WHERE rn = 1 GROUP BY sub, code, dim),
+       |carr${i + 1} AS (SELECT sub, code, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY sub, code),
+       |cw${i + 1} AS (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
+
+  /** The shared PQ replay prefix: subvectors → hash seeds →
+    * [[PqRounds]] Lloyd updates → final codebook → codes + query LUT
+    * → integer ADC sums. Mirrors [[pqScores]] CTE-for-stage. */
+  private val oPqAdcCte: String = {
+    val rounds = (0 until PqRounds).map(oPqRound).mkString(",\n")
+    s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       |sdims AS (SELECT unnest(generate_series(0, ${PqSubDim - 1})) AS dim),
+       |svx AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(generate_series(1, $PqSubDim),
+       |      k -> CAST(embedding[sub * $PqSubDim + k] AS DOUBLE)) AS sv
+       |  FROM embeddings CROSS JOIN subs),
+       |sv AS (SELECT vec_id, sub, sv, ${oFoldSub("sv[k] * sv[k]")} AS xx FROM svx),
+       |seeds AS (
+       |  SELECT embedding,
+       |    row_number() OVER (ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id) - 1 AS code
+       |  FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id
+       |  LIMIT $PqK),
+       |cw0arr AS (
+       |  SELECT sub, code,
+       |    list_transform(generate_series(1, $PqSubDim),
+       |      k -> CAST(embedding[sub * $PqSubDim + k] AS DOUBLE)) AS cv
+       |  FROM seeds CROSS JOIN subs),
+       |cw0 AS (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM cw0arr),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        (s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc, c.code) AS rn
+       |    FROM sv s JOIN cw$PqRounds c ON s.sub = c.sub) WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.code,
+       |    CAST(floor(((s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc)
+       |      * 10000000.0) AS BIGINT) AS lq
+       |  FROM sv s JOIN cw$PqRounds c ON s.sub = c.sub
+       |  WHERE s.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id, SUM(l.lq) AS adcq
+       |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+       |  WHERE co.vec_id <> l.q_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val oPqAdcSql: String =
+    s"""WITH $oPqAdcCte
+       |SELECT q_id, vec_id, CAST(adcq AS DOUBLE) / 10000000.0 AS adc, rn
+       |FROM (
+       |  SELECT q_id, vec_id, adcq,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adcq, vec_id) AS rn
+       |  FROM adc)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+
+  /** Exact-L2 baseline in the same ((‖q‖² − 2·q·x) + ‖x‖²) shape. */
+  private val oL2Sql: String = {
+    val qq = Vectors.oDot("q.embedding", "q.embedding", Vectors.Dim)
+    val qe = Vectors.oDot("q.embedding", "e.embedding", Vectors.Dim)
+    val ee = Vectors.oDot("e.embedding", "e.embedding", Vectors.Dim)
+    s"""SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ($qq - 2.0 * $qe) + $ee, e.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rn <= $K""".stripMargin
+  }
+
+  private val oPqRerankSql: String = {
+    val qq = Vectors.oDot("q.embedding", "q.embedding", Vectors.Dim)
+    val qe = Vectors.oDot("q.embedding", "e.embedding", Vectors.Dim)
+    val ee = Vectors.oDot("e.embedding", "e.embedding", Vectors.Dim)
+    s"""WITH $oPqAdcCte,
+       |pool AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adcq, vec_id) AS prn
+       |    FROM adc) WHERE prn <= $PqPool)
+       |SELECT q_id, vec_id, dist, rn FROM (
+       |  SELECT p.q_id AS q_id, p.vec_id AS vec_id,
+       |    ($qq - 2.0 * $qe) + $ee AS dist,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY ($qq - 2.0 * $qe) + $ee, p.vec_id) AS rn
+       |  FROM pool p
+       |  JOIN embeddings e ON e.vec_id = p.vec_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
+  private val oPqRecallSql: String =
+    s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+       |FROM ($oL2Sql) b LEFT JOIN ($oPqRerankSql) l
+       |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+       |GROUP BY b.q_id ORDER BY q_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("sim_pq_adc", pqAdc, Some(oPqAdcSql)),
+    Q("sim_pq_rerank", pqRerank, Some(oPqRerankSql)),
+    Q("sim_pq_recall", pqRecall, Some(oPqRecallSql)),
     Q("sim_kmeans_full", kmeansFull, Some(oKmeansFull)),
     Q("sim_kmeans_seeded", kmeansSeeded, Some(oKmeansSeeded)),
     Q("sim_centroids", centroids, Some(

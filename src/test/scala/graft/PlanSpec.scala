@@ -175,6 +175,17 @@ class PlanSpec extends SparkSpec {
     assert(liScans <= cacheHits, s.take(900))
   }
 
+  test("PQ pipeline broadcasts codebook and LUT; corpus vectors never shuffle") {
+    // training + encoding join the tiny (M·k)-row codebook broadcast;
+    // ADC scoring joins the (queries·M·k)-row LUT broadcast; the only
+    // shuffles carry codes and integer partial sums. A SortMergeJoin
+    // on vec_id would mean raw vectors shuffled for scoring.
+    val s = executed(Similarity.pqAdc(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    assert(!s.contains("SortMergeJoin [vec_id"), s.take(900))
+  }
+
   test("wordcount aggregates partially before the exchange") {
     val s = formatted(WordCount.wordCount(
       spark.read.parquet(s"$sf/documents.parquet")))
