@@ -665,14 +665,14 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
     li(s, d)
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
       .join(ord(s, d).filter(
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
       .join(cust(s, d).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))

@@ -444,34 +444,32 @@ object Similarity {
       .select(col("sub"), col("code"), col("dim"),
         (col("s").cast("double") / col("n") / 1e7).as("c"))
 
-  /** Product-quantization ANN with asymmetric distance computation
-    * (ADC) — the method that makes billion-vector ANN memory-bound
-    * feasible: vectors compress to M small codes (here 8×3 bits vs
-    * 64 floats, a 85× index shrink), and queries never touch raw
-    * corpus vectors at scoring time.
+  /** The shared product-quantization pipeline up to ADC scores —
+    * the method that makes billion-vector ANN memory-bound feasible:
+    * vectors compress to M small codes (here 8×4 bits = 4 bytes vs
+    * 64 floats = 256 bytes, a 64× index shrink), and queries never
+    * touch raw corpus vectors at SCORING time.
     *
     * Training: M per-subspace k-means codebooks (k = [[PqK]]), seeded
     * by the deterministic hash-rank vectors ([[kmeansSeeded]]'s
-    * trick) + one quantized-exact Lloyd update — all M trainings run
-    * in the SAME plan with `sub` as a key column. Encoding: one
-    * corpus pass against the broadcast codebook (map-side argmin).
-    * Query: per (query, sub, codeword) distance table (M·k rows per
-    * query, broadcast), then score = Σ_sub lut[sub, code(x, sub)] —
-    * a broadcast equi-join on (sub, code) + an integer partial-sum
-    * aggregate. LUT entries are quantized to integer 1e-7 units so
-    * the M-way sums are order-independent longs, bit-equal in the
-    * oracle.
+    * trick) + [[PqRounds]] quantized-exact Lloyd updates — all M
+    * trainings run in the SAME plan with `sub` as a key column.
+    * Encoding: one corpus pass against the broadcast codebook
+    * (map-side argmin). Query: per (query, sub, codeword) distance
+    * table (M·k rows per query, broadcast), then score =
+    * Σ_sub lut[sub, code(x, sub)] — a broadcast equi-join on
+    * (sub, code) + an integer partial-sum aggregate. LUT entries are
+    * quantized to integer 1e-7 units so the M-way sums are
+    * order-independent longs, bit-equal in the oracle.
     *
-    * Scale: corpus touches = one encode scan + one M-rows-per-vector
-    * scoring join (both linear, no shuffle of raw vectors); the only
-    * quadratic-ish object is |queries|·N partial sums, the same
-    * shape every ADC implementation scans. At 100 TB the codes table
-    * IS the index — 8 bytes/vector — and re-ranking the ADC top-k
-    * with exact distances (see [[pqRecall]]'s baseline) touches only
-    * k raw vectors per query. */
-  /** The shared PQ pipeline up to ADC scores: train ([[PqRounds]]
-    * Lloyd updates over hash-picked seeds), encode, build the query
-    * LUT, and produce the integer ADC score per (query, vector). */
+    * Scale: SCORING never shuffles raw vectors — only codes and
+    * integer partial sums move; the |queries|·N partial-sum stream is
+    * the same shape every ADC implementation scans. TRAINING's
+    * argmin exchange does carry (vec, sub, subvector) rows (the
+    * update step needs each subvector next to its winning code); at
+    * 100 TB codebooks train on a bounded sample — the standard PQ
+    * posture — and encoding stays a map-side pass either way. The
+    * codes table IS the index, 4 bytes/vector. */
   private def pqScores(s: SparkSession, d: String): DataFrame = {
     val sv = cached(subVectors(embs(s, d)))
     val h = pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod))

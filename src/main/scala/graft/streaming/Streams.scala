@@ -304,12 +304,18 @@ object Streams {
     val sunk = runToMemory(leftOuterJoined(s, d), OutputMode.Append())
     val batch = s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
     // final global watermark (micros): min over both sides of
-    // (max event-time ms - 1 h), minus the 1 ms guard band
+    // (max event-time ms - 1 h), minus the 1 ms guard band. A side
+    // with NO events never advances its watermark operator past 0, so
+    // the global watermark stays 0 and nothing is ever finalized —
+    // mirror that by emitting an empty finalized region unless BOTH
+    // event types are present.
     val wm = batch
       .filter(col("event_type").isin("purchase", "click"))
       .groupBy("event_type")
       .agg(max(expr("ts div 1000000")).as("max_ms"))
-      .agg(((min(col("max_ms")) - lit(3600000L) - lit(1L)) * lit(1000L)).as("wm_us"))
+      .agg(when(count(lit(1)) === 2,
+        (min(col("max_ms")) - lit(3600000L) - lit(1L)) * lit(1000L))
+        .otherwise(lit(Long.MinValue)).as("wm_us"))
     sunk.crossJoin(broadcast(wm))
       .filter(expr("pts div 1000") < col("wm_us"))
       .groupBy("user_id", "purchase_id")
@@ -751,7 +757,9 @@ object Streams {
     // − 1 ms guard), where outer-null emission is proven complete.
     Q("stream_leftouter_join", streamLeftOuterJoin, Some(
       """WITH wm AS (
-        |  SELECT (min(max_ms) - 3600000 - 1) * 1000 AS wm_us
+        |  SELECT CASE WHEN COUNT(*) = 2
+        |    THEN (min(max_ms) - 3600000 - 1) * 1000
+        |    ELSE -9223372036854775808 END AS wm_us
         |  FROM (SELECT event_type, max(epoch_us(ts) // 1000) AS max_ms
         |        FROM events WHERE event_type IN ('purchase', 'click')
         |        GROUP BY 1))

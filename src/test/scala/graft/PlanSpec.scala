@@ -175,11 +175,13 @@ class PlanSpec extends SparkSpec {
     assert(liScans <= cacheHits, s.take(900))
   }
 
-  test("PQ pipeline broadcasts codebook and LUT; corpus vectors never shuffle") {
+  test("PQ pipeline broadcasts codebook and LUT; scoring never shuffles vectors") {
     // training + encoding join the tiny (M·k)-row codebook broadcast;
-    // ADC scoring joins the (queries·M·k)-row LUT broadcast; the only
-    // shuffles carry codes and integer partial sums. A SortMergeJoin
-    // on vec_id would mean raw vectors shuffled for scoring.
+    // ADC scoring joins the (queries·M·k)-row LUT broadcast, so the
+    // scoring-side shuffles carry codes and integer partial sums.
+    // (Training's argmin exchange does carry subvectors — at scale
+    // codebooks train on a sample.) A SortMergeJoin on vec_id would
+    // mean raw vectors shuffled for scoring.
     val s = executed(Similarity.pqAdc(spark, sf))
     assert(s.contains("BroadcastHashJoin"), s.take(900))
     assert(!s.contains("CartesianProduct"), s.take(900))
