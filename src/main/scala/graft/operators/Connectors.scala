@@ -205,7 +205,41 @@ object Connectors {
       .orderBy("z_bucket")
   }
 
+  /** Schema evolution — the lakehouse reality that table schemas
+    * WIDEN over time: an "old" batch (no `o_orderstatus`) and a
+    * "new" batch (with it) land in one dataset; `mergeSchema` reads
+    * the union schema and old rows surface the added column as NULL.
+    * The rollup buckets old rows under 'MISSING' via coalesce —
+    * exactly the backfill-visibility query a pipeline owner runs
+    * after a schema change. The deterministic key-parity split makes
+    * the oracle able to reconstruct which rows were "old". Scale
+    * note: mergeSchema footer-merges ALL file schemas at planning
+    * time — fine per-partition-directory; for 10⁶-file tables the
+    * production posture is a table catalog holding the schema, with
+    * the reader pinned to it (the explicit-schema read every other
+    * connector query demonstrates). */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-evolve")
+    val o = Tables(s, d, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/data/batch=old")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/data/batch=new")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/data")
+      .groupBy(coalesce(col("o_orderstatus"), lit("MISSING")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy("status")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("connector_schema_evolution", schemaEvolution, Some(
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING' ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
     Q("maint_zorder_stats", zorderStats, Some {
       val terms = (0 until 16).map { b =>
         s"((r_ok // ${1L << b}) % 2) * ${1L << (2 * b)}" +
