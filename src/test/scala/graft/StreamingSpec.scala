@@ -68,6 +68,46 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 3L))
   }
 
+  test("left-outer interval join emits unmatched purchases with zero clicks") {
+    val min = 60L * 1000000000L
+    val day = 1440L * min
+    val dir = java.nio.file.Files.createTempDirectory("graft-lojoin").toString
+    // user 1: purchase with 2 clicks in the 30-min window; user 2:
+    // purchase with NO clicks (the outer-null case); user 3's
+    // far-future pair advances BOTH sides' watermarks past the early
+    // purchases (its own purchase sits above the final watermark and
+    // is excluded from the finalized region).
+    Seq(
+      (1L, day + 10L * min, 1L, "purchase", 1.0, "{}"),
+      (10L, day + 5L * min, 1L, "click", 1.0, "{}"),
+      (11L, day + 8L * min, 1L, "click", 1.0, "{}"),
+      (2L, day + 10L * min, 2L, "purchase", 1.0, "{}"),
+      (3L, day + 10000L * min, 3L, "purchase", 1.0, "{}"),
+      (30L, day + 10000L * min, 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Streams.streamLeftOuterJoin(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 1L, 2L), (2L, 2L, 0L)))
+  }
+
+  test("left-outer finalized region is empty when one side has no events") {
+    val min = 60L * 1000000000L
+    val day = 1440L * min
+    val dir = java.nio.file.Files.createTempDirectory("graft-lojoin1").toString
+    // purchases only: the click-side watermark never advances, so the
+    // engine finalizes nothing — the batch cutoff must mirror that
+    // (not treat min-over-present-sides as the global watermark)
+    Seq(
+      (1L, day + 10L * min, 1L, "purchase", 1.0, "{}"),
+      (3L, day + 10000L * min, 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Streams.streamLeftOuterJoin(spark, dir).count() == 0L)
+  }
+
   test("registered sessionize emits a deterministic subset of batch sessions") {
     val streamed = Streams.streamSessionize(spark, sf)
       .as[(Long, String, String, Long)].collect().toSet
