@@ -88,6 +88,19 @@ object Core {
     while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
   }
 
+  /** Epoch MICROSECONDS of the events `ts` column. The driver stores
+    * `ts` as a naive (no-timezone) microsecond parquet timestamp;
+    * every session pins `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→timestamp cast reads the stored value as the same UTC
+    * instant DuckDB's `epoch_us(ts)` reports — the two engines agree
+    * on the integer bit-for-bit. */
+  def epochUs(c: Column): Column =
+    unix_micros(c.cast(TimestampType))
+
+  /** Epoch NANOSECONDS (µs-precision data ⇒ exact ×1000) — the
+    * integer time unit the temporal operators compute in. */
+  def epochNs(c: Column): Column = epochUs(c) * 1000
+
   val HashMod = 1000000007L
   def polyHash(c: Column): Column = graft.plans.TextHashes.polyHash(c)
   /** The INTERPRETED spelling of [[polyHash]] (per-code-point

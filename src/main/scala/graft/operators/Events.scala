@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   * [[graft.streaming]]; these batch forms are the oracle-checkable
   * semantics.)
   *
-  * The driver's events.parquet stores nanosecond INT64 timestamps,
-  * which Spark's parquet reader rejects — the session sets
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Verify]])
-  * and [[load]] converts nanos → a microsecond TIMESTAMP exactly like
-  * DuckDB's ns→us truncation. Window starts are emitted as formatted
-  * strings so timestamp-encoding differences can never affect the
-  * compare.
+  * The driver's events.parquet stores `ts` as a naive microsecond
+  * parquet timestamp; [[load]] keeps `ets` as the session-UTC
+  * TIMESTAMP and rebuilds the integer `ts` (epoch NANOSECONDS, an
+  * exact ×1000 of the stored µs) that all downstream frame
+  * arithmetic and the DuckDB oracles' `epoch_ns(ts)` compute with.
+  * Window starts are emitted as formatted strings so
+  * timestamp-encoding differences can never affect the compare.
   *
   * Scale posture: windowing is just `groupBy(bucket)` — a partial+
   * final HashAggregate keyed by (bucket, type); sessionization
@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** events with `ets` = TIMESTAMP at microsecond precision (UTC). */
+  /** events with `ets` = TIMESTAMP (µs, UTC) and `ts` = epoch ns. */
   def load(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "events")
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withColumn("ts", epochNs(col("ets")))
 
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -31,14 +31,13 @@ object Temporal {
 
   private val BucketUs = 30L * 60 * 1000000L
 
-  /** Events with `ts` truncated to MICROSECONDS up front: DuckDB's
-    * parquet reader truncates ns timestamps to µs, so the join
-    * predicates themselves must compare µs values — truncating only
-    * the output columns would let sub-µs differences flip boundary
-    * matches between the engines. */
+  /** Events with `ts` as integer epoch MICROSECONDS up front: the
+    * stored µs timestamp becomes the exact integer both engines'
+    * join predicates compare (`epoch_us(ts)` on the DuckDB side), so
+    * no unit truncation can flip boundary matches. */
   private def events(s: SparkSession, d: String) =
     Tables(s, d, "events").select(
-      col("event_id"), expr("ts div 1000").as("ts"),
+      col("event_id"), graft.Core.epochUs(col("ts")).as("ts"),
       col("user_id"), col("event_type"))
 
   /** Latest click at-or-before each purchase, per user (as-of join,
@@ -70,7 +69,7 @@ object Temporal {
   def rangeClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     // integer division for bucketing: `/` on longs is DOUBLE division
-    // in Spark, and epoch-nanos exceed double's 53-bit mantissa
+    // in Spark, and epoch-µs values sit near double's 53-bit mantissa
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
       .withColumn("bkt", explode(array(

@@ -40,7 +40,7 @@ object Streams {
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // int64 nanos (nanosAsLong=true)
+    StructField("ts", TimestampNTZType), // stored naive µs timestamp
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -67,10 +67,13 @@ object Streams {
     }
   }
 
-  /** events replay stream with `ets` = microsecond TIMESTAMP. */
+  /** events replay stream with `ets` = microsecond TIMESTAMP (UTC)
+    * and `ts` rebuilt as integer epoch NANOSECONDS — the unit all
+    * downstream state folds and oracles compute in. */
   private def eventStream(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(eventsSchema).parquet(streamDir(s"$d/events.parquet"))
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withColumn("ts", graft.Core.epochNs(col("ets")))
 
   /** Run `df`'s streaming plan to completion into a memory sink and
     * return the materialized result. Complete-mode aggregations only
@@ -311,8 +314,9 @@ object Streams {
     // event types are present.
     val wm = batch
       .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), graft.Core.epochUs(col("ts")).as("ts_us"))
       .groupBy("event_type")
-      .agg(max(expr("ts div 1000000")).as("max_ms"))
+      .agg(max(expr("ts_us div 1000")).as("max_ms"))
       .agg(when(count(lit(1)) === 2,
         (min(col("max_ms")) - lit(3600000L) - lit(1L)) * lit(1000L))
         .otherwise(lit(Long.MinValue)).as("wm_us"))
@@ -431,9 +435,9 @@ object Streams {
       .start()
     q.awaitTermination()
     s.read.parquet(curState.get)
-      // µs, the engine's cross-engine timestamp precision (ns ordering
-      // still decided the argmax above)
-      .select(col("user_id"), expr("ts div 1000").as("last_ts"),
+      // epoch µs — the integer DuckDB's `epoch_us(ts)` reports (the
+      // stored µs timestamp itself decided the argmax above)
+      .select(col("user_id"), graft.Core.epochUs(col("ts")).as("last_ts"),
         col("event_type").as("last_type"),
         col("value").as("last_value"), col("n_events"))
       .orderBy("user_id")
@@ -776,7 +780,7 @@ object Streams {
     // Emitted = inline-closed sessions (all but each user's last)
     // ∪ last sessions whose event-time timeout fired before the final
     // watermark. Timestamps compare at Spark's watermark granularity:
-    // milliseconds, floored from the event's nanosecond timestamp.
+    // milliseconds, floored from the event's µs timestamp.
     Q("stream_sessionize", streamSessionize, Some(
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,
