@@ -18,9 +18,6 @@ object Verify {
       // pins one core for minutes). Keep AQE for skew/plan adaptation
       // but hold every shuffle at full parallelism.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // events.parquet stores INT64 nano timestamps, which the parquet
-      // reader otherwise rejects; graft.operators.Events converts.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -552,11 +552,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
+      // The convergence check rides along as a 0/1 `changed` column:
+      // one aggregate action both materializes the round's cached
+      // labels (the InMemoryRelation populates as the agg scans it)
+      // and returns the changed-count — one job per round, not a
+      // separate count() pass after the label job.
       val next = cached(labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl")))
-      delta = next.filter(col("nl") < col("lbl")).count()
-      labels = next.select(col("v"), col("nl").as("lbl"))
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("changed")))
+      delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
+      labels = next.select("v", "lbl")
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")

@@ -154,7 +154,7 @@ object TrainingFilters {
     tfc.join(wc, "word")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("wcount")).as("sum_freq"))
-      .crossJoin(total)
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
         (col("sum_freq").cast("double") /
           (col("n_tokens") * col("total")).cast("double")).as("mean_freq"))

@@ -24,7 +24,6 @@ object SparkSpec {
       // pins one core for minutes). Keep AQE for skew/plan adaptation
       // but hold every shuffle at full parallelism.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

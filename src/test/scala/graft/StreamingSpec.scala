@@ -7,6 +7,23 @@ import graft.streaming.Streams
   * exact gap-sessionization behavior on a crafted corpus. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  /** Write a crafted events fixture. Rows carry `ts` as epoch
+    * NANOSECONDS for readability; the stored column must be the naive
+    * µs timestamp `Streams.eventsSchema` declares (`timestamp_ntz`),
+    * so convert at write time. One part file → one replay micro-batch:
+    * with several files the source replays them as separate batches
+    * and events behind the advancing watermark are (correctly)
+    * dropped as late. */
+  private def writeEventsFixture(
+      dir: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
   test("streaming word count equals batch word count on replay") {
     val streamed = Streams.streamWordCount(spark, sf)
@@ -47,18 +64,12 @@ class StreamingSpec extends SparkSpec {
     // user 1: two sessions (gap 2h between min 10 and min 130);
     // user 2: one session; a far-future user-3 event pushes the final
     // watermark so every earlier session times out and flushes.
-    Seq(
+    writeEventsFixture(dir, Seq(
       (1L, day + 0L * min, 1L, "a", 1.0, "{}"),
       (2L, day + 10L * min, 1L, "a", 1.0, "{}"),
       (3L, day + 130L * min, 1L, "a", 1.0, "{}"),
       (4L, day + 5L * min, 2L, "b", 1.0, "{}"),
-      (5L, day + 10000L * min, 3L, "c", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      // one part file → one replay micro-batch: with several files the
-      // source replays them as separate batches and events behind the
-      // advancing watermark are (correctly) dropped as late
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      (5L, day + 10000L * min, 3L, "c", 1.0, "{}")))
     val rows = Streams.streamSessionize(spark, dir)
       .as[(Long, String, String, Long)].collect().toSet
     assert(rows.contains((1L, "1970-01-02 00:00:00", "1970-01-02 00:10:00", 2L)))
@@ -77,16 +88,13 @@ class StreamingSpec extends SparkSpec {
     // far-future pair advances BOTH sides' watermarks past the early
     // purchases (its own purchase sits above the final watermark and
     // is excluded from the finalized region).
-    Seq(
+    writeEventsFixture(dir, Seq(
       (1L, day + 10L * min, 1L, "purchase", 1.0, "{}"),
       (10L, day + 5L * min, 1L, "click", 1.0, "{}"),
       (11L, day + 8L * min, 1L, "click", 1.0, "{}"),
       (2L, day + 10L * min, 2L, "purchase", 1.0, "{}"),
       (3L, day + 10000L * min, 3L, "purchase", 1.0, "{}"),
-      (30L, day + 10000L * min, 3L, "click", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      (30L, day + 10000L * min, 3L, "click", 1.0, "{}")))
     val rows = Streams.streamLeftOuterJoin(spark, dir)
       .as[(Long, Long, Long)].collect().toSet
     assert(rows == Set((1L, 1L, 2L), (2L, 2L, 0L)))
@@ -99,12 +107,9 @@ class StreamingSpec extends SparkSpec {
     // purchases only: the click-side watermark never advances, so the
     // engine finalizes nothing — the batch cutoff must mirror that
     // (not treat min-over-present-sides as the global watermark)
-    Seq(
+    writeEventsFixture(dir, Seq(
       (1L, day + 10L * min, 1L, "purchase", 1.0, "{}"),
-      (3L, day + 10000L * min, 3L, "purchase", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      (3L, day + 10000L * min, 3L, "purchase", 1.0, "{}")))
     assert(Streams.streamLeftOuterJoin(spark, dir).count() == 0L)
   }
 
