@@ -520,6 +520,30 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Measured pair-recall of the hyperplane-LSH near-dup path against
+    * the all-pairs ground truth — the dedup twin of
+    * `sim_lsh_recall`: a single accounting row (n_exact, hits,
+    * recall) that moves whenever the LSH table/bit parameters move,
+    * so the approximate path's health is a REGISTERED number, not a
+    * comment claim. Because LSH candidates are verified with the same
+    * exact cosine, every LSH pair is an exact pair and hits = |LSH|;
+    * the left join measures that instead of assuming it.
+    *
+    * Ground-truth side is the quadratic baseline, so this row is
+    * correctness-only (non-headline), like `dedup_embedding_exact`
+    * itself. */
+  def embeddingRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = embeddingExact(s, d).select("vec_a", "vec_b")
+    val approx = embeddingLsh(s, d).select("vec_a", "vec_b")
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("vec_a", "vec_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("hits"))
+      .select(col("n_exact"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   // -------------------------------------------------------------------
   // Oracles
   // -------------------------------------------------------------------
@@ -742,6 +766,25 @@ object Dedup {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)} >= $CosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
+      headline = false),
+    Q("dedup_embedding_recall", embeddingRecall, Some(
+      s"""WITH ex AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)} >= $CosThreshold),
+         |b AS (${Vectors.oBucketCte()}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |ap AS (
+         |  SELECT vec_a, vec_b FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = vec_a
+         |  JOIN embeddings eb ON eb.vec_id = vec_b
+         |  WHERE ${Vectors.oCos("ea.embedding", "eb.embedding", Vectors.Dim)} >= $CosThreshold)
+         |SELECT COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN ap.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+         |FROM ex LEFT JOIN ap ON ex.vec_a = ap.vec_a AND ex.vec_b = ap.vec_b""".stripMargin),
       headline = false),
   )
 }

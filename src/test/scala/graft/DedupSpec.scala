@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 3L))) // identical vectors always share buckets
   }
 
+  test("embedding recall accounts exactly: hits = |LSH| pairs, recall = hits/|exact|") {
+    val nExact = Dedup.embeddingExact(spark, dir).count()
+    val nLsh = Dedup.embeddingLsh(spark, dir).count()
+    val Array((n, hits, recall)) = Dedup.embeddingRecall(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(n == nExact)
+    // LSH candidates verify with the same exact cosine ⇒ LSH ⊆ exact,
+    // so the measured hit count must equal the LSH pair count
+    assert(hits == nLsh)
+    assert(recall == hits.toDouble / n && recall > 0.0 && recall <= 1.0)
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
