@@ -91,7 +91,8 @@ object SparkEntry {
     "pipeline_corpus_prep", "pipeline_full", "pipeline_mix_weights",
     "pipeline_pack_sequences",
     // streaming
-    "stream_wordcount", "stream_dedup_watermarked", "stream_user_stats",
+    "stream_wordcount", "stream_heavy_hitters",
+    "stream_dedup_watermarked", "stream_user_stats",
     "stream_ann_upsert")
 
   /** Benchmarked at sf0.1: the curated set minus anything a module

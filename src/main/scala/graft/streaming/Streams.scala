@@ -114,6 +114,29 @@ object Streams {
     runToMemory(counts, OutputMode.Complete()).orderBy("word")
   }
 
+  /** The native Misra-Gries aggregate ([[graft.plans.MisraGries]],
+    * `misra_gries(key, w, cap)`) running INSIDE a streaming
+    * aggregation — the sketch's mergeability is exactly what
+    * incremental aggregation state needs: each micro-batch folds its
+    * token stream into ≤ cap counters map-side, and the state store
+    * holds one serialized sketch buffer that the next batch's
+    * partials MERGE into. No shuffle of the token stream, O(cap)
+    * state total regardless of stream length — the streaming shape
+    * for frequent-element monitoring over an unbounded corpus.
+    * cap = 64 exceeds the corpus vocabulary, so the replay runs the
+    * sketch in its exact regime and shares the batch
+    * `sketch_heavy_hitters` top-10 oracle. */
+  def streamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val docs = s.readStream.schema(documentsSchema)
+      .parquet(streamDir(s"$d/documents.parquet"))
+    val hh = graft.operators.WordCount.cleanTokens(docs, "text")
+      .agg(expr("misra_gries(word, 1, 64)").as("hh"))
+    runToMemory(hh, OutputMode.Complete())
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
+  }
+
   /** Watermarked tumbling 1-hour windows per event_type; matches the
     * batch `events_tumbling` oracle. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
@@ -686,6 +709,11 @@ object Streams {
     Q("stream_wordcount", streamWordCount, Some(
       s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q("stream_heavy_hitters", streamHeavyHitters, Some(
+      s"""SELECT row_number() OVER (ORDER BY count DESC, word) AS rn, word, count
+         |FROM (SELECT word, COUNT(*) AS count FROM ($cleanedSql)
+         |      WHERE word <> '' GROUP BY word)
+         |ORDER BY count DESC, word LIMIT 10""".stripMargin)),
     Q("stream_tumbling", streamTumbling, Some(
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value

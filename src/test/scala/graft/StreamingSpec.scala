@@ -34,6 +34,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming heavy hitters equal the batch sketch result on replay") {
+    val streamed = Streams.streamHeavyHitters(spark, sf)
+      .as[(Int, String, Long)].collect().toSeq
+    val batch = graft.operators.Udaf.heavyHitters(spark, sf)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling windows equal batch tumbling windows") {
     val streamed = Streams.streamTumbling(spark, sf)
       .as[(String, String, Long, Double)].collect().toSeq
