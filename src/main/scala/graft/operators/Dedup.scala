@@ -569,8 +569,14 @@ object Dedup {
     val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
     val edges = cached(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
+    // Head-start initialization: label0 = min(v, min neighbor) is
+    // exactly what round 1 of propagation would produce, but costs one
+    // groupBy over the cached edges instead of a join+agg+join round —
+    // the loop converges one action earlier. (Every vertex appears as
+    // src because edges are symmetrized above.)
+    var labels = edges.groupBy(col("src").as("v"))
+      .agg(min("dst").as("m"))
+      .select(col("v"), least(col("v"), col("m")).as("lbl"))
     var delta = 1L
     while (delta > 0) {
       val nbrMin = edges
