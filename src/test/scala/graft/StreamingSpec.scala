@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sketch state merges correctly across multiple micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    // 3 part files + maxFilesPerTrigger=1 force AvailableNow to run 3
+    // micro-batches, so the final result can only be right if each
+    // batch's partial sketch MERGES into the serialized buffer the
+    // state store carried over — the single-batch replay-parity test
+    // above never exercises that path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/documents.parquet")
+    val agg = WordCount.cleanTokens(stream, "text")
+      .agg(expr("misra_gries(word, 1, 64)").as("hh"))
+    val q = agg.writeStream.format("memory").queryName("graft_hh_multi")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    val streamed = spark.table("graft_hh_multi")
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
+      .as[(Int, String, Long)].collect().toSeq
+    spark.catalog.dropTempView("graft_hh_multi")
+    val batch = graft.operators.Udaf.heavyHitters(spark, sf)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling windows equal batch tumbling windows") {
     val streamed = Streams.streamTumbling(spark, sf)
       .as[(String, String, Long, Double)].collect().toSeq
