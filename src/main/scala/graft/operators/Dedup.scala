@@ -482,12 +482,18 @@ object Dedup {
     * recall is whatever the 8 tables deliver (the oracle replicates
     * the same buckets); `dedup_embedding_exact` is the ground-truth
     * twin. */
-  def embeddingLsh(s: SparkSession, d: String): DataFrame = {
-    // norms precomputed per vector: the pair stage then folds ONE dot
-    // product per candidate instead of three (dot + both norms)
-    val e = cached(embs(s, d)
+  /** Embeddings with precomputed double vector + norm, cached: the
+    * pair stages then fold ONE dot product per candidate instead of
+    * three (dot + both norms). The CacheManager dedupes by logical
+    * plan, so the LSH, exact, and recall queries all share one
+    * in-memory copy when composed. */
+  private def normEmbs(s: SparkSession, d: String): DataFrame =
+    cached(embs(s, d)
       .withColumn("embd", Vectors.toD(col("embedding")))
       .withColumn("nrm", Vectors.norm(col("embd"))))
+
+  def embeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val e = normEmbs(s, d)
     val entries = cached(e
       .select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket")))
@@ -508,9 +514,7 @@ object Dedup {
   /** Ground-truth all-pairs cosine ≥ 0.4 — correctness baseline only
     * (quadratic; excluded from the benchmark set). */
   def embeddingExact(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d)
-      .withColumn("embd", Vectors.toD(col("embedding")))
-      .withColumn("nrm", Vectors.norm(col("embd")))
+    val e = normEmbs(s, d)
     e.select(col("vec_id").as("vec_a"), col("embd").as("ea"), col("nrm").as("na"))
       .crossJoin(e.select(col("vec_id").as("vec_b"), col("embd").as("eb"), col("nrm").as("nb")))
       .filter(col("vec_a") < col("vec_b"))

@@ -46,7 +46,7 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private val documentsSchema = StructType(Seq(
+  private[graft] val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),

@@ -26,9 +26,10 @@ class DeterminismSpec extends SparkSpec {
     assert(unknown.isEmpty, s"benchSet typos: ${unknown.mkString(", ")}")
     // The cap keeps 3 bench laps inside the driver's wall-clock
     // budget on this host (see SparkEntry.benchSet): 70 sized the
-    // original curation; +2 headroom covers the sub-2-second
-    // streaming-sketch addition without displacing a curated query.
-    assert(SparkEntry.benchSet.size <= 72)
+    // original curation; +1 admits the sub-2-second streaming-sketch
+    // addition without displacing a curated query. Raise only with a
+    // measured timing for each admitted query.
+    assert(SparkEntry.benchSet.size <= 71)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

@@ -44,7 +44,6 @@ class StreamingSpec extends SparkSpec {
 
   test("sketch state merges correctly across multiple micro-batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import org.apache.spark.sql.types._
     // 3 part files + maxFilesPerTrigger=1 force AvailableNow to run 3
     // micro-batches, so the final result can only be right if each
     // batch's partial sketch MERGES into the serialized buffer the
@@ -53,11 +52,7 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/documents.parquet")
     val agg = WordCount.cleanTokens(stream, "text")
