@@ -131,6 +131,37 @@ object TrainingFilters {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-shingle coverage — the boilerplate
+    * signal: for each document, the fraction of its distinct W-token
+    * shingles that occur in at least one OTHER document. Headers,
+    * footers, license blocks, and templated text share long token
+    * spans across many docs; a high shared_frac flags a doc as mostly
+    * boilerplate even when no single pairwise near-dup fires (each
+    * sharing partner can contribute a different span). Complements
+    * [[repetition]] (intra-doc) and [[decontaminate]] (corpus vs
+    * benchmark): this is corpus vs itself.
+    *
+    * Scale: shingles are distinct per doc, so after the explode the
+    * per-hash row count IS the containing-doc count — one
+    * partial-aggregated shuffle keyed by shingle hash, one hash-keyed
+    * join back (no document text moves), one doc-keyed rollup.
+    * Ubiquitous boilerplate shingles fan back out only to their
+    * containing docs, never all-pairs. */
+  def crossdocNgrams(s: SparkSession, d: String): DataFrame = {
+    // persisted: the shingle projection feeds both the doc-count
+    // aggregation and the join probe side
+    val sets = cached(tokenShingles(docs(s, d)))
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val ndocs = exploded.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    exploded.join(ndocs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Unigram-model frequency scoring (perplexity stand-in)
   // -------------------------------------------------------------------
@@ -281,6 +312,20 @@ object TrainingFilters {
          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / c.n_shingles AS contam_frac
          |FROM corpus c LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    Q("filter_crossdoc_ngrams", crossdocNgrams, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+         |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |       FROM t WHERE len(tok) >= $W),
+         |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - ${W - 1}),
+         |       g -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[g:g+${W - 1}]),
+         |            (a, b) -> (a * $M + b) % $P))) AS sh FROM th),
+         |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+         |nd AS (SELECT h, COUNT(*) AS ndocs FROM e GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+         |FROM e JOIN nd USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("filter_unigram_score", unigramScore, Some(
       s"""WITH t AS (SELECT doc_id, unnest($oTok) AS word FROM documents),
          |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY doc_id, word),

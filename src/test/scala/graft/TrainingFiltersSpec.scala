@@ -45,6 +45,19 @@ class TrainingFiltersSpec extends SparkSpec {
     assert(!rows.contains(0L), "benchmark docs are not reported")
   }
 
+  test("cross-doc shingle coverage flags only the quoted 8-gram") {
+    val rows = TrainingFilters.crossdocNgrams(spark, dir)
+      .select("doc_id", "n_shingles", "n_shared", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 0's single shingle is quoted verbatim inside doc 1
+    assert(rows(0L) == ((1L, 1L, 1.0)))
+    // doc 1: 12 tokens → 5 shingles, exactly one shared (the quote)
+    assert(rows(1L) == ((5L, 1L, 0.2)))
+    // intra-doc repetition (doc 3) is NOT cross-doc sharing
+    assert(rows(2L)._2 == 0L && rows(3L)._2 == 0L && rows(4L)._2 == 0L)
+  }
+
   test("unigram score ranks the common-token loop above the distinct doc") {
     val rows = TrainingFilters.unigramScore(spark, dir)
       .select("doc_id", "mean_freq").as[(Long, Double)].collect().toMap
