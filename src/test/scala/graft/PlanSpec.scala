@@ -340,6 +340,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.matches("(?s).*Exchange[^\\n]*text.*"), s.take(800))
   }
 
+  test("cross-doc shingle coverage shuffles hashes, never text") {
+    val s = formatted(TrainingFilters.crossdocNgrams(spark, sf))
+    // shingle arrays are computed before any exchange; no Exchange
+    // output carries the document body
+    assert(!s.matches("(?s).*Exchange[^\\n]*text.*"), s.take(800))
+    // the per-hash doc count aggregates partially before its shuffle
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
+  }
+
   test("token chunking explodes map-side; only the accounting shuffles") {
     val s = executed(Pipeline.tokenChunks(spark, sf))
     assert(s.contains("Generate"), s.take(600)) // the explode
