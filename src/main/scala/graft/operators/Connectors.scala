@@ -75,6 +75,32 @@ object Connectors {
       .orderBy("c_mktsegment")
   }
 
+  /** Raw-file corpus ingest via the `binaryFile` source — the entry
+    * path for image/audio/document corpora that land on object
+    * storage as loose files rather than parquet (the reference's own
+    * input is a loose text file, 1.cpp:248–264; multimodal pipelines
+    * start from millions of media files). Each document's text is
+    * spooled to its own file in a Hive-layout directory
+    * (`doc_id=N/part-*.txt`, a fully distributed write — no driver
+    * loop), the directory is read back as binary with partition
+    * discovery recovering `doc_id` from the path, and the registered
+    * result is (doc_id, byte length, md5 of the raw bytes) — a green
+    * row proves ingest is byte-exact. Scale: binaryFile splits by
+    * file across partitions, `pathGlobFilter` prunes at listing
+    * time, and a metadata-only projection (path/length) never reads
+    * content. The text sink terminates each row with '\n'; the
+    * oracle accounts for that byte explicitly. */
+  def binaryFileRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-binf")
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(s"$dir/raw")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hive-style partitioned layout + partition pruning: events are
     * written `partitionBy(event_type)`; reading one type back scans
     * ONLY that directory — the pruning happens at file listing, not
@@ -282,6 +308,10 @@ object Connectors {
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    Q("connector_binaryfile", binaryFileRoundtrip, Some(
+      """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
+        |  md5(text || chr(10)) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("connector_json", jsonRoundtrip, Some(
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal

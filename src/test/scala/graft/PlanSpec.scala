@@ -364,6 +364,21 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(s).size == 1, s.take(800))
   }
 
+  test("binaryFile metadata projection never reads file content") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.Core.tempDir("graft-binf-plan")
+    spark.read.parquet(s"$sf/documents.parquet").limit(5)
+      .select(col("doc_id"), col("text"))
+      .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
+    // listing-level stats (count, total bytes) must come from file
+    // metadata alone — the scan schema may not include `content`
+    val s = formatted(
+      spark.read.format("binaryFile").load(s"$dir/raw")
+        .select("path", "length"))
+    assert(s.contains("ReadSchema"), s.take(600))
+    assert(!s.matches("(?s).*ReadSchema:[^\\n]*content.*"), s.take(800))
+  }
+
   test("compaction collapses the file count and sorts within files") {
     import org.apache.spark.sql.functions.col
     val (agg, frag, compact) = Connectors.compactionWithDirs(spark, sf)
