@@ -90,16 +90,23 @@ object Connectors {
     * time, and a metadata-only projection (path/length) never reads
     * content. The text sink terminates each row with '\n'; the
     * oracle accounts for that byte explicitly. */
-  def binaryFileRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** Spool the documents corpus as one loose text file per doc in a
+    * Hive-layout directory (`doc_id=N/part-*.txt`) — the "raw corpus
+    * on object storage" fixture shared by the batch and streaming
+    * binary-ingest queries. Fully distributed write, no driver loop. */
+  def spoolRawDocs(s: SparkSession, d: String): String = {
     val dir = tmp("graft-binf")
     Tables(s, d, "documents").select(col("doc_id"), col("text"))
       .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
+    s"$dir/raw"
+  }
+
+  def binaryFileRoundtrip(s: SparkSession, d: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
-      .load(s"$dir/raw")
+      .load(spoolRawDocs(s, d))
       .select(col("doc_id").cast("long").as("doc_id"),
         col("length"), md5(col("content")).as("content_md5"))
       .orderBy("doc_id")
-  }
 
   /** Hive-style partitioned layout + partition pruning: events are
     * written `partitionBy(event_type)`; reading one type back scans

@@ -524,6 +524,54 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // -------------------------------------------------------------------
+  // Edit-distance fuzzy matching (FastSS deletion-neighborhood blocking)
+  // -------------------------------------------------------------------
+
+  /** Per-record fuzzy-duplicate count over customer names at edit
+    * distance ≤ 1 — the record-linkage member of the dedup family
+    * (typo'd names, OCR'd identifiers), distinct from every
+    * shingle/simhash/embedding variant: similarity here is
+    * character-EDIT, not token overlap. Blocking is FastSS's
+    * deletion neighborhood: D(u) = {u} ∪ {u minus one char}; for
+    * levenshtein(u,v) ≤ 1 the neighborhoods always intersect (equal
+    * strings share u; a substitution shares the both-sides deletion;
+    * an insert/delete shares the shorter string), so an equi-join on
+    * D-entries finds every true pair and exact levenshtein verifies.
+    * Variants join as polynomial HASHES, not strings — collisions
+    * only add candidates, which verification discards.
+    *
+    * Scale: the inverted index is O(N·L) rows of (hash, id) — never
+    * the O(N²) comparison matrix; bucket sizes are bounded by how
+    * many records share a deletion variant, and the exact check runs
+    * only per candidate. The all-pairs spelling survives only in the
+    * DuckDB oracle (N is oracle-sized there). */
+  def fuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val names = cached(
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
+    val variants = names.select(col("c_custkey"), explode(array_union(
+      array(polyHash(col("c_name"))),
+      transform(sequence(lit(1), length(col("c_name"))), i =>
+        polyHash(concat(
+          col("c_name").substr(lit(1), i - 1),
+          col("c_name").substr(i + 1, length(col("c_name")))))))).as("h"))
+    val cand = variants.toDF("a", "h")
+      .join(variants.toDF("b", "h"), "h")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val verified = cand
+      .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
+      .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+    val counts = verified.select(col("a").as("k"))
+      .union(verified.select(col("b").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n_fuzzy"))
+    names.select(col("c_custkey"))
+      .join(counts, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"), coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"))
+      .orderBy("c_custkey")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -777,6 +825,15 @@ object Dedup {
          |WHERE ${Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)} >= $CosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
       headline = false),
+    Q("dedup_fuzzy_names", fuzzyNames, Some(
+      """WITH n AS (SELECT c_custkey, c_name FROM customer),
+        |p AS (SELECT a.c_custkey AS a, b.c_custkey AS b
+        |      FROM n a JOIN n b ON a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |k AS (SELECT a AS k FROM p UNION ALL SELECT b AS k FROM p),
+        |c AS (SELECT k, COUNT(*) AS n_fuzzy FROM k GROUP BY k)
+        |SELECT n.c_custkey, CAST(COALESCE(c.n_fuzzy, 0) AS BIGINT) AS n_fuzzy
+        |FROM n LEFT JOIN c ON n.c_custkey = c.k ORDER BY c_custkey""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

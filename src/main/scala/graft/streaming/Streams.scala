@@ -137,6 +137,31 @@ object Streams {
       .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
   }
 
+  /** Continuous raw-file ingest: the binaryFile connector lifted onto
+    * `readStream` — loose corpus files are fingerprinted (byte length
+    * + md5) as they land, the front door of a continuously-fed
+    * training corpus (fingerprints feed the ingest-dedup and
+    * near-dup admission queries downstream). Stateless per-file map,
+    * append mode: state is zero, throughput is bounded by listing +
+    * read, and each file is processed exactly once per the source's
+    * file tracking. doc_id parses from the Hive-layout path rather
+    * than relying on streaming partition discovery. */
+  def streamBinaryIngest(s: SparkSession, d: String): DataFrame = {
+    val raw = graft.operators.Connectors.spoolRawDocs(s, d)
+    val stream = s.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.txt")
+      .load(raw)
+      .select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+    runToMemory(stream, OutputMode.Append()).orderBy("doc_id")
+  }
+
   /** Watermarked tumbling 1-hour windows per event_type; matches the
     * batch `events_tumbling` oracle. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
@@ -714,6 +739,11 @@ object Streams {
          |FROM (SELECT word, COUNT(*) AS count FROM ($cleanedSql)
          |      WHERE word <> '' GROUP BY word)
          |ORDER BY count DESC, word LIMIT 10""".stripMargin)),
+    Q("stream_binaryfile_ingest", streamBinaryIngest, Some(
+      """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
+        |  md5(text || chr(10)) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = false),
     Q("stream_tumbling", streamTumbling, Some(
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value

@@ -92,6 +92,28 @@ class DedupSpec extends SparkSpec {
     assert(recall == hits.toDouble / n && recall > 0.0 && recall <= 1.0)
   }
 
+  test("fuzzy-name blocking finds exactly the all-pairs edit-distance result") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val blocked = Dedup.fuzzyNames(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // exact all-pairs ground truth, computed independently in Spark:
+    // FastSS deletion-neighborhood candidates must have 100% recall
+    // for distance <= 1 (the pigeonhole guarantee), and verification
+    // makes precision exact — so the maps must be equal, not similar
+    val n = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val exact = n.toDF("a", "name_a").crossJoin(n.toDF("b", "name_b"))
+      .filter(col("a") < col("b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+    val counts = exact.select(col("a").as("k"))
+      .union(exact.select(col("b").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(blocked.filter(_._2 > 0L) == counts)
+    assert(blocked.size == n.count())
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
