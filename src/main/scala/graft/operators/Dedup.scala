@@ -549,12 +549,11 @@ object Dedup {
   def fuzzyNames(s: SparkSession, d: String): DataFrame = {
     val names = cached(
       Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
-    val variants = names.select(col("c_custkey"), explode(array_union(
-      array(polyHash(col("c_name"))),
-      transform(sequence(lit(1), length(col("c_name"))), i =>
-        polyHash(concat(
-          col("c_name").substr(lit(1), i - 1),
-          col("c_name").substr(i + 1, length(col("c_name")))))))).as("h"))
+    // native codegen'd O(L) neighborhood (prefix/suffix hash
+    // composition — no substring building); parity with the
+    // interpreted substr+fold spelling is pinned in TextHashesSpec
+    val variants = names.select(col("c_custkey"),
+      explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
     val cand = variants.toDF("a", "h")
       .join(variants.toDF("b", "h"), "h")
       .filter(col("a") < col("b"))

@@ -159,6 +159,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(args(0))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("deletion_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DeletionHashes].getName, "deletion_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeletionHashes(args(0))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("jaccard_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[JaccardLong].getName, "jaccard_long"),

@@ -48,6 +48,86 @@ object TextHashes {
   def jaccardLong(a: Column, b: Column): Column = call_function("jaccard_long", a, b)
 
   def polyHash(c: Column): Column = call_function("poly_hash", c)
+
+  def deletionHashes(c: Column): Column = call_function("deletion_hashes", c)
+}
+
+/** Worker for [[DeletionHashes]]: the distinct [[PolyHashUtil]]
+  * hashes of a string itself plus every one-code-point deletion — the
+  * FastSS neighborhood a fuzzy equi-join blocks on — in ONE O(L)
+  * pass. The interpreted spelling rebuilds L substrings per row
+  * (O(L²) bytes) and refolds each; here the variant deleting
+  * position i composes from shared prefix folds and suffix values:
+  * with prefix(i) the fold of the first i code points,
+  * pow(k) = 31^k mod P, and suf(j) = Σ_{k≥j} cp_k·pow(m-1-k) mod P
+  * (the suffix's value at its FINAL weight in the length-(m-1)
+  * variant), variant(i) = prefix(i)·pow(m-1-i) + suf(i+1) (mod P) —
+  * bit-identical to refolding the deleted string. All intermediates
+  * stay < 2^63: prefix < P so prefix·pow < ~1e18, and cp·pow ≤
+  * 0x10FFFF·P < 1.2e15. Output order is first-occurrence (self hash
+  * first, then deletions left to right), the exact semantics of
+  * `array_union(array(poly_hash(s)), transform(...))`. */
+object DeletionHashesUtil {
+  private val P = graft.Core.HashMod
+
+  def hashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = str.codePointCount(0, str.length)
+    val cps = new Array[Int](m)
+    var i = 0
+    var k = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp; k += 1; i += Character.charCount(cp)
+    }
+    val prefix = new Array[Long](m + 1)
+    val pow = new Array[Long](m + 1)
+    pow(0) = 1L
+    i = 0
+    while (i < m) {
+      prefix(i + 1) = (prefix(i) * 31 + cps(i)) % P
+      pow(i + 1) = pow(i) * 31 % P
+      i += 1
+    }
+    val suf = new Array[Long](m + 1)
+    i = m - 1
+    while (i >= 0) {
+      suf(i) = (suf(i + 1) + cps(i) * pow(m - 1 - i)) % P
+      i -= 1
+    }
+    val out = new Array[Long](m + 1)
+    val seen = new java.util.HashSet[java.lang.Long]((m + 1) * 2)
+    var n = 0
+    def add(h: Long): Unit = if (seen.add(h)) { out(n) = h; n += 1 }
+    add(prefix(m))
+    i = 0
+    while (i < m) {
+      add((prefix(i) * pow(m - 1 - i) % P + suf(i + 1)) % P)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** `deletion_hashes(string) -> array<bigint>`: the FastSS deletion
+  * neighborhood as hashes, one codegen'd O(L) pass per row. */
+case class DeletionHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deletion_hashes requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionHashesUtil.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DeletionHashesUtil.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionHashes =
+    copy(child = newChild)
 }
 
 /** Worker for [[PolyHash]]: the 31-base polynomial rolling hash mod

@@ -330,6 +330,7 @@ class PlanSpec extends SparkSpec {
     assert(executed(Dedup.simhashPairs(spark, sf)).contains("simhash48"))
     assert(executed(Dedup.embeddingLsh(spark, sf)).contains("hyperplane_buckets"))
     assert(executed(Similarity.topkLsh(spark, sf)).contains("hyperplane_buckets"))
+    assert(executed(Dedup.fuzzyNames(spark, sf)).contains("deletion_hashes"))
   }
 
   test("incremental dedup anti-joins on the hash, never shipping text") {

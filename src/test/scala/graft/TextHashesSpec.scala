@@ -57,6 +57,38 @@ class TextHashesSpec extends SparkSpec {
     assert(rows.isNullAt(4)) // null-safe eval
   }
 
+  /** Interpreted reference spelling of the FastSS deletion
+    * neighborhood (self hash ∪ hash of every one-char deletion, the
+    * exact pipeline DeletionHashes replaced in Dedup.fuzzyNames). */
+  private def interpretedDeletions(c: org.apache.spark.sql.Column) =
+    array_union(
+      array(graft.Core.polyHashFold(c)),
+      transform(sequence(lit(1), length(c)), i =>
+        graft.Core.polyHashFold(concat(
+          c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+
+  test("deletion_hashes equals the interpreted substr+fold spelling") {
+    val diff = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("native", TextHashes.deletionHashes(col("c_name")))
+      .withColumn("interp", interpretedDeletions(col("c_name")))
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("deletion_hashes edge cases: empty, single char, repeats, null") {
+    val rows = spark.sql(
+      """SELECT deletion_hashes('') AS a, deletion_hashes('x') AS b,
+        |  deletion_hashes('aa') AS c, deletion_hashes('café') AS d,
+        |  deletion_hashes(CAST(NULL AS STRING)) AS n""".stripMargin).head()
+    assert(rows.getSeq[Long](0) == Seq(0L)) // only the self hash
+    // 'x': self plus the one deletion (the empty string, hash 0)
+    assert(rows.getSeq[Long](1).length === 2 && rows.getSeq[Long](1)(1) === 0L)
+    // 'aa': both deletions give 'a' — deduped to [hash(aa), hash(a)]
+    assert(rows.getSeq[Long](2).length === 2)
+    assert(rows.getSeq[Long](3).length === 5) // non-ASCII: 4 code points
+    assert(rows.isNullAt(4))
+  }
+
   /** Interpreted 48-bit SimHash twin built from the same primitives
     * the 30-bit operator fold used, widened with the Knuth mix —
     * independent spelling of SimHash48Util's arithmetic. Bit
