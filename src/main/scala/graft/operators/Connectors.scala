@@ -75,32 +75,35 @@ object Connectors {
       .orderBy("c_mktsegment")
   }
 
+  /** Spool the documents corpus as one loose text file per doc in a
+    * Hive-layout directory (`doc_id=N/part-*.txt`) — the "raw corpus
+    * on object storage" fixture shared by the batch and streaming
+    * binary-ingest queries. Fully distributed write, no driver loop;
+    * memoized per dataset dir so the two consumers (and repeated runs
+    * in one session) spool the corpus once. */
+  private val spooled =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  def spoolRawDocs(s: SparkSession, d: String): String =
+    spooled.computeIfAbsent(d, _ => {
+      val dir = tmp("graft-binf")
+      Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
+      s"$dir/raw"
+    })
+
   /** Raw-file corpus ingest via the `binaryFile` source — the entry
     * path for image/audio/document corpora that land on object
     * storage as loose files rather than parquet (the reference's own
     * input is a loose text file, 1.cpp:248–264; multimodal pipelines
-    * start from millions of media files). Each document's text is
-    * spooled to its own file in a Hive-layout directory
-    * (`doc_id=N/part-*.txt`, a fully distributed write — no driver
-    * loop), the directory is read back as binary with partition
-    * discovery recovering `doc_id` from the path, and the registered
-    * result is (doc_id, byte length, md5 of the raw bytes) — a green
-    * row proves ingest is byte-exact. Scale: binaryFile splits by
-    * file across partitions, `pathGlobFilter` prunes at listing
-    * time, and a metadata-only projection (path/length) never reads
-    * content. The text sink terminates each row with '\n'; the
-    * oracle accounts for that byte explicitly. */
-  /** Spool the documents corpus as one loose text file per doc in a
-    * Hive-layout directory (`doc_id=N/part-*.txt`) — the "raw corpus
-    * on object storage" fixture shared by the batch and streaming
-    * binary-ingest queries. Fully distributed write, no driver loop. */
-  def spoolRawDocs(s: SparkSession, d: String): String = {
-    val dir = tmp("graft-binf")
-    Tables(s, d, "documents").select(col("doc_id"), col("text"))
-      .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
-    s"$dir/raw"
-  }
-
+    * start from millions of media files). The [[spoolRawDocs]]
+    * directory is read back as binary with partition discovery
+    * recovering `doc_id` from the path, and the registered result is
+    * (doc_id, byte length, md5 of the raw bytes) — a green row proves
+    * ingest is byte-exact. Scale: binaryFile splits by file across
+    * partitions, `pathGlobFilter` prunes at listing time, and a
+    * metadata-only projection (path/length) never reads content. The
+    * text sink terminates each row with '\n'; the oracle accounts for
+    * that byte explicitly. */
   def binaryFileRoundtrip(s: SparkSession, d: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
       .load(spoolRawDocs(s, d))

@@ -94,14 +94,13 @@ class DedupSpec extends SparkSpec {
 
   test("fuzzy-name blocking finds exactly the all-pairs edit-distance result") {
     import org.apache.spark.sql.functions._
-    val sfDir = "/root/testdata/sf0.001"
-    val blocked = Dedup.fuzzyNames(spark, sfDir)
+    val blocked = Dedup.fuzzyNames(spark, sf)
       .as[(Long, Long)].collect().toMap
     // exact all-pairs ground truth, computed independently in Spark:
     // FastSS deletion-neighborhood candidates must have 100% recall
     // for distance <= 1 (the pigeonhole guarantee), and verification
     // makes precision exact — so the maps must be equal, not similar
-    val n = spark.read.parquet(s"$sfDir/customer.parquet")
+    val n = spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
     val exact = n.toDF("a", "name_a").crossJoin(n.toDF("b", "name_b"))
       .filter(col("a") < col("b"))
