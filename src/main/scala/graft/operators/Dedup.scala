@@ -546,14 +546,16 @@ object Dedup {
     * many records share a deletion variant, and the exact check runs
     * only per candidate. The all-pairs spelling survives only in the
     * DuckDB oracle (N is oracle-sized there). */
-  def fuzzyNames(s: SparkSession, d: String): DataFrame = {
+  private def fuzzyCounts(
+      s: SparkSession, d: String,
+      neighborhood: Column => Column, maxDist: Int): DataFrame = {
     val names = cached(
       Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
-    // native codegen'd O(L) neighborhood (prefix/suffix hash
-    // composition — no substring building); parity with the
-    // interpreted substr+fold spelling is pinned in TextHashesSpec
+    // native codegen'd neighborhoods (prefix/suffix hash composition
+    // — no substring building); parity with the interpreted
+    // substr+fold spellings is pinned in TextHashesSpec
     val variants = names.select(col("c_custkey"),
-      explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
+      explode(neighborhood(col("c_name"))).as("h"))
     val cand = variants.toDF("a", "h")
       .join(variants.toDF("b", "h"), "h")
       .filter(col("a") < col("b"))
@@ -561,7 +563,7 @@ object Dedup {
     val verified = cand
       .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
       .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
     val counts = verified.select(col("a").as("k"))
       .union(verified.select(col("b").as("k")))
       .groupBy("k").agg(count(lit(1)).as("n_fuzzy"))
@@ -570,6 +572,19 @@ object Dedup {
       .select(col("c_custkey"), coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"))
       .orderBy("c_custkey")
   }
+
+  def fuzzyNames(s: SparkSession, d: String): DataFrame =
+    fuzzyCounts(s, d, graft.plans.TextHashes.deletionHashes, 1)
+
+  /** Distance-≤2 variant: the D≤2 neighborhood (self + 1-deletions +
+    * 2-deletions, `deletion_hashes2`) is FastSS-complete for
+    * levenshtein ≤ 2 — an optimal alignment deletes the ≤ 2 edited
+    * positions from each side to reach a common string — so the same
+    * equi-join + exact-verify pipeline recalls every pair. Index
+    * grows to O(N·L²) entries (the price of radius 2); buckets stay
+    * bounded and verification exact. */
+  def fuzzyNames2(s: SparkSession, d: String): DataFrame =
+    fuzzyCounts(s, d, graft.plans.TextHashes.deletionHashes2, 2)
 
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
@@ -829,6 +844,15 @@ object Dedup {
         |p AS (SELECT a.c_custkey AS a, b.c_custkey AS b
         |      FROM n a JOIN n b ON a.c_custkey < b.c_custkey
         |      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |k AS (SELECT a AS k FROM p UNION ALL SELECT b AS k FROM p),
+        |c AS (SELECT k, COUNT(*) AS n_fuzzy FROM k GROUP BY k)
+        |SELECT n.c_custkey, CAST(COALESCE(c.n_fuzzy, 0) AS BIGINT) AS n_fuzzy
+        |FROM n LEFT JOIN c ON n.c_custkey = c.k ORDER BY c_custkey""".stripMargin)),
+    Q("dedup_fuzzy_names2", fuzzyNames2, Some(
+      """WITH n AS (SELECT c_custkey, c_name FROM customer),
+        |p AS (SELECT a.c_custkey AS a, b.c_custkey AS b
+        |      FROM n a JOIN n b ON a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 2),
         |k AS (SELECT a AS k FROM p UNION ALL SELECT b AS k FROM p),
         |c AS (SELECT k, COUNT(*) AS n_fuzzy FROM k GROUP BY k)
         |SELECT n.c_custkey, CAST(COALESCE(c.n_fuzzy, 0) AS BIGINT) AS n_fuzzy

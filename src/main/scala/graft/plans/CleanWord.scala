@@ -165,6 +165,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DeletionHashes(args(0))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("deletion_hashes2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DeletionHashes2].getName, "deletion_hashes2"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeletionHashes2(args(0))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("jaccard_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[JaccardLong].getName, "jaccard_long"),

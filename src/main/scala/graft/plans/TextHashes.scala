@@ -50,6 +50,8 @@ object TextHashes {
   def polyHash(c: Column): Column = call_function("poly_hash", c)
 
   def deletionHashes(c: Column): Column = call_function("deletion_hashes", c)
+
+  def deletionHashes2(c: Column): Column = call_function("deletion_hashes2", c)
 }
 
 /** Worker for [[DeletionHashes]]: the distinct [[PolyHashUtil]]
@@ -107,6 +109,102 @@ object DeletionHashesUtil {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
   }
+}
+
+/** Worker for [[DeletionHashes2]]: the distinct hashes of a string,
+  * every 1-deletion, and every 2-deletion — the FastSS D≤2
+  * neighborhood, complete for edit distance ≤ 2 (an optimal
+  * alignment deletes the ≤ 2 edited positions from each side,
+  * reaching a common string). The 2-deletion variant (drop positions
+  * i < j) composes from the SAME prefix/suffix arrays as the
+  * 1-deletion case plus one modular division: the middle segment's
+  * stored weights sit one power of 31 too high, and P prime makes
+  * `inv31 = 31^(P-2) mod P` an exact rescale —
+  * variant(i,j) = prefix(i)·pow(m-2-i)
+  *              + (suf(i+1) − suf(j))·inv31
+  *              + suf(j+1)   (mod P).
+  * Output size is Θ(L²) (it IS the neighborhood), but each entry is
+  * O(1) — no substring building, total O(L²) integer ops vs the
+  * interpreted O(L³) bytes. Order: self, 1-deletions left to right,
+  * then (i,j) lexicographic, first-occurrence deduped — the
+  * `array_union` composition's exact semantics. All intermediates
+  * < 2^63: (suf diff + P) < 2P ≈ 2e9 times inv31 < P ≈ 1e9. */
+object DeletionHashes2Util {
+  private val P = graft.Core.HashMod
+  private val Inv31 =
+    java.math.BigInteger.valueOf(31)
+      .modPow(java.math.BigInteger.valueOf(P - 2), java.math.BigInteger.valueOf(P))
+      .longValueExact()
+
+  def hashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = str.codePointCount(0, str.length)
+    val cps = new Array[Int](m)
+    var i = 0
+    var k = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp; k += 1; i += Character.charCount(cp)
+    }
+    val prefix = new Array[Long](m + 1)
+    val pow = new Array[Long](m + 1)
+    pow(0) = 1L
+    i = 0
+    while (i < m) {
+      prefix(i + 1) = (prefix(i) * 31 + cps(i)) % P
+      pow(i + 1) = pow(i) * 31 % P
+      i += 1
+    }
+    val suf = new Array[Long](m + 1)
+    i = m - 1
+    while (i >= 0) {
+      suf(i) = (suf(i + 1) + cps(i) * pow(m - 1 - i)) % P
+      i -= 1
+    }
+    val cap = 1 + m + m * (m - 1) / 2
+    val out = new Array[Long](cap)
+    val seen = new java.util.HashSet[java.lang.Long](cap * 2)
+    var n = 0
+    def add(h: Long): Unit = if (seen.add(h)) { out(n) = h; n += 1 }
+    add(prefix(m))
+    i = 0
+    while (i < m) {
+      add((prefix(i) * pow(m - 1 - i) % P + suf(i + 1)) % P)
+      i += 1
+    }
+    i = 0
+    while (i < m - 1) {
+      var j = i + 1
+      while (j < m) {
+        val mid = (suf(i + 1) - suf(j) + P) % P * Inv31 % P
+        add((prefix(i) * pow(m - 2 - i) % P + mid + suf(j + 1)) % P)
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** `deletion_hashes2(string) -> array<bigint>`: the FastSS D≤2
+  * neighborhood as hashes, one codegen'd O(L²) pass per row. */
+case class DeletionHashes2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deletion_hashes2 requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_hashes2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionHashes2Util.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DeletionHashes2Util.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionHashes2 =
+    copy(child = newChild)
 }
 
 /** `deletion_hashes(string) -> array<bigint>`: the FastSS deletion

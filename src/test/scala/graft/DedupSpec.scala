@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     assert(blocked.size == n.count())
   }
 
+  test("distance-2 fuzzy blocking equals the all-pairs result too") {
+    import org.apache.spark.sql.functions._
+    val blocked = Dedup.fuzzyNames2(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val n = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val exact = n.toDF("a", "name_a").crossJoin(n.toDF("b", "name_b"))
+      .filter(col("a") < col("b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+    val counts = exact.select(col("a").as("k"))
+      .union(exact.select(col("b").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(blocked.filter(_._2 > 0L) == counts)
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq

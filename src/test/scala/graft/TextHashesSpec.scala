@@ -75,6 +75,42 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  /** Interpreted D≤2 spelling: D≤1 ∪ every (i < j) double deletion
+    * via substr splicing. Valid for length ≥ 2 (sequence() would
+    * descend for shorter inputs). */
+  private def interpretedDeletions2(c: org.apache.spark.sql.Column) =
+    array_union(
+      interpretedDeletions(c),
+      array_distinct(flatten(transform(sequence(lit(1), length(c) - 1), i =>
+        transform(sequence(i + 1, length(c)), j =>
+          graft.Core.polyHashFold(concat(
+            c.substr(lit(1), i - 1),
+            c.substr(i + 1, j - i - 1),
+            c.substr(j + 1, length(c)))))))))
+
+  test("deletion_hashes2 equals the interpreted double-deletion spelling") {
+    val diff = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(length(col("c_name")) >= 2)
+      .withColumn("native", TextHashes.deletionHashes2(col("c_name")))
+      .withColumn("interp", interpretedDeletions2(col("c_name")))
+      .filter(col("native") =!= col("interp"))
+    assert(diff.count() === 0)
+  }
+
+  test("deletion_hashes2 edge cases: sizes and containment of D<=1") {
+    val rows = spark.sql(
+      """SELECT deletion_hashes2('') AS a, deletion_hashes2('x') AS b,
+        |  deletion_hashes2('abc') AS c, deletion_hashes('abc') AS c1,
+        |  deletion_hashes2(CAST(NULL AS STRING)) AS n""".stripMargin).head()
+    assert(rows.getSeq[Long](0) == Seq(0L))
+    assert(rows.getSeq[Long](1).length === 2) // self + empty
+    // 'abc': 1 self + 3 singles + 3 doubles, all distinct hashes
+    assert(rows.getSeq[Long](2).length === 7)
+    // D<=1 is a prefix of D<=2 (same first-occurrence order)
+    assert(rows.getSeq[Long](2).take(4) == rows.getSeq[Long](3))
+    assert(rows.isNullAt(4))
+  }
+
   test("deletion_hashes edge cases: empty, single char, repeats, null") {
     val rows = spark.sql(
       """SELECT deletion_hashes('') AS a, deletion_hashes('x') AS b,
