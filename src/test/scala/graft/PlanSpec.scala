@@ -331,6 +331,7 @@ class PlanSpec extends SparkSpec {
     assert(executed(Dedup.embeddingLsh(spark, sf)).contains("hyperplane_buckets"))
     assert(executed(Similarity.topkLsh(spark, sf)).contains("hyperplane_buckets"))
     assert(executed(Dedup.fuzzyNames(spark, sf)).contains("deletion_hashes"))
+    assert(executed(Dedup.fuzzyNames2(spark, sf)).contains("deletion_hashes2"))
   }
 
   test("incremental dedup anti-joins on the hash, never shipping text") {
