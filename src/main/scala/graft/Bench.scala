@@ -75,7 +75,7 @@ object Bench {
       runOne(q, warmDir, "warm")
     }
     errors.clear() // warmup failures don't count; timed passes re-report
-    def onePass(tag: String): Map[String, Double] = picked.flatMap { q =>
+    def onePass(tag: String, qs: Seq[Q]): Map[String, Double] = qs.flatMap { q =>
       // release the previous query's internal persists before timing
       Core.releaseCaches()
       runOne(q, sfDir, tag).map(q.name -> _)
@@ -84,8 +84,14 @@ object Bench {
     // interference waves (10–20× slowdowns at low loadavg); whole-suite
     // passes are minutes apart, so a wave poisons at most one sample
     // of any query. The min is the plan's cost, not the host's.
-    val p1 = onePass("p1")
-    val p2 = onePass("p2")
+    // Pass 2 runs in REVERSE order: interference waves are
+    // position-correlated (r10: text_stats/text_bpe_tokens inflated
+    // 3–4× in BOTH passes while isolated runs matched r9), so
+    // identical ordering can park the same query in the same wave
+    // twice; reversing moves every query's neighborhood between
+    // samples so the min sees at most one poisoned sample.
+    val p1 = onePass("p1", picked)
+    val p2 = onePass("p2", picked.reverse)
     val results = picked.flatMap { q =>
       (p1.get(q.name), p2.get(q.name)) match {
         case (Some(a), Some(b)) => Some(q.name -> math.min(a, b))
@@ -112,7 +118,17 @@ object Bench {
     // first — and stays well under the tail window.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${qjson(results)},"queries_p1":${qjson(p1)},"queries_p2":${qjson(p2)}}""")
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}"""
+    println(summary)
+    // The stdout copy rides inside sbt's log framing, whose
+    // `[success] Total time` epilogue has defeated the driver's
+    // last-line parse for ten rounds. A fixed artifact file carries
+    // the same JSON with no framing at all; written before
+    // spark.stop() so a slow shutdown can't truncate it.
+    val out = java.nio.file.Paths.get("target", "bench_summary.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -71,10 +71,15 @@ object SparkEntry {
     // corpus hygiene
     "filter_repetition", "filter_decontaminate", "filter_unigram_score",
     "lm_bigram_prob",
-    // dedup
+    // dedup — dedup_ngram_jaccard and dedup_containment_asym are
+    // demoted shape-twins (of dedup_minhash_lsh / dedup_containment)
+    // in favor of the fuzzy edit-distance family: the D≤2 deletion
+    // index is the one O(N·L²) plan family, and timing it NEXT TO its
+    // O(N·L) radius-1 sibling makes the per-query map itself show the
+    // neighborhood-size multiple.
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_containment", "dedup_containment_asym",
-    "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_containment",
+    "dedup_fuzzy_names", "dedup_fuzzy_names2",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     // similarity / ANN
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_knn_label",

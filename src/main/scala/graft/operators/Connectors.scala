@@ -84,11 +84,24 @@ object Connectors {
   private val spooled =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   def spoolRawDocs(s: SparkSession, d: String): String =
-    spooled.computeIfAbsent(d, _ => {
-      val dir = tmp("graft-binf")
-      Tables(s, d, "documents").select(col("doc_id"), col("text"))
-        .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
-      s"$dir/raw"
+    spooled.compute(d, (_, prev) => {
+      // Re-validate the memo on every hit: the spool lives under a
+      // tmp dir, so an external cleanup mid-session would otherwise
+      // hand consumers a silently-missing path. Re-spool on miss.
+      if (prev != null && new java.io.File(prev).isDirectory) prev
+      else {
+        val dir = tmp("graft-binf")
+        Tables(s, d, "documents").select(col("doc_id"), col("text"))
+          // Contract made explicit: the text sink writes `text + '\n'`
+          // per row, so a null would emit a bare newline while the
+          // DuckDB oracle's strlen(text)+1 goes NULL — a silent
+          // engine/oracle divergence. The driver generator never
+          // produces null text; this pins that assumption at the
+          // fixture boundary rather than depending on it.
+          .filter(col("text").isNotNull)
+          .write.partitionBy("doc_id").mode("overwrite").text(s"$dir/raw")
+        s"$dir/raw"
+      }
     })
 
   /** Raw-file corpus ingest via the `binaryFile` source — the entry

@@ -553,9 +553,11 @@ object Dedup {
       Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
     // native codegen'd neighborhoods (prefix/suffix hash composition
     // — no substring building); parity with the interpreted
-    // substr+fold spellings is pinned in TextHashesSpec
-    val variants = names.select(col("c_custkey"),
-      explode(neighborhood(col("c_name"))).as("h"))
+    // substr+fold spellings is pinned in TextHashesSpec. Cached: the
+    // self-join consumes the explode on BOTH sides, and for radius 2
+    // the neighborhood is the O(L²)-per-row half of the query.
+    val variants = cached(names.select(col("c_custkey"),
+      explode(neighborhood(col("c_name"))).as("h")))
     val cand = variants.toDF("a", "h")
       .join(variants.toDF("b", "h"), "h")
       .filter(col("a") < col("b"))
@@ -585,6 +587,73 @@ object Dedup {
     * bounded and verification exact. */
   def fuzzyNames2(s: SparkSession, d: String): DataFrame =
     fuzzyCounts(s, d, graft.plans.TextHashes.deletionHashes2, 2)
+
+  /** Batch membership predicate for the incremental fuzzy-match
+    * fixture: every 20th customer is "tonight's ingest batch", the
+    * rest are the standing corpus. */
+  private def isFuzzyBatch: Column = col("c_custkey") % 20 === 0
+
+  /** The corpus's standing FastSS deletion-hash index, materialized
+    * ONCE per dataset dir as parquet and read back — the production
+    * artifact an ingest pipeline maintains alongside the corpus (like
+    * a bucketed table or a search index), so the nightly batch query
+    * pays only ITS OWN neighborhood expansion, never the corpus's.
+    * Memoized with the same existence-revalidating pattern as
+    * [[Connectors]] spools; (h, ck) rows only — 16 bytes each, names
+    * never enter the index. */
+  private val fuzzyIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def fuzzyIndex(s: SparkSession, d: String): DataFrame = {
+    val path = fuzzyIndexDirs.compute(d, (_, prev) => {
+      if (prev != null && new java.io.File(prev).isDirectory) prev
+      else {
+        val dir = graft.Core.tempDir("graft-fzidx")
+        Tables(s, d, "customer")
+          .filter(!isFuzzyBatch)
+          .select(col("c_custkey").as("ck"),
+            explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
+          .write.mode("overwrite").parquet(s"$dir/fuzzy_index")
+        s"$dir/fuzzy_index"
+      }
+    })
+    s.read.parquet(path)
+  }
+
+  /** Incremental (batch-vs-corpus) fuzzy match at edit distance ≤ 1 —
+    * the production ingest path for record linkage: tonight's batch
+    * probes the corpus's STANDING deletion-hash index
+    * ([[fuzzyIndex]]) instead of self-joining the whole corpus, so
+    * per-ingest cost is O(batch·L) variant rows against an equi-join,
+    * not O(corpus·L) re-expansion (let alone the O(N²) matrix). Recall
+    * is FastSS-complete: D₁(q) ∩ D₁(c) ≠ ∅ whenever dist(q,c) ≤ 1
+    * (candidates reach distance 2; exact levenshtein trims). Output is
+    * the admission accounting — per batch record, how many corpus
+    * records sit within distance 1 and whether the record is novel
+    * (`admitted`), the fuzzy twin of [[incrementalDedup]]'s anti-join.
+    *
+    * Plan shape (PlanSpec-pinned): exactly ONE Generate — the batch
+    * side's explode; the corpus side is a parquet scan of the stored
+    * index. Candidates travel as (bk, ck) key pairs; names join back
+    * only at verification. */
+  def fuzzyIncremental(s: SparkSession, d: String): DataFrame = {
+    val names = Tables(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    val batch = cached(names.filter(isFuzzyBatch))
+    val probes = batch.select(col("c_custkey").as("bk"),
+      explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
+    val cand = probes.join(fuzzyIndex(s, d), "h")
+      .select("bk", "ck").distinct()
+    val matches = cand
+      .join(batch.select(col("c_custkey").as("bk"), col("c_name").as("batch_name")), "bk")
+      .join(names.filter(!isFuzzyBatch)
+        .select(col("c_custkey").as("ck"), col("c_name").as("corpus_name")), "ck")
+      .filter(levenshtein(col("batch_name"), col("corpus_name")) <= 1)
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+    batch.join(matches, col("c_custkey") === col("bk"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_corpus_fuzzy"),
+        when(coalesce(col("n"), lit(0L)) === 0, 1L).otherwise(0L).as("admitted"))
+      .orderBy("c_custkey")
+  }
 
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
@@ -616,25 +685,36 @@ object Dedup {
   // Duplicate-cluster resolution (connected components)
   // -------------------------------------------------------------------
 
-  /** Transitive duplicate CLUSTERS over the verified MinHash pairs —
-    * the step a corpus pipeline needs AFTER pairwise dedup: A≈B and
-    * B≈C must collapse into one group even when A≈C was never a
-    * candidate. Connected components by synchronous min-label
-    * propagation: each doc starts labeled with its own id; every
-    * iteration takes the min of its own and its neighbors' labels;
-    * fixpoint = min doc_id of the component (deterministic).
+  /** Connected components by synchronous min-label propagation WITH a
+    * pointer-doubling shortcut: each vertex starts labeled with
+    * min(self, neighbors); every round takes the min of (its own
+    * label, its neighbors' labels, its LABEL'S label). The third term
+    * is Shiloach–Vishkin-style pointer jumping — labels form a forest
+    * pointing at smaller ids, and following the pointer's pointer
+    * halves chain depth every round, so convergence is O(log d)
+    * rounds instead of O(d) on a long duplicate chain (the same
+    * shortcut the MapReduce large-star/small-star formulation
+    * provides; on a 100 TB corpus with chained near-dups this is the
+    * difference between ~6 and ~50 shuffles). Fixpoint = min vertex
+    * id of the component (labels only ever take same-component
+    * values, decrease monotonically, and a stable state forces
+    * equality across every edge). Round count is returned so the
+    * planted-chain spec pins the logarithmic behavior.
     *
-    * Scale: one shuffle join + partial-aggregated min per iteration,
-    * iteration count = component diameter (near-dup clusters are
-    * near-cliques, so 2–3 in practice); each round's labels are
-    * materialized via the cache registry so lineage never replays
-    * earlier rounds (a 1000-executor run would checkpoint every few
-    * rounds for fault tolerance — same plan shape). The driver holds
-    * only the converged/not-converged count, never row data. */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
-    val edges = cached(
-      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    * Scale: per round, one shuffle join + partial-aggregated min for
+    * the neighbor term plus one label-keyed self-join for the hop;
+    * each round's labels are materialized via the cache registry (and
+    * the previous round's relation released immediately) so lineage
+    * never replays earlier rounds. A 1000-executor run would
+    * checkpoint every few rounds for fault tolerance — same plan
+    * shape. The driver holds only the converged/not-converged count,
+    * never row data.
+    *
+    * @param pairs undirected edges, two id columns, each pair once.
+    * @return (labels (v, lbl), rounds until fixpoint) */
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val p2 = pairs.toDF("src", "dst")
+    val edges = cached(p2.union(p2.select(col("dst"), col("src"))))
     // Head-start initialization: label0 = min(v, min neighbor) is
     // exactly what round 1 of propagation would produce, but costs one
     // groupBy over the cached edges instead of a join+agg+join round —
@@ -643,23 +723,53 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("v"))
       .agg(min("dst").as("m"))
       .select(col("v"), least(col("v"), col("m")).as("lbl"))
+    var prevRound: Option[DataFrame] = None
+    var rounds = 0
     var delta = 1L
     while (delta > 0) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.select(col("v").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
+      // Pointer hop: lbl(lbl(v)). lbl(v) is always a vertex of the
+      // same component (inductively: a min over same-component ids),
+      // so the lookup always hits; coalesce is belt-and-braces only.
+      val hop = labels.select(col("v").as("p"), col("lbl").as("plbl"))
       // The convergence check rides along as a 0/1 `changed` column:
       // one aggregate action both materializes the round's cached
       // labels (the InMemoryRelation populates as the agg scans it)
       // and returns the changed-count — one job per round, not a
       // separate count() pass after the label job.
-      val next = cached(labels.join(nbrMin, Seq("v"), "left")
+      val next = cached(labels
+        .join(nbrMin, Seq("v"), "left")
+        .join(hop, col("lbl") === col("p"), "left")
         .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("changed")))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("plbl"), col("lbl"))).as("nl"),
+          col("lbl"))
+        .select(col("v"), col("nl").as("lbl"),
+          when(col("nl") < col("lbl"), 1L).otherwise(0L).as("changed")))
       delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
+      // The round's aggregate has materialized `next`; the previous
+      // round's cached labels are now dead — release immediately
+      // instead of letting one relation per round pile up until the
+      // session-level releaseCaches() (double-unpersist there is a
+      // no-op).
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
       labels = next.select("v", "lbl")
     }
+    (labels, rounds)
+  }
+
+  /** Transitive duplicate CLUSTERS over the verified MinHash pairs —
+    * the step a corpus pipeline needs AFTER pairwise dedup: A≈B and
+    * B≈C must collapse into one group even when A≈C was never a
+    * candidate. Resolution is [[connectedComponents]]; cluster_id =
+    * min doc_id of the component (deterministic). */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) = connectedComponents(
+      minhashLsh(s, d).select("doc_a", "doc_b"))
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -857,6 +967,17 @@ object Dedup {
         |c AS (SELECT k, COUNT(*) AS n_fuzzy FROM k GROUP BY k)
         |SELECT n.c_custkey, CAST(COALESCE(c.n_fuzzy, 0) AS BIGINT) AS n_fuzzy
         |FROM n LEFT JOIN c ON n.c_custkey = c.k ORDER BY c_custkey""".stripMargin)),
+    Q("dedup_fuzzy_incremental", fuzzyIncremental, Some(
+      """WITH b AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0),
+        |co AS (SELECT c_name FROM customer WHERE c_custkey % 20 <> 0),
+        |m AS (SELECT b.c_custkey, COUNT(*) AS n
+        |      FROM b JOIN co ON levenshtein(b.c_name, co.c_name) <= 1
+        |      GROUP BY b.c_custkey)
+        |SELECT b.c_custkey,
+        |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_corpus_fuzzy,
+        |  CAST(CASE WHEN COALESCE(m.n, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM b LEFT JOIN m ON b.c_custkey = m.c_custkey
+        |ORDER BY b.c_custkey""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -136,9 +136,24 @@ object DeletionHashes2Util {
       .modPow(java.math.BigInteger.valueOf(P - 2), java.math.BigInteger.valueOf(P))
       .longValueExact()
 
+  /** The D≤2 neighborhood is Θ(L²) entries by definition; its domain
+    * is SHORT KEYS (names, codes, identifiers). Past this bound a
+    * single row would allocate millions of longs plus a HashSet — a
+    * document-length input is a caller bug (shingle/minhash is the
+    * document-scale tool), so fail loudly instead of OOMing an
+    * executor. 512 code points ⇒ ≤ ~131k entries ≈ 1 MB/row, the
+    * practical ceiling for a per-row array. */
+  val MaxCodePoints = 512
+
   def hashes(s: UTF8String): ArrayData = {
     val str = s.toString
     val m = str.codePointCount(0, str.length)
+    if (m > MaxCodePoints)
+      throw new IllegalArgumentException(
+        s"deletion_hashes2: input has $m code points (max $MaxCodePoints)" +
+          " — the D<=2 deletion neighborhood is quadratic in length and" +
+          " meant for short keys (names/identifiers); use shingle-based" +
+          " near-dup operators for document-length text")
     val cps = new Array[Int](m)
     var i = 0
     var k = 0

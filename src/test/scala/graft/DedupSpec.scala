@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge in O(log d) rounds on a long chain") {
+    // planted path 0–1–2–…–40 (diameter 40) plus a disjoint triangle:
+    // plain min-label propagation needs ~diameter rounds; the
+    // pointer-doubling shortcut roughly doubles the collapsed distance
+    // per round, so fixpoint (+1 detection round) lands near
+    // log2(40) ≈ 5.3 — assert well under the linear count.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponents(pairs)
+    val lbl = labels.as[(Long, Long)].collect().toMap
+    (0L to 40L).foreach(v => assert(lbl(v) === 0L))
+    Seq(100L, 101L, 102L).foreach(v => assert(lbl(v) === 100L))
+    assert(rounds <= 8, s"expected O(log 40) rounds, got $rounds")
+    Core.releaseCaches()
+  }
+
   test("brute-force topk ranks the identical vector first for query 0") {
     val rows = Similarity.topkBrute(spark, dir)
       .filter($"q_id" === 0).select("vec_id", "rn").as[(Long, Int)].collect().toSeq

@@ -342,6 +342,17 @@ class PlanSpec extends SparkSpec {
     assert(!s.matches("(?s).*Exchange[^\\n]*text.*"), s.take(800))
   }
 
+  test("incremental fuzzy match explodes only the batch side") {
+    val s = executed(Dedup.fuzzyIncremental(spark, sf))
+    // exactly one Generate: the batch's deletion-neighborhood explode.
+    // The corpus side is a parquet scan of the STORED index — its
+    // expansion was paid once at index build, not per ingest.
+    assert("Generate".r.findAllIn(s).size == 1, s.take(800))
+    assert(s.contains("deletion_hashes"), s.take(800))
+    assert(s.contains("fuzzy_index"), s.take(800))
+    Core.releaseCaches()
+  }
+
   test("cross-doc shingle coverage shuffles hashes, never text") {
     val s = formatted(TrainingFilters.crossdocNgrams(spark, sf))
     // shingle arrays are computed before any exchange; no Exchange
