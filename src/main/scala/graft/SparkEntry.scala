@@ -61,8 +61,11 @@ object SparkEntry {
     // a deliberate A/B: built-in sort+window spelling vs the custom
     // bounded-heap operator on the same query
     "window_topn_per_cust", "window_topk_native", "window_running_sum",
-    // event analytics
+    // event analytics — events_sessionize vs events_sessionize_native
+    // is a deliberate A/B: window+hash-agg spelling vs the custom
+    // single-fold operator on the same query
     "events_scd2", "events_tumbling", "events_sessionize",
+    "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
     "events_retention",
     // text analysis

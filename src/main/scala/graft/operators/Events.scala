@@ -73,6 +73,27 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap sessionization via the custom WHOLE-OPERATOR extension
+    * [[graft.plans.SessionAgg]] — the third A/B spelling of the same
+    * query (vs the window formulation in [[sessionize]] and the
+    * built-in `session_window` in [[sessionWindow]]): one streaming
+    * fold over (user, ts)-sorted rows with O(1) state — no window
+    * buffers, no (user, session) hash table; plan shape
+    * Exchange → spillable Sort → SessionAgg (PlanSpec-pinned). Same
+    * oracle as `events_sessionize`, so the custom operator's
+    * semantics are hash-checked against DuckDB, not just eyeballed. */
+  def sessionizeNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.SessionAgg(
+      load(s, d).select(col("user_id"), col("ts")),
+      "user_id", "ts", 30L * 60 * 1000000000L)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        // ns → µs must be INTEGER division: epoch-ns ≈ 1.7e18 exceeds
+        // double's 53-bit mantissa, so a `/ 1000.0` detour would
+        // corrupt the timestamp
+        fmt(timestamp_micros(expr("start_ns DIV 1000"))).as("session_start"),
+        fmt(timestamp_micros(expr("end_ns DIV 1000"))).as("session_end"))
+      .orderBy("user_id", "session_id")
+
   /** Gap sessionization via the BUILT-IN `session_window` (dynamic
     * gap windows merged by the aggregation) — same semantics as the
     * window-function formulation in [[sessionize]], one shuffle on
@@ -264,6 +285,22 @@ object Events {
          |  COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM buckets GROUP BY 1 ORDER BY win_start""".stripMargin)),
     Q("events_sessionize", sessionize, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+    Q("events_sessionize_native", sessionizeNative, Some(
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

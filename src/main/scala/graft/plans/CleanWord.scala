@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in idiom rewrite that plans it from plain window SQL
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
+    // whole-operator extension #2: single-pass gap sessionization
+    // over sorted input ([[SessionAgg]]) — no window buffers, no
+    // (user, session) hash table
+    ext.injectPlannerStrategy(_ => SessionAggStrategy)
     // clean_word is normally produced by the rewrite rule above, but
     // register it by name too so a SQL-text user can call it directly.
     ext.injectFunction((

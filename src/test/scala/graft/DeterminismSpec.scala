@@ -26,10 +26,14 @@ class DeterminismSpec extends SparkSpec {
     assert(unknown.isEmpty, s"benchSet typos: ${unknown.mkString(", ")}")
     // The cap keeps 3 bench laps inside the driver's wall-clock
     // budget on this host (see SparkEntry.benchSet): 70 sized the
-    // original curation; +1 admits the sub-2-second streaming-sketch
-    // addition without displacing a curated query. Raise only with a
-    // measured timing for each admitted query.
-    assert(SparkEntry.benchSet.size <= 71)
+    // original curation; +1 admitted the sub-2-second streaming-sketch
+    // addition; +1 admits the sessionize A/B twin, measured 0.5 s at
+    // sf0.1 (the same round swapped two ~1 s twins for the fuzzy
+    // family, measured 1.8 s + 31 s — the 31 s is intrinsic result
+    // mass on template-dense names, see SCALE.md, and is the one
+    // family the round was asked to time). Raise only with a measured
+    // timing for each admitted query.
+    assert(SparkEntry.benchSet.size <= 72)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

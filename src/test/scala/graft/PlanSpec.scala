@@ -342,6 +342,19 @@ class PlanSpec extends SparkSpec {
     assert(!s.matches("(?s).*Exchange[^\\n]*text.*"), s.take(800))
   }
 
+  test("native sessionize plans one exchange, a sort, and no window/hash-agg") {
+    val s = executed(Events.sessionizeNative(spark, sf))
+    assert(s.contains("SessionAgg"), s.take(800))
+    // one hash exchange (user clustering) — the final orderBy's range
+    // exchange is separate; the session fold itself adds none
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1, s.take(800))
+    // the window spelling's machinery must be absent: sessions come
+    // from the single fold, not lag/sum windows + a (user, session)
+    // hash aggregate
+    assert(!s.contains("Window"), s.take(800))
+    assert(!s.contains("HashAggregate"), s.take(800))
+  }
+
   test("incremental fuzzy match explodes only the batch side") {
     val s = executed(Dedup.fuzzyIncremental(spark, sf))
     // exactly one Generate: the batch's deletion-neighborhood explode.
