@@ -29,7 +29,7 @@ class DeterminismSpec extends SparkSpec {
     // original curation; +1 admitted the sub-2-second streaming-sketch
     // addition; +1 admits the sessionize A/B twin, measured 0.5 s at
     // sf0.1 (the same round swapped two ~1 s twins for the fuzzy
-    // family, measured 1.8 s + 31 s — the 31 s is intrinsic result
+    // family, measured 1.6 s + 20 s — the 20 s is intrinsic result
     // mass on template-dense names, see SCALE.md, and is the one
     // family the round was asked to time). Raise only with a measured
     // timing for each admitted query.
