@@ -41,6 +41,23 @@ class SessionAggSpec extends SparkSpec {
     assert(native == builtin)
   }
 
+  test("string group keys work (UnsafeRow key copy, not reference reuse)") {
+    // the exec compares group keys as UnsafeRows and copies them on
+    // group change; a string key exercises the variable-length buffer
+    // path where a missed copy would corrupt the emitted user column
+    val df = Seq(
+      ("alice", 0L), ("alice", 5L * Min), ("alice", 60L * Min),
+      ("bob", 0L), ("carol", 90L * Min))
+      .toDF("user_id", "ts")
+    val out = SessionAgg(df, "user_id", "ts", 30L * Min)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("alice", 1L, 2L, 0L, 5L * Min),
+      ("alice", 2L, 1L, 60L * Min, 60L * Min),
+      ("bob", 1L, 1L, 0L, 0L),
+      ("carol", 1L, 1L, 90L * Min, 90L * Min)))
+  }
+
   test("empty input produces no sessions") {
     val df = Seq.empty[(Long, Long)].toDF("user_id", "ts")
     assert(SessionAgg(df, "user_id", "ts", Min).count() == 0L)
