@@ -349,9 +349,49 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  private val CapPerSource = 40
+
+  /** Per-source quota sampling — cap every source at
+    * [[CapPerSource]] documents, chosen by a deterministic hash rank
+    * (stable across runs/partitionings, unbiased w.r.t. doc order).
+    * The production knob that stops one giant crawl domain from
+    * dominating a training mix. Output per source: surviving doc
+    * count, their character volume, and an id checksum pinning the
+    * exact chosen set.
+    *
+    * Scale: selection runs on the custom bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — one hash exchange on
+    * `source`, O(cap) memory per source, NO per-source full sort —
+    * where the built-in `row_number` spelling would sort every row
+    * of a 100 TB corpus just to keep 40 per source. The oracle
+    * replays the row_number spelling; both select the same rows. */
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val ranked = Tables(s, d, "documents")
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(HashMod)))
+    graft.plans.TopKPerGroup(ranked,
+        Seq("source"), Seq("h" -> true, "doc_id" -> true), CapPerSource)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("source")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
+    Q("pipeline_source_cap", sourceCap, Some(
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY (doc_id * 2654435761) % $HashMod, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM r WHERE rk <= $CapPerSource
+         |GROUP BY source ORDER BY source""".stripMargin)),
     Q("pipeline_corpus_prep", corpusPrep, Some(
       s"""WITH scored AS (
          |  SELECT doc_id, source, text, len(t) AS n_tokens,

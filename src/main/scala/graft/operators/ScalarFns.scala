@@ -85,7 +85,49 @@ object ScalarFns {
       .orderBy("p_partkey")
   }
 
+  /** Higher-order array functions — transform / filter / aggregate
+    * (fold) / exists / forall / zip_with — over the per-order
+    * quantity vector. These are the lambda surface Catalyst codegens
+    * per-row (no UDF): every output here is one pass over a small
+    * array inside whole-stage codegen. Quantities are cast to long
+    * and the array is sorted so every derived value is exact integer
+    * arithmetic over a deterministic multiset — hash-comparable with
+    * no floating-point caveats. */
+  def arrayHigherOrder(s: SparkSession, d: String): DataFrame = {
+    val qs = col("qs")
+    Tables(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(qs).as("n_items"),
+        aggregate(qs, lit(0L), (a, x) => a + x).as("total_qty"),
+        aggregate(transform(qs, x => x * x), lit(0L), (a, x) => a + x).as("sum_sq"),
+        size(filter(qs, _ > 30L)).as("n_large"),
+        exists(qs, _ === 1L).cast("int").as("has_single"),
+        forall(qs, _ <= 50L).cast("int").as("all_le50"),
+        aggregate(zip_with(qs, reverse(qs), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).as("rev_dot"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("scalar_arrays", arrayHigherOrder, Some(
+      """WITH a AS (
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS INTEGER) AS n_items,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a, b) -> a + b) AS total_qty,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qs, x -> x * x)), (a, b) -> a + b) AS sum_sq,
+        |  CAST(len(list_filter(qs, x -> x > 30)) AS INTEGER) AS n_large,
+        |  CAST(list_contains(qs, 1) AS INTEGER) AS has_single,
+        |  CAST(len(list_filter(qs, x -> x > 50)) = 0 AS INTEGER) AS all_le50,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(qs)),
+        |      k -> qs[k] * qs[len(qs) + 1 - k])), (a, b) -> a + b) AS rev_dot
+        |FROM a ORDER BY l_orderkey""".stripMargin)),
     Q("scalar_complex", complexFns, Some(
       """SELECT p_partkey,
         |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS words_sorted,

@@ -783,6 +783,167 @@ object Similarity {
        |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // SemDeDup — semantic near-dup pruning inside unsupervised clusters
+  // -------------------------------------------------------------------
+
+  private val SemDedupT = 0.4
+
+  /** SemDeDup-style semantic dedup: cluster first, compare only
+    * within a cluster. Every embedding is assigned to its nearest of
+    * [[KmeansSeeds]] deterministic hash-rank seed vectors (the
+    * unsupervised seeding [[kmeansSeeded]] uses), then in-cluster
+    * pairs at cosine ≥ [[SemDedupT]] mark the higher vec_id as a
+    * prune candidate (keep-lowest-id policy). Output per pruned
+    * vector: its cluster, how many lower-id near-dups it saw, and
+    * the id it dedups to (the minimum such neighbor).
+    *
+    * Scale: the global all-pairs comparison never happens — the
+    * cluster assignment is one broadcast of k·Dim seed floats plus a
+    * map-side argmin (partial-agg collapses the k candidate rows
+    * before the exchange), and the pair stage is an equi-join keyed
+    * by cluster, quadratic only within a cluster. At 100 TB k grows
+    * with the corpus (SemDeDup runs ~100k clusters for billions of
+    * vectors) so blocks stay near-constant-size; AQE's skew-join
+    * splitting handles any oversized cluster. Same blocking contract
+    * as [[Dedup.embeddingLsh]]'s hyperplane buckets, but with the
+    * cluster granularity tunable independently of recall. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+      .withColumn("xx", Vectors.dotd(col("embd"), col("embd")))
+    val hh = pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod))
+    val w = Window.orderBy(
+      pmod(col("vec_id") * lit(2654435761L), lit(graft.Core.HashMod)), col("vec_id"))
+    val seeds = embs(s, d)
+      .select(col("vec_id"), Vectors.toD(col("embedding")).as("sv"))
+      .orderBy(hh, col("vec_id"))
+      .limit(KmeansSeeds)
+      .withColumn("clab", (row_number().over(w) - 1).cast("long"))
+      .withColumn("cc", Vectors.dotd(col("sv"), col("sv")))
+      .select("clab", "sv", "cc")
+    // cached: both sides of the in-cluster self-join read the same
+    // assignment; without it the argmin (and its exchange) runs twice
+    val assigned = cached(
+      e.crossJoin(broadcast(seeds))
+        .withColumn("dist",
+          col("xx") - lit(2.0) * Vectors.dotd(col("embd"), col("sv")) + col("cc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("clab"))).as("m"),
+          first("embd").as("embd"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("m.clab").as("cluster"), col("embd"), col("nrm")))
+    assigned
+      .join(assigned.select(col("cluster"), col("vec_id").as("nb_id"),
+        col("embd").as("nbv"), col("nrm").as("nbn")), "cluster")
+      .filter(col("nb_id") < col("vec_id"))
+      .withColumn("cos_sim",
+        Vectors.dotd(col("embd"), col("nbv")) / (col("nrm") * col("nbn")))
+      .filter(col("cos_sim") >= SemDedupT)
+      .groupBy("cluster", "vec_id")
+      .agg(count(lit(1)).as("n_close_lower"), min("nb_id").as("kept_as"))
+      .orderBy("vec_id")
+  }
+
+  private val oSemanticDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id) - 1 AS clab,
+       |    embedding AS sv
+       |  FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id
+       |  LIMIT $KmeansSeeds),
+       |sw AS (SELECT clab, sv, ${Vectors.oDot("sv", "sv", Vectors.Dim)} AS cc FROM seeds),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, sw.clab,
+       |    (e.xx - 2.0 * ${Vectors.oDot("e.embedding", "sw.sv", Vectors.Dim)}) + sw.cc AS dist
+       |  FROM e CROSS JOIN sw),
+       |asg AS (
+       |  SELECT vec_id, embedding, clab,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clab) AS rn
+       |  FROM scored),
+       |a AS (SELECT vec_id, clab AS cluster, embedding FROM asg WHERE rn = 1),
+       |pr AS (
+       |  SELECT x.cluster, x.vec_id, y.vec_id AS nb_id,
+       |    ${Vectors.oCos("x.embedding", "y.embedding", Vectors.Dim)} AS cos_sim
+       |  FROM a x JOIN a y ON x.cluster = y.cluster AND y.vec_id < x.vec_id)
+       |SELECT cluster, vec_id, COUNT(*) AS n_close_lower, MIN(nb_id) AS kept_as
+       |FROM pr WHERE cos_sim >= $SemDedupT
+       |GROUP BY cluster, vec_id ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Hybrid retrieval — BM25 + embedding legs fused by reciprocal rank
+  // -------------------------------------------------------------------
+
+  private val RrfK = 60
+  private val RrfLeg = 20
+  private val RrfOut = 10
+
+  /** Hybrid search by reciprocal-rank fusion: the lexical leg is the
+    * BM25 top-[[RrfLeg]] shortlist ([[TextAnalysis.bm25]]), the
+    * semantic leg is the cosine top-[[RrfLeg]] against a query vector
+    * (vec 0's embedding); each doc scores
+    * Σ_leg 1/([[RrfK]] + rank), absent legs contributing 0 — the
+    * standard fusion that needs no score calibration between
+    * incomparable scales (BM25 weights vs cosine).
+    *
+    * Scale: both legs are top-k shortlists, never full rankings — the
+    * semantic leg plans as broadcast-query scan + TakeOrderedAndProject
+    * (per-partition heaps, no global sort), the lexical leg is the
+    * filtered-aggregation BM25 plan; only the two k-row shortlists
+    * meet in the fusion join, so rank assignment (a window over ≤ k
+    * rows) and the full-outer fusion are driver-scale no matter the
+    * corpus size. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25(s, d)
+      .select(col("doc_id"), col("score"))
+      .withColumn("lex_rank", row_number().over(lexW))
+      .select("doc_id", "lex_rank")
+    val e = withD(embs(s, d))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embd").as("qv"), col("nrm").as("qn"))
+    val semW = Window.orderBy(col("score").desc, col("doc_id"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        Vectors.dotd(col("embd"), col("qv")) / (col("nrm") * col("qn")))
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(RrfLeg)
+      .withColumn("sem_rank", row_number().over(semW))
+      .select("doc_id", "sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(RrfOut)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+  }
+
+  private val oHybridRrfSql: String =
+    s"""WITH ${TextAnalysis.oBm25Cte},
+       |lexall AS (SELECT doc_id, (w_table + w_spark + w_query) AS score FROM p),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM lexall ORDER BY score DESC, doc_id LIMIT $RrfLeg),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |semall AS (
+       |  SELECT e.vec_id AS doc_id, ${Vectors.oCos("e.embedding", "qv.q", Vectors.Dim)} AS score
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+       |sem AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS sem_rank
+       |  FROM semall ORDER BY score DESC, doc_id LIMIT $RrfLeg),
+       |f AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank,
+       |  (COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), CAST(0 AS DOUBLE))
+       |   + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + sem_rank), CAST(0 AS DOUBLE))) AS rrf_score
+       |FROM f ORDER BY rrf_score DESC, doc_id LIMIT $RrfOut""".stripMargin
+
   private val oPqRecallSql: String =
     s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
        |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
@@ -792,6 +953,8 @@ object Similarity {
        |GROUP BY b.q_id ORDER BY q_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("dedup_semantic", semanticDedup, Some(oSemanticDedupSql)),
+    Q("search_hybrid_rrf", hybridRrf, Some(oHybridRrfSql)),
     Q("sim_pq_adc", pqAdc, Some(oPqAdcSql)),
     Q("sim_pq_rerank", pqRerank, Some(oPqRerankSql)),
     Q("sim_pq_recall", pqRecall, Some(oPqRecallSql)),

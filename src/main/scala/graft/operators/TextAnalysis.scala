@@ -287,6 +287,31 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** The [[bm25]] oracle CTE chain through `p` (per-doc BM25 term
+    * weights) — shared with the hybrid-retrieval fusion oracle
+    * ([[Similarity]]'s `search_hybrid_rrf`), which re-ranks the same
+    * lexical scores against a semantic leg. */
+  private[operators] val oBm25Cte: String =
+    s"""ds AS (SELECT doc_id, len($oTokens) AS dl, $oTokens AS t FROM documents),
+       |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM ds),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM ds)
+       |       WHERE term IN ('table', 'spark', 'query')
+       |       GROUP BY doc_id, dl, term),
+       |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |w AS (SELECT doc_id, term,
+       |    (((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |     * (tf * CAST(2.2 AS DOUBLE)))
+       |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+       |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE)
+       |         / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS w
+       |  FROM tf JOIN dfc USING (term) CROSS JOIN corpus),
+       |p AS (SELECT doc_id,
+       |    COALESCE(MAX(CASE WHEN term = 'table' THEN w END), CAST(0 AS DOUBLE)) AS w_table,
+       |    COALESCE(MAX(CASE WHEN term = 'spark' THEN w END), CAST(0 AS DOUBLE)) AS w_spark,
+       |    COALESCE(MAX(CASE WHEN term = 'query' THEN w END), CAST(0 AS DOUBLE)) AS w_query
+       |  FROM w GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("text_bpe_tokens", bpeTokenCount, Some(
       s"""SELECT doc_id,
@@ -375,25 +400,7 @@ object TextAnalysis {
          |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin)),
     Q("text_bm25", bm25, Some(
-      s"""WITH ds AS (SELECT doc_id, len($oTokens) AS dl, $oTokens AS t FROM documents),
-         |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM ds),
-         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM ds)
-         |       WHERE term IN ('table', 'spark', 'query')
-         |       GROUP BY doc_id, dl, term),
-         |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |w AS (SELECT doc_id, term,
-         |    (((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
-         |     * (tf * CAST(2.2 AS DOUBLE)))
-         |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-         |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE)
-         |         / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS w
-         |  FROM tf JOIN dfc USING (term) CROSS JOIN corpus),
-         |p AS (SELECT doc_id,
-         |    COALESCE(MAX(CASE WHEN term = 'table' THEN w END), CAST(0 AS DOUBLE)) AS w_table,
-         |    COALESCE(MAX(CASE WHEN term = 'spark' THEN w END), CAST(0 AS DOUBLE)) AS w_spark,
-         |    COALESCE(MAX(CASE WHEN term = 'query' THEN w END), CAST(0 AS DOUBLE)) AS w_query
-         |  FROM w GROUP BY doc_id)
+      s"""WITH $oBm25Cte
          |SELECT doc_id, w_table, w_spark, w_query,
          |  (w_table + w_spark + w_query) AS score
          |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
