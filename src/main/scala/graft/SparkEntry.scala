@@ -68,8 +68,9 @@ object SparkEntry {
     "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
     "events_retention",
-    // text analysis
-    "text_bpe_tokens", "text_stats", "text_langid", "text_fingerprint",
+    // text analysis — text_langid is a demoted shape-twin (per-row
+    // scan + tiny agg, timed under text_stats/filter_unigram_score)
+    "text_bpe_tokens", "text_stats", "text_fingerprint",
     "tfidf_top_terms", "text_bm25",
     // corpus hygiene
     "filter_repetition", "filter_decontaminate", "filter_unigram_score",
@@ -84,9 +85,14 @@ object SparkEntry {
     "dedup_clusters", "dedup_containment",
     "dedup_fuzzy_names", "dedup_fuzzy_names2",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
-    // similarity / ANN
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_knn_label",
+    // similarity / ANN — sim_knn_label is a demoted shape-twin
+    // (label-blocked quadratic + bounded-heap top-k, both timed by
+    // dedup_semantic and window_topk_native); dedup_semantic and
+    // search_hybrid_rrf are the round-11 families: cluster-blocked
+    // semantic pruning and shortlist rank fusion
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
     "sim_quantize_int8", "sim_kmeans_full",
+    "dedup_semantic", "search_hybrid_rrf",
     // temporal joins
     "asof_click_purchase", "range_clicks_purchase",
     // sketches / UDAF

@@ -556,8 +556,15 @@ object Dedup {
     // substr+fold spellings is pinned in TextHashesSpec. Cached: the
     // self-join consumes the explode on BOTH sides, and for radius 2
     // the neighborhood is the O(L²)-per-row half of the query.
+    // array_distinct BEFORE the explode: deleting within a run of
+    // identical characters yields the same variant from every
+    // position (a length-r run contributes C(r,2) copies of one
+    // 2-deletion), and duplicate (id, h) index rows amplify the
+    // self-join QUADRATICALLY — on sf0.1's zero-padded names the
+    // join output is 195M rows with duplicates vs 65M without (3×),
+    // for a per-row O(L² log L) dedup the candidate set never sees.
     val variants = cached(names.select(col("c_custkey"),
-      explode(neighborhood(col("c_name"))).as("h")))
+      explode(array_distinct(neighborhood(col("c_name")))).as("h")))
     // Candidates travel as (a, b) KEY pairs and deduplicate BEFORE
     // names join back for verification. The tempting alternative —
     // carry names through the variant explode and filter inside the
@@ -566,6 +573,13 @@ object Dedup {
     // the query, and widening every row by two name strings costs
     // far more than the post-distinct broadcast joins save. Keys
     // through the big shuffle, payloads after the dedup.
+    // distinct-FIRST, verify second: the distinct's partial aggregate
+    // dedupes candidates map-side before the only wide shuffle, so
+    // the exchange carries ~17M keys (sf0.1) instead of the raw 31.7M
+    // join output; the verify-first alternative (broadcast the names
+    // onto the raw stream, levenshtein before any dedup) measured
+    // 2.6× SLOWER at sf0.1 (78 s vs 30 s) — it forfeits that partial
+    // dedup and materializes two name strings per raw candidate.
     val cand = variants.toDF("a", "h")
       .join(variants.toDF("b", "h"), "h")
       .filter(col("a") < col("b"))
@@ -624,7 +638,10 @@ object Dedup {
         Tables(s, d, "customer")
           .filter(!isFuzzyBatch)
           .select(col("c_custkey").as("ck"),
-            explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
+            // per-name variant dedup (see fuzzyCounts): identical-char
+            // runs would otherwise store duplicate (h, ck) rows
+            explode(array_distinct(
+              graft.plans.TextHashes.deletionHashes(col("c_name")))).as("h"))
           .write.mode("overwrite").parquet(s"$dir/fuzzy_index")
         s"$dir/fuzzy_index"
       }
@@ -652,7 +669,8 @@ object Dedup {
     val names = Tables(s, d, "customer").select(col("c_custkey"), col("c_name"))
     val batch = cached(names.filter(isFuzzyBatch))
     val probes = batch.select(col("c_custkey").as("bk"),
-      explode(graft.plans.TextHashes.deletionHashes(col("c_name"))).as("h"))
+      explode(array_distinct(
+        graft.plans.TextHashes.deletionHashes(col("c_name")))).as("h"))
     val cand = probes.join(fuzzyIndex(s, d), "h")
       .select("bk", "ck").distinct()
     val matches = cand

@@ -287,6 +287,94 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private val BpeRounds = 5
+  /** Token separator inside the per-doc merge state — a control char
+    * the cleaned token alphabet ([a-z0-9]) can never contain, so a
+    * separator collision is impossible by construction. */
+  private val BpeSep = "\u0001"
+
+  /** BPE tokenizer TRAINING — the real iterative merge loop, not the
+    * regex approximation [[bpeTokenCount]] applies at inference. Each
+    * round counts every adjacent token pair across the corpus, picks
+    * the most frequent (ties by byte order), and rewrites the corpus
+    * with that pair merged — the left-to-right non-overlapping merge
+    * GPT-2-style BPE performs. Output: the [[BpeRounds]] learned
+    * merges in order, with their pre-merge pair counts.
+    *
+    * The per-doc state is the separator-joined token string, so the
+    * merge step is one literal `replace` per doc (codegen'd,
+    * map-side) and pair extraction is a slice-zip over the re-split
+    * tokens — no per-row loops outside codegen, no driver collect:
+    * the winning pair is a 1-row broadcast frame joined into the next
+    * round, exactly the iterate-on-broadcast shape of
+    * [[Similarity]]'s k-means.
+    *
+    * Scale: per round, the corpus is scanned map-side (explode of
+    * adjacent pairs feeds a partially-aggregated count — the shuffle
+    * carries |vocab²∩corpus| pair tallies, not tokens) and the argmax
+    * is TakeOrdered(1). The corpus itself never shuffles in any
+    * round. Production BPE trainers run on a sampled shard for
+    * exactly this reason; the loop here is the shard trainer. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    def pairs(t: Column): Column =
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(BpeSep), b))
+    val base = cached(docs(s, d)
+      .select(concat_ws(BpeSep, tokens(col("text"))).as("s"))
+      .filter(col("s") =!= ""))
+    var cur = base
+    var merges: Option[DataFrame] = None
+    for (r <- 1 to BpeRounds) {
+      // cached: the round winner feeds BOTH the merge-table union and
+      // the next round's broadcast rewrite
+      val top1 = cached(
+        cur.select(explode(pairs(split(col("s"), BpeSep))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1)
+          .select(lit(r).as("round"), col("pair"), col("cnt")))
+      merges = Some(merges.fold(top1)(_.union(top1)))
+      // cached: truncates the recompute chain — round r+1's pair scan
+      // reads this round's rewrite once, not the whole replay
+      cur = cached(
+        cur.crossJoin(broadcast(
+            top1.select(col("pair"), replace(col("pair"), lit(BpeSep), lit("")).as("merged"))))
+          .select(replace(col("s"), col("pair"), col("merged")).as("s")))
+    }
+    merges.get
+      .select(col("round"),
+        element_at(split(col("pair"), BpeSep), 1).as("lhs"),
+        element_at(split(col("pair"), BpeSep), 2).as("rhs"),
+        replace(col("pair"), lit(BpeSep), lit("")).as("merged"),
+        col("cnt"))
+      .orderBy("round")
+  }
+
+  private val oBpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      k -> t[k] || chr(1) || t[k + 1])) AS pair
+         |    FROM (SELECT string_split(s, chr(1)) AS t FROM d${r - 1}))
+         |  GROUP BY pair),
+         |m$r AS (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |d$r AS (
+         |  SELECT replace(s, m$r.pair, replace(m$r.pair, chr(1), '')) AS s
+         |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH d0 AS (
+       |  SELECT array_to_string(t, chr(1)) AS s
+       |  FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) > 0),
+       |$rounds
+       |SELECT CAST(round AS INTEGER) AS round,
+       |  string_split(pair, chr(1))[1] AS lhs,
+       |  string_split(pair, chr(1))[2] AS rhs,
+       |  replace(pair, chr(1), '') AS merged, cnt
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   /** The [[bm25]] oracle CTE chain through `p` (per-doc BM25 term
     * weights) — shared with the hybrid-retrieval fusion oracle
     * ([[Similarity]]'s `search_hybrid_rrf`), which re-ranks the same
@@ -399,6 +487,7 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin)),
+    Q("text_bpe_train", bpeTrain, Some(oBpeTrainSql)),
     Q("text_bm25", bm25, Some(
       s"""WITH $oBm25Cte
          |SELECT doc_id, w_table, w_spark, w_query,

@@ -81,6 +81,28 @@ class RetrievalSpec extends SparkSpec {
     assert(capped.toSeq == oracle.toSeq)
   }
 
+  test("BPE training learns real merges: count-ordered, reproducible, consistent") {
+    val m = operators.TextAnalysis.bpeTrain(spark, sf).collect()
+    assert(m.length == 5)
+    assert(m.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    for (r <- m) {
+      assert(r.getString(3) == r.getString(1) + r.getString(2),
+        "merged token must be the pair concatenation")
+      assert(r.getLong(4) > 0, "a learned merge must have positive support")
+    }
+    // round 1's winner is the true argmax adjacent pair of the raw
+    // tokenized corpus — recompute it independently
+    val t = operators.TextAnalysis.tokens(col("text"))
+    val top = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws("\u0001", a, b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+    assert(m(0).getString(3) == top.getString(0).replace("\u0001", ""))
+    assert(m(0).getLong(4) == top.getLong(1))
+  }
+
   test("array higher-order outputs equal scalar recomputation per order") {
     val out = ScalarFns.arrayHigherOrder(spark, sf)
     // independent ground truth: plain scalar aggregates, no arrays
