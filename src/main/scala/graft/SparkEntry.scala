@@ -64,14 +64,17 @@ object SparkEntry {
     // event analytics — events_sessionize vs events_sessionize_native
     // is a deliberate A/B: window+hash-agg spelling vs the custom
     // single-fold operator on the same query
-    "events_scd2", "events_tumbling", "events_sessionize",
+    // events_tumbling is a demoted shape-twin (time-bucketed hash
+    // agg, timed under events_retention's rollup) in favor of the
+    // round-11 BPE trainer family below
+    "events_scd2", "events_sessionize",
     "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
     "events_retention",
     // text analysis — text_langid is a demoted shape-twin (per-row
     // scan + tiny agg, timed under text_stats/filter_unigram_score)
     "text_bpe_tokens", "text_stats", "text_fingerprint",
-    "tfidf_top_terms", "text_bm25",
+    "tfidf_top_terms", "text_bm25", "text_bpe_train",
     // corpus hygiene
     "filter_repetition", "filter_decontaminate", "filter_unigram_score",
     "lm_bigram_prob",

