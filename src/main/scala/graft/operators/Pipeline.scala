@@ -378,9 +378,57 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Train-vs-holdout unigram drift monitor: split the corpus by the
+    * deterministic content hash ([[hashSplit]]'s 80/20), count every
+    * token's occurrences in each side, and rank tokens by the
+    * absolute difference of their per-billion occurrence rates —
+    * integer-quantized, so the statistic is exact and
+    * order-independent. The production check that a validation set
+    * still looks like the training distribution (and, run between
+    * two corpus SNAPSHOTS, the data-drift alarm for an ingest
+    * pipeline).
+    *
+    * Scale: one scan + explode feeding a partially-aggregated
+    * per-token conditional count (the shuffle carries vocabulary
+    * cardinality, not token instances); the totals frame is a 1-row
+    * broadcast; the final cut is TakeOrdered(20). */
+  def tokenDrift(s: SparkSession, d: String): DataFrame = {
+    val split = when(polyHash(col("text")) % 100 < 80, "train").otherwise("holdout")
+    val counts = Tables(s, d, "documents")
+      .select(split.as("split"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("c_hold"))
+    val totals = counts.agg(sum("c_train").as("n_train"), sum("c_hold").as("n_hold"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift", abs(
+        expr("(c_train * 1000000000) div n_train") -
+          expr("(c_hold * 1000000000) div n_hold")))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(20)
+      .select("term", "c_train", "c_hold", "drift")
+  }
+
   private val oTok = TextAnalysis.oTokens
 
   val queries: Seq[Q] = Seq(
+    Q("pipeline_token_drift", tokenDrift, Some(
+      s"""WITH toks AS (
+         |  SELECT CASE WHEN ${oPolyHash("text")} % 100 < 80
+         |           THEN 'train' ELSE 'holdout' END AS split,
+         |         unnest($oTok) AS term
+         |  FROM documents),
+         |counts AS (SELECT term,
+         |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+         |    CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS c_hold
+         |  FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(SUM(c_train) AS BIGINT) AS n_train,
+         |               CAST(SUM(c_hold) AS BIGINT) AS n_hold FROM counts)
+         |SELECT term, c_train, c_hold,
+         |  abs((c_train * 1000000000) // n_train
+         |      - (c_hold * 1000000000) // n_hold) AS drift
+         |FROM counts CROSS JOIN tot
+         |ORDER BY drift DESC, term LIMIT 20""".stripMargin)),
     Q("pipeline_source_cap", sourceCap, Some(
       s"""WITH r AS (
          |  SELECT source, doc_id, n_chars,

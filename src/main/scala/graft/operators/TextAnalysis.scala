@@ -315,20 +315,58 @@ object TextAnalysis {
     * is TakeOrdered(1). The corpus itself never shuffles in any
     * round. Production BPE trainers run on a sampled shard for
     * exactly this reason; the loop here is the shard trainer. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeLoop(s, d)._2
+      .select(col("round"),
+        element_at(split(col("pair"), BpeSep), 1).as("lhs"),
+        element_at(split(col("pair"), BpeSep), 2).as("rhs"),
+        replace(col("pair"), lit(BpeSep), lit("")).as("merged"),
+        col("cnt"))
+      .orderBy("round")
+
+  /** BPE APPLY — tokenize the corpus with the merges [[bpeTrain]]
+    * learned, reporting per-doc compression accounting (tokens
+    * before/after, tokens saved). The final rewrite state of the
+    * training loop IS the applied tokenization, so train and apply
+    * share one plan prefix; a production pipeline runs apply as the
+    * same broadcast-rewrite chain against a FROZEN merge table. */
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeLoop(s, d)._1
+      .select(col("doc_id"), col("n0").as("n_tokens_before"),
+        size(bpeFinalTokens(col("s"))).as("n_tokens_after"),
+        (col("n0") - size(bpeFinalTokens(col("s")))).as("n_saved"))
+      .orderBy("doc_id")
+
+  /** The shared merge loop: (final per-doc state, merge table).
+    *
+    * The per-doc state wraps EVERY token in separators —
+    * `␟tok1␟␟tok2␟` — so the literal merge pattern
+    * `␟lhs␟␟rhs␟ → ␟merged␟` is token-boundary-anchored: a pair can
+    * only match two complete adjacent tokens (a naive `lhs␟rhs`
+    * pattern on a single-separator state also matches mid-token,
+    * silently merging e.g. "soo·the | of·ten"), and because the
+    * pattern consumes both full wrappers, left-to-right
+    * non-overlapping replacement merges `a a a a → aa aa` and
+    * `a a a → aa a` — exactly GPT-2's per-scan semantics — without
+    * regex lookarounds (which DuckDB's RE2 oracle could not replay). */
+  private def bpeLoop(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val Sep2 = BpeSep + BpeSep
+    def retok(st: Column): Column = split(trim(st, BpeSep), Sep2)
     def pairs(t: Column): Column =
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(BpeSep), b))
     val base = cached(docs(s, d)
-      .select(concat_ws(BpeSep, tokens(col("text"))).as("s"))
-      .filter(col("s") =!= ""))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).as("n0"),
+        concat(lit(BpeSep), concat_ws(Sep2, col("t")), lit(BpeSep)).as("s")))
     var cur = base
     var merges: Option[DataFrame] = None
     for (r <- 1 to BpeRounds) {
       // cached: the round winner feeds BOTH the merge-table union and
       // the next round's broadcast rewrite
       val top1 = cached(
-        cur.select(explode(pairs(split(col("s"), BpeSep))).as("pair"))
+        cur.select(explode(pairs(retok(col("s")))).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("pair"))
           .limit(1)
@@ -337,43 +375,63 @@ object TextAnalysis {
       // cached: truncates the recompute chain — round r+1's pair scan
       // reads this round's rewrite once, not the whole replay
       cur = cached(
-        cur.crossJoin(broadcast(
-            top1.select(col("pair"), replace(col("pair"), lit(BpeSep), lit("")).as("merged"))))
-          .select(replace(col("s"), col("pair"), col("merged")).as("s")))
+        cur.crossJoin(broadcast(top1.select(
+            concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit(Sep2)),
+              lit(BpeSep)).as("pat"),
+            concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit("")),
+              lit(BpeSep)).as("rep"))))
+          .select(col("doc_id"), col("n0"),
+            replace(col("s"), col("pat"), col("rep")).as("s")))
     }
-    merges.get
-      .select(col("round"),
-        element_at(split(col("pair"), BpeSep), 1).as("lhs"),
-        element_at(split(col("pair"), BpeSep), 2).as("rhs"),
-        replace(col("pair"), lit(BpeSep), lit("")).as("merged"),
-        col("cnt"))
-      .orderBy("round")
+    (cur, merges.get)
   }
+  private[graft] def bpeFinalTokens(st: Column): Column =
+    split(trim(st, BpeSep), BpeSep + BpeSep)
 
-  private val oBpeTrainSql: String = {
+  /** The oracle replay of [[bpeLoop]]: d0..dN rewrite states (doc_id
+    * and pre-merge count carried through) and m1..mN round winners —
+    * shared by the train and apply oracles. */
+  private val oBpeChain: String = {
+    // ␟tok␟␟tok␟ wrapped state + boundary-anchored literal patterns —
+    // byte-for-byte the [[bpeLoop]] spellings
+    val retok = "string_split(trim(s, chr(1)), chr(1) || chr(1))"
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT pair, COUNT(*) AS cnt FROM (
          |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
          |      k -> t[k] || chr(1) || t[k + 1])) AS pair
-         |    FROM (SELECT string_split(s, chr(1)) AS t FROM d${r - 1}))
+         |    FROM (SELECT $retok AS t FROM d${r - 1}))
          |  GROUP BY pair),
          |m$r AS (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |d$r AS (
-         |  SELECT replace(s, m$r.pair, replace(m$r.pair, chr(1), '')) AS s
+         |  SELECT doc_id, n0, replace(s,
+         |      chr(1) || replace(m$r.pair, chr(1), chr(1) || chr(1)) || chr(1),
+         |      chr(1) || replace(m$r.pair, chr(1), '') || chr(1)) AS s
          |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
     }.mkString(",\n")
+    s"""d0 AS (
+       |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n0,
+       |    chr(1) || array_to_string(t, chr(1) || chr(1)) || chr(1) AS s
+       |  FROM (SELECT doc_id, $oTokens AS t FROM documents) WHERE len(t) > 0),
+       |$rounds""".stripMargin
+  }
+
+  private val oBpeTrainSql: String = {
     val union = (1 to BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    s"""WITH d0 AS (
-       |  SELECT array_to_string(t, chr(1)) AS s
-       |  FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) > 0),
-       |$rounds
+    s"""WITH $oBpeChain
        |SELECT CAST(round AS INTEGER) AS round,
        |  string_split(pair, chr(1))[1] AS lhs,
        |  string_split(pair, chr(1))[2] AS rhs,
        |  replace(pair, chr(1), '') AS merged, cnt
        |FROM ($union) ORDER BY round""".stripMargin
   }
+
+  private val oBpeApplySql: String =
+    s"""WITH $oBpeChain
+       |SELECT doc_id, n0 AS n_tokens_before,
+       |  CAST(len(string_split(trim(s, chr(1)), chr(1) || chr(1))) AS INTEGER) AS n_tokens_after,
+       |  n0 - CAST(len(string_split(trim(s, chr(1)), chr(1) || chr(1))) AS INTEGER) AS n_saved
+       |FROM d$BpeRounds ORDER BY doc_id""".stripMargin
 
   /** The [[bm25]] oracle CTE chain through `p` (per-doc BM25 term
     * weights) — shared with the hybrid-retrieval fusion oracle
@@ -488,6 +546,7 @@ object TextAnalysis {
          |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin)),
     Q("text_bpe_train", bpeTrain, Some(oBpeTrainSql)),
+    Q("text_bpe_apply", bpeApply, Some(oBpeApplySql)),
     Q("text_bm25", bm25, Some(
       s"""WITH $oBm25Cte
          |SELECT doc_id, w_table, w_spark, w_query,

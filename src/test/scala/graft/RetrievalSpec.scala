@@ -103,6 +103,49 @@ class RetrievalSpec extends SparkSpec {
     assert(m(0).getLong(4) == top.getLong(1))
   }
 
+  test("BPE apply accounts compression consistently with the learned merges") {
+    val m = operators.TextAnalysis.bpeTrain(spark, sf).collect()
+    val a = operators.TextAnalysis.bpeApply(spark, sf).collect()
+    assert(a.nonEmpty)
+    for (r <- a) {
+      assert(r.getInt(2) >= 1, "post-merge docs keep at least one token")
+      assert(r.getInt(3) == r.getInt(1) - r.getInt(2))
+      assert(r.getInt(3) >= 0, "merging can never add tokens")
+    }
+    val saved = a.map(_.getInt(3).toLong).sum
+    // every non-overlapping application of a merge saves exactly one
+    // token, and each round's winner was counted pre-merge WITH
+    // overlaps — so total savings are positive and bounded by the
+    // sum of the learned pair counts
+    assert(saved > 0)
+    assert(saved <= m.map(_.getLong(4)).sum)
+  }
+
+  test("token drift rows recompute from independent split counts") {
+    val out = Pipeline.tokenDrift(spark, sf).collect()
+    assert(out.length == 20)
+    // independent recomputation of the two distributions
+    val t = operators.TextAnalysis.tokens(col("text"))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select((Core.polyHash(col("text")) % 100 < 80).as("isTrain"),
+        explode(t).as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("isTrain"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("isTrain"), 1L).otherwise(0L)).as("ch"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nTrain = counts.values.map(_._1).sum
+    val nHold = counts.values.map(_._2).sum
+    var prev = Long.MaxValue
+    for (r <- out) {
+      val (ct, ch) = counts(r.getString(0))
+      assert(r.getLong(1) == ct && r.getLong(2) == ch)
+      val drift = math.abs(ct * 1000000000L / nTrain - ch * 1000000000L / nHold)
+      assert(r.getLong(3) == drift)
+      assert(r.getLong(3) <= prev, "drift must be sorted descending")
+      prev = r.getLong(3)
+    }
+  }
+
   test("array higher-order outputs equal scalar recomputation per order") {
     val out = ScalarFns.arrayHigherOrder(spark, sf)
     // independent ground truth: plain scalar aggregates, no arrays
