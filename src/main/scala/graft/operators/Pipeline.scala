@@ -411,24 +411,30 @@ object Pipeline {
 
   private val oTok = TextAnalysis.oTokens
 
+  /** [[tokenDrift]]'s oracle — shared with the streaming replay
+    * (`stream_token_drift`), which maintains the same per-term split
+    * counters incrementally and must converge to the identical
+    * ranking. */
+  private[graft] val oTokenDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN ${oPolyHash("text")} % 100 < 80
+       |           THEN 'train' ELSE 'holdout' END AS split,
+       |         unnest($oTok) AS term
+       |  FROM documents),
+       |counts AS (SELECT term,
+       |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+       |    CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS c_hold
+       |  FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(c_train) AS BIGINT) AS n_train,
+       |               CAST(SUM(c_hold) AS BIGINT) AS n_hold FROM counts)
+       |SELECT term, c_train, c_hold,
+       |  abs((c_train * 1000000000) // n_train
+       |      - (c_hold * 1000000000) // n_hold) AS drift
+       |FROM counts CROSS JOIN tot
+       |ORDER BY drift DESC, term LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("pipeline_token_drift", tokenDrift, Some(
-      s"""WITH toks AS (
-         |  SELECT CASE WHEN ${oPolyHash("text")} % 100 < 80
-         |           THEN 'train' ELSE 'holdout' END AS split,
-         |         unnest($oTok) AS term
-         |  FROM documents),
-         |counts AS (SELECT term,
-         |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
-         |    CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS c_hold
-         |  FROM toks GROUP BY term),
-         |tot AS (SELECT CAST(SUM(c_train) AS BIGINT) AS n_train,
-         |               CAST(SUM(c_hold) AS BIGINT) AS n_hold FROM counts)
-         |SELECT term, c_train, c_hold,
-         |  abs((c_train * 1000000000) // n_train
-         |      - (c_hold * 1000000000) // n_hold) AS drift
-         |FROM counts CROSS JOIN tot
-         |ORDER BY drift DESC, term LIMIT 20""".stripMargin)),
+    Q("pipeline_token_drift", tokenDrift, Some(oTokenDriftSql)),
     Q("pipeline_source_cap", sourceCap, Some(
       s"""WITH r AS (
          |  SELECT source, doc_id, n_chars,

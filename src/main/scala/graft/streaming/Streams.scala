@@ -137,6 +137,36 @@ object Streams {
       .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
   }
 
+  /** Streaming distribution-drift monitor: the per-term train/holdout
+    * split counters of `pipeline_token_drift` maintained INCREMENTALLY
+    * over the document stream — each micro-batch's tokens fold into
+    * two conditional sums per term (partial aggregation map-side,
+    * state = one row per vocabulary term), and the drift ranking is
+    * computed over the converged counters. The production shape for
+    * "is tonight's ingest still distributed like the training set":
+    * state grows with vocabulary, never with stream length, and the
+    * replay must converge to the batch oracle's exact ranking. */
+  def streamTokenDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = s.readStream.schema(documentsSchema)
+      .parquet(streamDir(s"$d/documents.parquet"))
+    val split = when(polyHash(col("text")) % 100 < 80, "train").otherwise("holdout")
+    val counts = docs
+      .select(split.as("split"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("c_hold"))
+    val c = runToMemory(counts, OutputMode.Complete())
+    val totals = c.agg(sum("c_train").as("n_train"), sum("c_hold").as("n_hold"))
+    c.crossJoin(broadcast(totals))
+      .withColumn("drift", abs(
+        expr("(c_train * 1000000000) div n_train") -
+          expr("(c_hold * 1000000000) div n_hold")))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(20)
+      .select("term", "c_train", "c_hold", "drift")
+  }
+
   /** Continuous raw-file ingest: the binaryFile connector lifted onto
     * `readStream` — loose corpus files are fingerprinted (byte length
     * + md5) as they land, the front door of a continuously-fed
@@ -734,6 +764,8 @@ object Streams {
     Q("stream_wordcount", streamWordCount, Some(
       s"""SELECT word, COUNT(*) AS count FROM ($cleanedSql)
          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    Q("stream_token_drift", streamTokenDrift,
+      Some(graft.operators.Pipeline.oTokenDriftSql)),
     Q("stream_heavy_hitters", streamHeavyHitters, Some(
       s"""SELECT row_number() OVER (ORDER BY count DESC, word) AS rn, word, count
          |FROM (SELECT word, COUNT(*) AS count FROM ($cleanedSql)

@@ -151,6 +151,13 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.streamLeftOuterJoin(spark, dir).count() == 0L)
   }
 
+  test("streaming token drift converges to the batch monitor exactly") {
+    val streamed = Streams.streamTokenDrift(spark, sf).collect().toSeq
+    val batch = graft.operators.Pipeline.tokenDrift(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("registered sessionize emits a deterministic subset of batch sessions") {
     val streamed = Streams.streamSessionize(spark, sf)
       .as[(Long, String, String, Long)].collect().toSet
