@@ -233,6 +233,25 @@ object Events {
         sum(col("k").cast("long")).as("sum_k"))
       .orderBy("event_type")
 
+  /** [[jsonExtract]] through Spark 4's VARIANT type: `parse_json`
+    * shreds the props string once into the binary variant encoding,
+    * `variant_get` reads typed paths without re-parsing — the modern
+    * semi-structured path (per-row parse cost paid once even when
+    * many fields are read, and open-schema data needs no DDL). Same
+    * aggregation and oracle as the string-path twin, so the two
+    * spellings are pinned equal. */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
   /** SCD2 (slowly-changing-dimension type 2) interval build: collapse
     * each user's event-type stream into state-change rows with
     * `[valid_from, valid_to)` validity; `valid_to` is null (and
@@ -254,6 +273,14 @@ object Events {
         col("next_ts").isNull.as("is_current"))
       .orderBy("user_id", "valid_from", "event_type")
   }
+
+  /** Shared by the string-path and VARIANT-path twins. */
+  private val oJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("events_scd2", scd2, Some(
@@ -394,11 +421,7 @@ object Events {
         |  hr - cohort_hr AS offset_hours, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_hr, hr - cohort_hr
         |ORDER BY cohort, offset_hours""".stripMargin)),
-    Q("events_json", jsonExtract, Some(
-      """SELECT event_type, COUNT(*) AS n,
-        |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("events_json", jsonExtract, Some(oJsonSql)),
+    Q("events_variant", variantExtract, Some(oJsonSql)),
   )
 }

@@ -62,4 +62,11 @@ class SqlSurfaceSpec extends SparkSpec {
       .filter(size(col("b")) =!= graft.functions.Vectors.Tables)
     assert(bad.count() === 0)
   }
+
+  test("VARIANT path extraction equals the string JSON path") {
+    val viaVariant = graft.operators.Events.variantExtract(spark, sf).collect().toSeq
+    val viaString = graft.operators.Events.jsonExtract(spark, sf).collect().toSeq
+    assert(viaVariant.nonEmpty)
+    assert(viaVariant == viaString)
+  }
 }
