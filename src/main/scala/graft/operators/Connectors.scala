@@ -254,6 +254,42 @@ object Connectors {
       .orderBy("z_bucket")
   }
 
+  /** CDC MERGE apply — the lakehouse upsert: a change feed of
+    * inserts / updates / deletes applied to the customer snapshot in
+    * one plan, decomposed the way every MERGE INTO executes: an
+    * ANTI-join drops deleted keys, a LEFT join overlays updates
+    * (coalesce picks the new value), and inserts union on top. The
+    * change feed is derived deterministically from the snapshot
+    * (keys ≡3 mod 7 delete; ≡0 mod 5 update, delete wins; ≡4 mod 11
+    * insert under fresh keys) so the oracle rebuilds it exactly.
+    *
+    * Scale: both joins key on the table's primary key — one hash
+    * exchange each at worst, and a nightly-sized change feed
+    * broadcasts (the production MERGE fast path); output is the full
+    * post-image, exactly what a Delta/Iceberg writer would commit. */
+  def mergeApply(s: SparkSession, d: String): DataFrame = {
+    val src = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val del = src.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("k"))
+    val upd = src.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 3)
+      .select(col("c_custkey").as("k"),
+        concat(col("c_name"), lit(" (updated)")).as("new_name"),
+        (col("c_acctbal") + lit(100.0)).as("new_bal"))
+    val ins = src.filter(col("c_custkey") % 11 === 4)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New "), col("c_name")).as("c_name"),
+        col("c_acctbal"))
+    src
+      .join(del, col("c_custkey") === col("k"), "left_anti")
+      .join(upd, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("new_name"), col("c_name")).as("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+      .unionByName(ins)
+      .orderBy("c_custkey")
+  }
+
   /** Schema evolution — the lakehouse reality that table schemas
     * WIDEN over time: an "old" batch (no `o_orderstatus`) and a
     * "new" batch (with it) land in one dataset; `mergeSchema` reads
@@ -284,6 +320,23 @@ object Connectors {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("maint_merge_apply", mergeApply, Some(
+      """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 3),
+        |upd AS (SELECT c_custkey AS k, c_name || ' (updated)' AS new_name,
+        |    c_acctbal + CAST(100 AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 3),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey, 'New ' || c_name AS c_name,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 4),
+        |kept AS (
+        |  SELECT c.c_custkey,
+        |    COALESCE(u.new_name, c.c_name) AS c_name,
+        |    COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c LEFT JOIN upd u ON u.k = c.c_custkey
+        |  WHERE c.c_custkey NOT IN (SELECT k FROM del))
+        |SELECT c_custkey, c_name, c_acctbal FROM kept
+        |UNION ALL SELECT c_custkey, c_name, c_acctbal FROM ins
+        |ORDER BY c_custkey""".stripMargin)),
     Q("connector_schema_evolution", schemaEvolution, Some(
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING' ELSE o_orderstatus END AS status,
         |  COUNT(*) AS n,

@@ -146,6 +146,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("CDC merge applies exactly the derived change feed") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val out = operators.Connectors.mergeApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val dels = src.keySet.filter(_ % 7 == 3)
+    val ins = src.keySet.filter(_ % 11 == 4)
+    assert(out.size == src.size - dels.size + ins.size)
+    for ((k, (name, bal)) <- src) {
+      if (k % 7 == 3) assert(!out.contains(k), s"deleted key $k survived")
+      else if (k % 5 == 0)
+        assert(out(k) == (name + " (updated)", bal + 100.0), s"update missed on $k")
+      else assert(out(k) == (name, bal), s"untouched key $k changed")
+    }
+    for (k <- ins) assert(out(k + 1000000L) == ("New " + src(k)._1, src(k)._2))
+  }
+
   test("array higher-order outputs equal scalar recomputation per order") {
     val out = ScalarFns.arrayHigherOrder(spark, sf)
     // independent ground truth: plain scalar aggregates, no arrays
