@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clear the previous run's summary artifact up front: a crashed
+    // or killed run must leave NO file (read as "run failed"), never
+    // a stale summary that parses as this run's numbers.
+    val summaryPath = java.nio.file.Paths.get("target", "bench_summary.json")
+    java.nio.file.Files.deleteIfExists(summaryPath)
     // Optional comma-separated name filter for profiling a subset
     // (e.g. SPARK_GRAFT_BENCH_ONLY=scalar_dates,pipeline_corpus_prep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -125,7 +130,7 @@ object Bench {
     // last-line parse for ten rounds. A fixed artifact file carries
     // the same JSON with no framing at all; written before
     // spark.stop() so a slow shutdown can't truncate it.
-    val out = java.nio.file.Paths.get("target", "bench_summary.json")
+    val out = summaryPath
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

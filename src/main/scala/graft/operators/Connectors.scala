@@ -276,8 +276,12 @@ object Connectors {
       .select(col("c_custkey").as("k"),
         concat(col("c_name"), lit(" (updated)")).as("new_name"),
         (col("c_acctbal") + lit(100.0)).as("new_bal"))
+    // fresh keys in the NEGATIVE space: TPC-H keys are positive at
+    // every scale factor, so -(k+1) can never collide with a live key
+    // (an additive offset like k+1e6 collides once the table outgrows
+    // the offset) and c_custkey stays a total order for the oracle
     val ins = src.filter(col("c_custkey") % 11 === 4)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+      .select((-(col("c_custkey") + 1L)).as("c_custkey"),
         concat(lit("New "), col("c_name")).as("c_name"),
         col("c_acctbal"))
     src
@@ -325,7 +329,7 @@ object Connectors {
         |upd AS (SELECT c_custkey AS k, c_name || ' (updated)' AS new_name,
         |    c_acctbal + CAST(100 AS DOUBLE) AS new_bal
         |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 3),
-        |ins AS (SELECT c_custkey + 1000000 AS c_custkey, 'New ' || c_name AS c_name,
+        |ins AS (SELECT -(c_custkey + 1) AS c_custkey, 'New ' || c_name AS c_name,
         |    c_acctbal
         |  FROM customer WHERE c_custkey % 11 = 4),
         |kept AS (

@@ -394,13 +394,24 @@ object Pipeline {
     * broadcast; the final cut is TakeOrdered(20). */
   def tokenDrift(s: SparkSession, d: String): DataFrame = {
     val split = when(polyHash(col("text")) % 100 < 80, "train").otherwise("holdout")
-    val counts = Tables(s, d, "documents")
+    driftRank(Tables(s, d, "documents")
       .select(split.as("split"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("term").agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
-        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("c_hold"))
-    val totals = counts.agg(sum("c_train").as("n_train"), sum("c_hold").as("n_hold"))
-    counts.crossJoin(broadcast(totals))
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("c_hold")))
+  }
+
+  /** The drift ranking tail over per-term (c_train, c_hold) counts —
+    * ONE spelling shared by the batch monitor and the streaming
+    * replay (`stream_token_drift`), so the quantization constant and
+    * tie-break can never diverge between the two. The counts frame is
+    * cached: it feeds both the totals aggregate and the scored join,
+    * and ReuseExchange can't be relied on to dedupe specialized
+    * branches (see [[TextAnalysis.bm25]]'s note). */
+  private[graft] def driftRank(counts: DataFrame): DataFrame = {
+    val c = cached(counts)
+    val totals = c.agg(sum("c_train").as("n_train"), sum("c_hold").as("n_hold"))
+    c.crossJoin(broadcast(totals))
       .withColumn("drift", abs(
         expr("(c_train * 1000000000) div n_train") -
           expr("(c_hold * 1000000000) div n_hold")))

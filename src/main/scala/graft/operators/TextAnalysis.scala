@@ -373,15 +373,21 @@ object TextAnalysis {
           .select(lit(r).as("round"), col("pair"), col("cnt")))
       merges = Some(merges.fold(top1)(_.union(top1)))
       // cached: truncates the recompute chain — round r+1's pair scan
-      // reads this round's rewrite once, not the whole replay
+      // reads this round's rewrite once, not the whole replay.
+      // LEFT join (not crossJoin): a round with NO pairs left yields
+      // an empty top1, and a cross join with an empty frame would
+      // silently delete the whole corpus; the left join keeps every
+      // doc and the coalesce turns the rewrite into a no-op (\u0002
+      // can never occur in the [a-z0-9]+ state alphabet)
       cur = cached(
-        cur.crossJoin(broadcast(top1.select(
+        cur.join(broadcast(top1.select(
             concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit(Sep2)),
               lit(BpeSep)).as("pat"),
             concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit("")),
-              lit(BpeSep)).as("rep"))))
+              lit(BpeSep)).as("rep"))), lit(true), "left")
           .select(col("doc_id"), col("n0"),
-            replace(col("s"), col("pat"), col("rep")).as("s")))
+            replace(col("s"), coalesce(col("pat"), lit("\u0002")),
+              coalesce(col("rep"), lit(""))).as("s")))
     }
     (cur, merges.get)
   }
@@ -405,9 +411,9 @@ object TextAnalysis {
          |m$r AS (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |d$r AS (
          |  SELECT doc_id, n0, replace(s,
-         |      chr(1) || replace(m$r.pair, chr(1), chr(1) || chr(1)) || chr(1),
-         |      chr(1) || replace(m$r.pair, chr(1), '') || chr(1)) AS s
-         |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
+         |      COALESCE(chr(1) || replace(m$r.pair, chr(1), chr(1) || chr(1)) || chr(1), chr(2)),
+         |      COALESCE(chr(1) || replace(m$r.pair, chr(1), '') || chr(1), '')) AS s
+         |  FROM d${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""d0 AS (
        |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n0,

@@ -152,7 +152,14 @@ case class SessionAggExec(
           while (pending == null && iter.hasNext) {
             val r = iter.next()
             val key = keyProj(r)
-            val t = tsProj(r).getLong(0)
+            val tsRow = tsProj(r)
+            // getLong on a null field would silently read 0 (an
+            // epoch-0 event opening a bogus first session); the
+            // contract is non-null ts, so fail loudly instead
+            if (tsRow.isNullAt(0))
+              throw new IllegalStateException(
+                s"session_agg: null ${ts.name} — the timestamp column must be non-null")
+            val t = tsRow.getLong(0)
             if (prevKey == null) {
               prevKey = key.copy(); sid = 1; n = 1; startNs = t; lastNs = t
             } else if (key != prevKey) { // byte-compare of UnsafeRows

@@ -156,15 +156,9 @@ object Streams {
       .agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
         sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("c_hold"))
-    val c = runToMemory(counts, OutputMode.Complete())
-    val totals = c.agg(sum("c_train").as("n_train"), sum("c_hold").as("n_hold"))
-    c.crossJoin(broadcast(totals))
-      .withColumn("drift", abs(
-        expr("(c_train * 1000000000) div n_train") -
-          expr("(c_hold * 1000000000) div n_hold")))
-      .orderBy(col("drift").desc, col("term"))
-      .limit(20)
-      .select("term", "c_train", "c_hold", "drift")
+    // the ranking tail is Pipeline.driftRank — one spelling for the
+    // batch monitor and this replay, pinned equal by StreamingSpec
+    graft.operators.Pipeline.driftRank(runToMemory(counts, OutputMode.Complete()))
   }
 
   /** Continuous raw-file ingest: the binaryFile connector lifted onto

@@ -622,10 +622,13 @@ class PlanSpec extends SparkSpec {
     // TakeOrderedAndProject — per-partition heaps + merge
     assert(s.contains("TakeOrderedAndProject"), s.take(900))
     // rank assignment windows run over the ≤20-row shortlists only:
-    // every Window in the plan sits above a TakeOrderedAndProject
-    val firstWindow = s.indexOf("Window")
-    val firstTop = s.indexOf("TakeOrderedAndProject")
-    assert(firstWindow >= 0 && firstTop >= 0, s.take(900))
+    // below the deepest Window there must still be a
+    // TakeOrderedAndProject (the leg's own top-k cut) — a regression
+    // to sort+window over the raw corpus would leave the plan with no
+    // top-k below its windows (only the root's final cut above them)
+    val lastWindow = s.lastIndexOf("Window")
+    assert(lastWindow >= 0, s.take(900))
+    assert(s.lastIndexOf("TakeOrderedAndProject") > lastWindow, s.take(900))
     Core.releaseCaches()
   }
 

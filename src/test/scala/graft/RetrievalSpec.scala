@@ -8,7 +8,16 @@ import org.apache.spark.sql.functions._
   * each new operator is checked against an independently computed
   * ground truth built from different primitives than the operator
   * itself uses. */
-class RetrievalSpec extends SparkSpec {
+class RetrievalSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // the operators under test register MEMORY_AND_DISK frames via
+  // Core.cached (the BPE loop alone persists ~11 per call); release
+  // them after every test so they don't accumulate on the shared
+  // session for the rest of the suite
+  override protected def afterEach(): Unit = {
+    Core.releaseCaches()
+    super.afterEach()
+  }
 
   test("semantic dedup prunes only genuine cosine near-dups, toward lower ids") {
     val out = Similarity.semanticDedup(spark, sf).collect()
@@ -161,7 +170,7 @@ class RetrievalSpec extends SparkSpec {
         assert(out(k) == (name + " (updated)", bal + 100.0), s"update missed on $k")
       else assert(out(k) == (name, bal), s"untouched key $k changed")
     }
-    for (k <- ins) assert(out(k + 1000000L) == ("New " + src(k)._1, src(k)._2))
+    for (k <- ins) assert(out(-(k + 1L)) == ("New " + src(k)._1, src(k)._2))
   }
 
   test("array higher-order outputs equal scalar recomputation per order") {
