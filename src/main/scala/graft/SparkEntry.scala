@@ -17,7 +17,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
       Udaf.queries ++ Connectors.queries ++ Bucketing.queries ++
       Pipeline.queries ++ ScalarFns.queries ++ TrainingFilters.queries ++
-      graft.streaming.Streams.queries
+      Quality.queries ++ graft.streaming.Streams.queries
 
   /** Flagship query; driver smoke-checks rows>0. The data dir is
     * overridable (env SPARK_GRAFT_SF_DIR) rather than hardcoded. */

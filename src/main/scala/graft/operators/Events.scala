@@ -221,6 +221,39 @@ object Events {
       .orderBy("cohort", "offset_hours")
   }
 
+  /** Time-series gap filling: the hourly per-type rollup re-densified
+    * onto a gap-free hour spine, with missing hours carrying `n = 0`
+    * and the last observed `sum_value` forward-filled. The dashboard/
+    * feature-store shape ("every (type, hour) cell must exist").
+    *
+    * Scale posture: the expensive part — the hourly rollup — is one
+    * partial+final HashAggregate over the raw events; everything after
+    * runs on the ROLLUP (|types| × |hours| rows, millions at most even
+    * for years of 100 TB telemetry). The spine is built DISTRIBUTED
+    * with `sequence()+explode` per type (no driver-side range loop),
+    * and the forward-fill window partitions by event_type over that
+    * already-tiny frame — bounded by the time range, not corpus size,
+    * so the low-cardinality partition key cannot hot-spot. */
+  def gapfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = load(s, d)
+      .withColumn("hr", expr("ts div 3600000000000"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hr").as("min_hr"), max("hr").as("max_hr"))
+      .select(col("event_type"),
+        explode(sequence(col("min_hr"), col("max_hr"))).as("hr"))
+    val ffill = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_sum", last("sum_value", ignoreNulls = true).over(ffill))
+      .select(col("event_type"),
+        fmt(timestamp_micros(col("hr") * 3600000000L)).as("hr_start"),
+        col("n"), col("filled_sum"))
+      .orderBy("event_type", "hr_start")
+  }
+
   /** JSON extraction from the `props` column + aggregation. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     load(s, d)
@@ -421,6 +454,24 @@ object Events {
         |  hr - cohort_hr AS offset_hours, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_hr, hr - cohort_hr
         |ORDER BY cohort, offset_hours""".stripMargin)),
+    Q("events_gapfill", gapfill, Some(
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         |    COUNT(*) AS n, ${oDsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(mn, mx)) AS hr FROM bounds)
+         |SELECT s.event_type,
+         |  strftime(make_timestamp(s.hr * 3600000000), '%Y-%m-%d %H:%M:%S') AS hr_start,
+         |  COALESCE(h.n, 0) AS n,
+         |  last_value(h.sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY s.event_type ORDER BY s.hr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+         |FROM spine s LEFT JOIN hourly h
+         |  ON s.event_type = h.event_type AND s.hr = h.hr
+         |ORDER BY s.event_type, hr_start""".stripMargin)),
     Q("events_json", jsonExtract, Some(oJsonSql)),
     Q("events_variant", variantExtract, Some(oJsonSql)),
   )

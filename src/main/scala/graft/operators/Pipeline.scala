@@ -349,6 +349,39 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Contiguous global row ids (gap-free, ordered by doc_id) WITHOUT
+    * the single-partition `row_number() OVER (ORDER BY …)` that
+    * serializes the whole corpus through one task at scale: the
+    * classic two-phase offset assignment. Phase 1 range-partitions by
+    * doc_id and counts rows per partition (a |partitions|-row frame);
+    * phase 2 broadcasts the cumulative offsets back and adds each
+    * row's in-partition rank. The ranking window partitions by pid —
+    * |partitions| uniform groups, so full parallelism is preserved
+    * where the naive spelling has exactly one group.
+    *
+    * The range-partitioned frame is pinned with persist(): range
+    * boundaries come from sampling, and an unpinned recompute between
+    * the two phases could re-draw them, mismatching offsets against
+    * pids. (This is the DataFrame spelling of RDD `zipWithIndex`,
+    * which runs the same two jobs internally.) */
+  def globalIds(s: SparkSession, d: String): DataFrame = {
+    val parts = cached(
+      Tables(s, d, "documents").select("doc_id")
+        .repartitionByRange(32, col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    parts
+      .withColumn("local", row_number().over(local))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("off") + col("local")).as("global_id"))
+      .orderBy("doc_id")
+  }
+
   private val CapPerSource = 40
 
   /** Per-source quota sampling — cap every source at
@@ -567,6 +600,10 @@ object Pipeline {
          |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
          |  CAST(max(rn) AS BIGINT) AS k_effective
          |FROM r WHERE rn <= 100 GROUP BY source ORDER BY source""".stripMargin)),
+    Q("pipeline_global_ids", globalIds, Some(
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("profile_columns", profileColumns, Some {
       val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
       val a = cols.map(c =>

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity / key-uniqueness audit — the trust gate a
+  * pipeline runs before joining a 100 TB fact drop against its
+  * dimensions. (Column-level profiling lives in
+  * [[Pipeline.profileColumns]]; this module covers CROSS-table
+  * constraints, which no single-scan profile can see.)
+  *
+  * Scale posture: each FK check is one LEFT ANTI join shuffling the
+  * child on its key with a keys-only parent projection (dimension
+  * parents broadcast below the AQE threshold); each PK check is one
+  * partial+final count per key. The five single-row audit results
+  * union into one |constraints|-row report — every branch is an
+  * independent job stage, so a scheduler runs them concurrently.
+  */
+object Quality {
+
+  /** One row per constraint: child row count + violation count. */
+  def integrity(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+      val bad = child.select(col(ck)).join(
+        parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_violations"))))
+        .select(lit(name).as("constraint_name"), col("n_child"), col("n_violations"))
+    }
+    def dupKeys(name: String, t: DataFrame, k: String): DataFrame =
+      t.groupBy(col(k)).agg(count(lit(1)).as("m"))
+        .agg(
+          sum(col("m")).as("n_child"),
+          sum(when(col("m") > 1, col("m")).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_child"), col("n_violations"))
+    val l = Tables(s, d, "lineitem")
+    val o = Tables(s, d, "orders")
+    orphans("fk_lineitem_orders", l, "l_orderkey", o, "o_orderkey")
+      .unionAll(orphans("fk_lineitem_part", l, "l_partkey",
+        Tables(s, d, "part"), "p_partkey"))
+      .unionAll(orphans("fk_orders_customer", o, "o_custkey",
+        Tables(s, d, "customer"), "c_custkey"))
+      .unionAll(dupKeys("pk_orders", o, "o_orderkey"))
+      .unionAll(dupKeys("pk_customer", Tables(s, d, "customer"), "c_custkey"))
+      .orderBy("constraint_name")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("quality_integrity", integrity, Some(
+      """SELECT 'fk_lineitem_orders' AS constraint_name,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        |UNION ALL
+        |SELECT 'fk_lineitem_part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'pk_orders',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COALESCE(CAST(SUM(m) AS BIGINT), 0) FROM
+        |    (SELECT COUNT(*) AS m FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        |UNION ALL
+        |SELECT 'pk_customer',
+        |  (SELECT COUNT(*) FROM customer),
+        |  (SELECT COALESCE(CAST(SUM(m) AS BIGINT), 0) FROM
+        |    (SELECT COUNT(*) AS m FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1))
+        |ORDER BY constraint_name""".stripMargin)),
+  )
+}

@@ -251,6 +251,34 @@ object Relational {
         |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
   }
 
+  /** Explicit SALTED join — the manual skew-mitigation pattern for a
+    * shuffle join whose key has heavy hitters. The fact side
+    * (lineitem) gets a deterministic salt in [0, 8); the build side
+    * (per-order totals) is replicated ×8 with `explode(sequence)` so
+    * every (key, salt) cell finds its match; the join runs on the
+    * COMPOSITE (key, salt), spreading each hot orderkey across 8
+    * reducers. AQE's skew-join split handles sort-merge skew
+    * adaptively, but salting is the portable form — it also fixes
+    * skew AQE can't touch (hash-agg hot keys, pre-AQE engines,
+    * bucketed layouts) — so the engine carries it as a first-class
+    * spelling. Same oracle as the unsalted join: the salt must be
+    * invisible in the result. The salt is deterministic (hash of the
+    * line number, not rand()) so reruns and retried tasks agree. */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val fact = li(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_quantity")), lit(S)))
+    val dim = ord(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    fact.hint("merge")
+      .join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Multiset (bag) semantics: EXCEPT ALL keeps multiplicity
     * max(m−n, 0) per key, INTERSECT ALL keeps min(m, n) — both plan
     * as one shuffle with per-side counts, no join explosion. The
@@ -884,6 +912,10 @@ object Relational {
         |  coalesce(n_orders, 0) AS n_orders
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin)),
+    Q("join_skew_salted", joinSkewSalted, Some(
+      s"""SELECT o_orderpriority, ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     Q("join_lateral", joinLateral, Some(
       """SELECT n_nationkey, n_name, c_custkey, c_acctbal
         |FROM nation, LATERAL (

@@ -632,6 +632,44 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("salted join runs shuffled on the composite key with a replicated build side") {
+    val s = executed(Relational.joinSkewSalted(spark, sf))
+    // the merge hint pins the shuffle-join path (a broadcast would
+    // hide the very skew the salt spreads)
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s.take(900))
+    assert(!s.contains("BroadcastHashJoin"), s.take(900))
+    // the dimension side replicates via explode(sequence(…)) — a
+    // Generate, never a cartesian product
+    assert(s.contains("Generate"), s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+  }
+
+  test("gap-fill builds its spine distributed and joins on the rollup") {
+    val s = executed(Events.gapfill(spark, sf))
+    // the dense hour spine comes from explode(sequence(min,max)) —
+    // generated on executors, not a driver-side range
+    assert(s.contains("Generate"), s.take(900))
+    // hourly rollup aggregates partially before its exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
+  }
+
+  test("integrity audit plans anti joins per FK; no cartesian anywhere") {
+    val s = executed(graft.operators.Quality.integrity(spark, sf))
+    assert("LeftAnti".r.findAllIn(s).size >= 3, s.take(900))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+  }
+
+  test("global ids rank within range partitions, not one global window") {
+    val s = executed(Pipeline.globalIds(spark, sf))
+    // the per-row ranking window is partitioned by pid — the
+    // full-parallelism phase. (The offsets cumsum IS a deliberate
+    // single-partition window over |partitions| rows.)
+    assert(s.matches("(?s).*row_number\\(\\) windowspecdefinition\\(pid#.*"), s.take(1200))
+    // offsets come back as a broadcast join, not a shuffle
+    assert(s.contains("BroadcastHashJoin"), s.take(900))
+    Core.releaseCaches()
+  }
+
   test("BPE training rewrites ride 1-row broadcasts; the corpus never shuffles") {
     val s = executed(TextAnalysis.bpeTrain(spark, sf))
     // each round's winning pair enters as a broadcast nested loop
