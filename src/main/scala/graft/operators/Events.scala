@@ -221,6 +221,30 @@ object Events {
       .orderBy("cohort", "offset_hours")
   }
 
+  /** Exact decile bucketing WITHOUT `ntile`: per event_type, the nine
+    * interpolated decile boundaries come from one `percentile` agg
+    * (the same definition [[quantiles]] already pins bit-equal to
+    * DuckDB's quantile_cont), broadcast back onto the scan, and each
+    * row's decile is simply how many boundaries sit strictly below
+    * its value — a per-row array fold. `ntile(10) OVER (PARTITION BY
+    * event_type ORDER BY value)` computes the same buckets but sorts
+    * EVERY row through |types| window partitions — a handful of
+    * hot tasks at 100 TB; the boundary-broadcast spelling is two
+    * ordinary aggregates and never sorts the fact table. */
+  def valueDeciles(s: SparkSession, d: String): DataFrame = {
+    val qs = (1 to 9).map(i => s"0.$i").mkString(",")
+    val bounds = load(s, d).groupBy("event_type")
+      .agg(expr(s"percentile(value, array($qs))").as("bs"))
+    load(s, d).join(broadcast(bounds), "event_type")
+      .withColumn("decile",
+        aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("value") > b, 1).otherwise(0)))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("event_type", "decile")
+  }
+
   /** Time-series gap filling: the hourly per-type rollup re-densified
     * onto a gap-free hour spine, with missing hours carrying `n = 0`
     * and the last observed `sum_value` forward-filled. The dashboard/
@@ -454,6 +478,16 @@ object Events {
         |  hr - cohort_hr AS offset_hours, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_hr, hr - cohort_hr
         |ORDER BY cohort, offset_hours""".stripMargin)),
+    Q("events_value_deciles", valueDeciles, Some(
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(len(list_filter(b.bs, x -> e.value > x)) AS INTEGER) AS decile,
+        |  COUNT(*) AS n, min(e.value) AS min_value, max(e.value) AS max_value
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin)),
     Q("events_gapfill", gapfill, Some(
       s"""WITH hourly AS (
          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,

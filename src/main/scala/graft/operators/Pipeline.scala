@@ -349,6 +349,45 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Systematic (fixed-interval) WEIGHTED sampling — the exact-count
+    * complement to [[sampleMix]]'s Bernoulli hash thresholding. Docs
+    * are laid on a per-(source, shard) axis of cumulative character
+    * mass in content-hash order, and one document is taken wherever
+    * the axis crosses a STEP-character boundary: a doc is selected
+    * iff its span `[cum − n_chars, cum)` contains a multiple of
+    * STEP. Selection probability is proportional to length (docs
+    * ≥ STEP chars are always taken) and the per-shard sample size is
+    * EXACTLY ⌈mass/STEP⌉-ish (±1) — none of Bernoulli sampling's
+    * binomial variance, which matters when the budget is a token
+    * count, not a rate. All arithmetic is integer-exact; hash order
+    * makes the sample reproducible and unbiased by ingest order.
+    *
+    * Scale posture: the cumulative sum is a window per
+    * (source, shard) — 16 hash shards per source restore full
+    * parallelism (a single per-source cumsum would serialize each
+    * source through one task at 100 TB); each shard is its own exact
+    * systematic sample, so the union keeps the per-source exactness
+    * within ±|shards|. */
+  def systematicSample(s: SparkSession, d: String): DataFrame = {
+    val Step = 4096L
+    val w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, d, "documents")
+      .withColumn("h", polyHash(concat(col("text"), lit("17"))))
+      .withColumn("shard", pmod(col("h"), lit(16)))
+      .withColumn("cum", sum(col("n_chars").cast("long")).over(w))
+      .withColumn("sel",
+        expr(s"cum div $Step") =!= expr(s"(cum - n_chars) div $Step"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sel"), col("n_chars").cast("long")).otherwise(0L))
+          .as("sampled_chars"),
+        sum(when(col("sel"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("source")
+  }
+
   /** Contiguous global row ids (gap-free, ordered by doc_id) WITHOUT
     * the single-partition `row_number() OVER (ORDER BY …)` that
     * serializes the whole corpus through one task at scale: the
@@ -600,6 +639,25 @@ object Pipeline {
          |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
          |  CAST(max(rn) AS BIGINT) AS k_effective
          |FROM r WHERE rn <= 100 GROUP BY source ORDER BY source""".stripMargin)),
+    Q("pipeline_systematic_sample", systematicSample, Some(
+      s"""WITH hashed AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${oPolyHash("text || '17'")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_chars,
+         |    SUM(CAST(n_chars AS BIGINT)) OVER (
+         |      PARTITION BY source, h % 16 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hashed)
+         |SELECT source, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN cum // 4096 <> (cum - n_chars) // 4096
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN cum // 4096 <> (cum - n_chars) // 4096
+         |       THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+         |  CAST(SUM(CASE WHEN cum // 4096 <> (cum - n_chars) // 4096
+         |       THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
     Q("pipeline_global_ids", globalIds, Some(
       """SELECT doc_id,
         |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_id

@@ -670,6 +670,19 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("decile bucketing broadcasts boundaries; the fact table never window-sorts") {
+    val s = executed(Events.valueDeciles(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s.take(900))
+    // the whole point: no Window operator anywhere — the ntile
+    // spelling would sort every row through |types| partitions
+    assert(!s.contains("Window"), s.take(900))
+  }
+
+  test("systematic sampling cumsums per (source, shard), not per source") {
+    val s = executed(Pipeline.systematicSample(spark, sf))
+    assert(s.matches("(?s).*windowspecdefinition\\(source#\\d+, shard#.*"), s.take(1200))
+  }
+
   test("BPE training rewrites ride 1-row broadcasts; the corpus never shuffles") {
     val s = executed(TextAnalysis.bpeTrain(spark, sf))
     // each round's winning pair enters as a broadcast nested loop
