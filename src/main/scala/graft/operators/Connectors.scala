@@ -294,6 +294,45 @@ object Connectors {
       .orderBy("c_custkey")
   }
 
+  /** Snapshot reconciliation (table diff): classify every primary key
+    * across two versions of `orders` as added / removed / changed /
+    * unchanged — the audit a lakehouse runs after a merge/backfill to
+    * confirm the write did what the CDC batch said. The "new"
+    * snapshot derives deterministically from the old (drop every
+    * 97th key, bump totalprice on every 13th, insert fresh keys in
+    * the negative space — same convention as [[mergeApply]]).
+    *
+    * Scale posture: each side reduces to (key, md5-of-row) at scan
+    * time, so the FULL OUTER join — the honest reconciliation
+    * shuffle, both sides keyed by PK — carries 8-byte keys + 32-byte
+    * digests, never row payloads. Doubles enter the digest through
+    * DECIMAL(12,2) rendering so both engines hash identical strings.
+    * The |change-types|-row rollup is free. */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val a = Tables(s, d, "orders")
+    val b = a.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(a.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1L)))
+    def dig(df: DataFrame, k: String, h: String) = df.select(
+      col("o_orderkey").as(k),
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        col("o_orderpriority"))).as(h))
+    dig(a, "ka", "ha")
+      .join(dig(b, "kb", "hb"), col("ka") === col("kb"), "full_outer")
+      .select(
+        when(col("kb").isNull, "removed")
+          .when(col("ka").isNull, "added")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+
   /** Schema evolution — the lakehouse reality that table schemas
     * WIDEN over time: an "old" batch (no `o_orderstatus`) and a
     * "new" batch (with it) land in one dataset; `mergeSchema` reads
@@ -324,6 +363,30 @@ object Connectors {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("maint_table_diff", tableDiff, Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |da AS (SELECT o_orderkey AS k, md5(concat_ws('|', o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), o_orderpriority)) AS h
+        |  FROM orders),
+        |db AS (SELECT o_orderkey AS k, md5(concat_ws('|', o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), o_orderpriority)) AS h
+        |  FROM b)
+        |SELECT CASE WHEN db.k IS NULL THEN 'removed'
+        |            WHEN da.k IS NULL THEN 'added'
+        |            WHEN da.h = db.h THEN 'unchanged'
+        |            ELSE 'changed' END AS change_type,
+        |  COUNT(*) AS n
+        |FROM da FULL OUTER JOIN db ON da.k = db.k
+        |GROUP BY 1 ORDER BY change_type""".stripMargin)),
     Q("maint_merge_apply", mergeApply, Some(
       """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 3),
         |upd AS (SELECT c_custkey AS k, c_name || ' (updated)' AS new_name,

@@ -221,6 +221,38 @@ object Events {
       .orderBy("cohort", "offset_hours")
   }
 
+  /** Session path analysis: the top-20 most common session-opening
+    * event sequences (first 3 event types per session, in order) —
+    * the product-analytics "what do users do first" query, and the
+    * engine's order-SENSITIVE list aggregation surface (vs the
+    * order-blind aggs everywhere else). Sessions come from the same
+    * 30-minute-gap window pass as [[sessionize]]; each session's
+    * path is built by sorting the collected (ts, event_id, type)
+    * structs — deterministic under any partitioning because the sort
+    * key is total. One shuffle on user_id, a rollup keyed by path
+    * (cardinality ≤ |types|³), and a TakeOrdered top-20 — per-session
+    * state is bounded by session length, never corpus size. */
+  def topPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, d)
+      .withColumn("gap_ns", col("ts") - lag("ts", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap_ns").isNull || col("gap_ns") > lit(30L * 60 * 1000000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))), 1, 3),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(20)
+  }
+
   /** Exact decile bucketing WITHOUT `ntile`: per event_type, the nine
     * interpolated decile boundaries come from one `percentile` agg
     * (the same definition [[quantiles]] already pins bit-equal to
@@ -478,6 +510,27 @@ object Events {
         |  hr - cohort_hr AS offset_hours, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_hr, hr - cohort_hr
         |ORDER BY cohort, offset_hours""".stripMargin)),
+    Q("events_top_paths", topPaths, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+        |  FROM sessions),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM ranked WHERE rn <= 3 GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
     Q("events_value_deciles", valueDeciles, Some(
       """WITH b AS (
         |  SELECT event_type,

@@ -683,6 +683,20 @@ class PlanSpec extends SparkSpec {
     assert(s.matches("(?s).*windowspecdefinition\\(source#\\d+, shard#.*"), s.take(1200))
   }
 
+  test("table diff digests rows at scan time and joins full-outer on the key") {
+    val s = executed(Connectors.tableDiff(spark, sf))
+    // both sides reduce to (key, md5) BEFORE the reconciliation join
+    assert(s.contains("md5"), s.take(900))
+    assert(s.contains("FullOuter"), s.take(900))
+    // a full-outer reconciliation cannot broadcast either side
+    assert(!s.contains("BroadcastHashJoin"), s.take(900))
+  }
+
+  test("top paths end in a bounded top-k, not a global sort") {
+    val s = executed(Events.topPaths(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s.take(900))
+  }
+
   test("BPE training rewrites ride 1-row broadcasts; the corpus never shuffles") {
     val s = executed(TextAnalysis.bpeTrain(spark, sf))
     // each round's winning pair enters as a broadcast nested loop
