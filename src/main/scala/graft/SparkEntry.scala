@@ -66,8 +66,11 @@ object SparkEntry {
     // single-fold operator on the same query
     // events_tumbling is a demoted shape-twin (time-bucketed hash
     // agg, timed under events_retention's rollup) in favor of the
-    // round-11 BPE trainer family below
-    "events_scd2", "events_sessionize",
+    // round-11 BPE trainer family below; events_scd2 (lag/lead
+    // windows over the same user_id exchange) is timed under
+    // events_sessionize, making room for events_top_paths — the one
+    // per-group collect+sort plan family in the catalog
+    "events_top_paths", "events_sessionize",
     "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
     "events_retention",

@@ -351,6 +351,43 @@ object Dedup {
     // analogue is materializing the signature table between stages
     minhashPairs(cached(wordShingled(s, d)), A24, MinhashBands)
 
+  /** LSH threshold-tuning diagnostic: the exact-Jaccard DISTRIBUTION
+    * of every band-collision candidate, bucketed into deciles — the
+    * evidence a pipeline owner reads before moving the 0.8 dedup
+    * threshold or re-deriving the band widths for a new corpus (the
+    * sub-threshold buckets ARE the false-candidate rate the banding
+    * pays; the near-1.0 buckets are what a stricter threshold would
+    * keep). Same one-pass signatures and band equi-join as
+    * [[minhashLsh]], minus the ≥ 0.8 cut; bands join on RAW minima
+    * (the [[minhashBandRows]] convention) so the DuckDB oracle can
+    * replay the exact candidate set. Output is |buckets| rows — the
+    * diagnostic costs one extra verify pass over the candidates, not
+    * a new plan family. */
+  def jaccardHistogram(s: SparkSession, d: String): DataFrame = {
+    val sets = cached(wordShingled(s, d))
+    val bands = sets
+      .withColumn("mh", graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(A24)))
+      .select(col("doc_id"), explode(array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          element_at(col("mh"), 2 * b + 1).as("m1"),
+          element_at(col("mh"), 2 * b + 2).as("m2"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx"), col("e.m1"), col("e.m2"))
+    val cand = bands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("m1"), col("m2"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("m1"), col("m2")),
+        Seq("band_idx", "m1", "m2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(least(floor(col("j") * 10), lit(9L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min("j").as("min_j"), max("j").as("max_j"))
+      .orderBy("bucket")
+  }
+
   // -------------------------------------------------------------------
   // Character-5-gram Jaccard (MinHash-LSH blocked)
   // -------------------------------------------------------------------
@@ -918,6 +955,25 @@ object Dedup {
         |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
         |GROUP BY source ORDER BY source""".stripMargin)),
     Q("dedup_minhash_lsh", minhashLsh, Some(oJaccardPairs(oWordSets))),
+    Q("dedup_jaccard_histogram", jaccardHistogram, Some(
+      s"""WITH $oWordSets,
+         |seeds(b, sa, oa, sz, oz) AS (VALUES $oBandSeedRows),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    list_min(list_transform(sh, x -> (sa * x + oa) % $P)) AS m1,
+         |    list_min(list_transform(sh, x -> (sz * x + oz) % $P)) AS m2
+         |  FROM s CROSS JOIN seeds),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id),
+         |jj AS (
+         |  SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db)
+         |SELECT CAST(least(floor(j * 10), 9) AS INTEGER) AS bucket,
+         |  COUNT(*) AS n_pairs, min(j) AS min_j, max(j) AS max_j
+         |FROM jj GROUP BY 1 ORDER BY bucket""".stripMargin)),
     // Oracle: exact ground-truth pairs + a recursive-CTE transitive
     // closure; min(reachable) per doc = the same component labels the
     // propagation loop converges to (both deterministic).

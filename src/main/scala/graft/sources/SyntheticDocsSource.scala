@@ -57,20 +57,57 @@ private class SyntheticDocsTable(options: Map[String, String])
     val merged = options ++ caseInsensitive.asScala
     // Production posture: the scan honors column pruning (a doc_id-only
     // projection never GENERATES text — the analogue of a columnar
-    // reader skipping pages) and per-partition limit pushdown (Spark
-    // re-applies the global limit; isPartiallyPushed stays true).
+    // reader skipping pages), per-partition limit pushdown (Spark
+    // re-applies the global limit; isPartiallyPushed stays true), and
+    // doc_id range-filter pushdown (partition PLANNING starts from the
+    // filtered range — the analogue of partition/file skipping, so a
+    // `doc_id >= N` probe never generates the skipped prefix at all).
     new ScanBuilder
       with SupportsPushDownRequiredColumns
-      with SupportsPushDownLimit {
+      with SupportsPushDownLimit
+      with SupportsPushDownFilters {
       private var required: StructType = SyntheticDocsSource.schema
       private var limit: Option[Int] = None
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // preserve source field order; tolerate empty (count-only) scans
         required = StructType(SyntheticDocsSource.schema.fields
           .filter(f => requiredSchema.fieldNames.contains(f.name)))
       }
       override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
-      override def build(): Scan = new SyntheticDocsScan(merged, required, limit)
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]):
+          Array[org.apache.spark.sql.sources.Filter] = {
+        val (sup, rest) = filters.partition(SyntheticDocsScan.bound(_).isDefined)
+        pushed = sup
+        rest // residuals Spark evaluates itself; bounds are exact, so
+             // accepted filters need no re-evaluation
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
+      override def build(): Scan =
+        new SyntheticDocsScan(merged, required, limit, pushed)
+    }
+  }
+}
+
+private object SyntheticDocsScan {
+  import org.apache.spark.sql.sources._
+  /** doc_id comparison → `(lo inclusive, hi exclusive)` range bound,
+    * None for filters the source can't turn into a range. */
+  def bound(f: Filter): Option[(Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _         => None
+    }
+    f match {
+      case EqualTo("doc_id", v)            => num(v).map(n => (n, n + 1))
+      case GreaterThan("doc_id", v)        => num(v).map(n => (n + 1, Long.MaxValue))
+      case GreaterThanOrEqual("doc_id", v) => num(v).map(n => (n, Long.MaxValue))
+      case LessThan("doc_id", v)           => num(v).map(n => (0L, n))
+      case LessThanOrEqual("doc_id", v)    => num(v).map(n => (0L, n + 1))
+      case IsNotNull("doc_id")             => Some((0L, Long.MaxValue))
+      case _                               => None
     }
   }
 }
@@ -78,7 +115,8 @@ private class SyntheticDocsTable(options: Map[String, String])
 private class SyntheticDocsScan(
     options: Map[String, String],
     required: StructType,
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   private val rows = options.getOrElse("rows", "100").toLong
   private val partitions = options.getOrElse("partitions", "4").toInt
   private val words = options.getOrElse("words",
@@ -90,14 +128,22 @@ private class SyntheticDocsScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + partitions - 1) / partitions
+    // intersect all pushed doc_id ranges with [0, rows) and plan
+    // partitions over the SURVIVING range only — skipped ids are
+    // never generated (partition skipping, not post-filtering)
+    val (lo, hi) = filters.flatMap(SyntheticDocsScan.bound)
+      .foldLeft((0L, rows)) { case ((a, b), (c, dd)) =>
+        (math.max(a, c), math.min(b, dd))
+      }
+    val span = math.max(0L, hi - lo)
+    val per = (span + partitions - 1) / math.max(1, partitions)
     (0 until partitions).map { p =>
-      val start = p * per
-      val end = math.min(start + per, rows)
+      val start = lo + p * per
+      val end = math.min(start + per, hi)
       // pushed limit caps each partition's output; Spark still applies
       // the global limit on top
       val capped = limit.fold(end)(l => math.min(end, start + l))
-      DocsRange(start, capped, seed, words, wordsPerDoc,
+      DocsRange(start, math.max(start, capped), seed, words, wordsPerDoc,
         needId = required.fieldNames.contains("doc_id"),
         needText = required.fieldNames.contains("text"))
         .asInstanceOf[InputPartition]

@@ -63,6 +63,36 @@ class SourceSpec extends SparkSpec {
     assert(df.collect().length == 7)
   }
 
+  test("doc_id range filters push into partition planning (partition skipping)") {
+    // semantics: the filtered read returns exactly the range
+    val df = read("rows" -> "1000", "partitions" -> "4")
+      .filter(col("doc_id") >= 900 && col("doc_id") < 950)
+    assert(df.select("doc_id").as[Long].collect().sorted.toSeq == (900L until 950L))
+    // mechanism: planned partitions cover ONLY [900, 950) — the
+    // skipped prefix is never generated. Drive the SPI directly
+    // (DocsRange is private; its case-class toString carries the
+    // bounds).
+    import org.apache.spark.sql.connector.read._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = new graft.sources.SyntheticDocsSource().getTable(
+      null, Array.empty,
+      java.util.Map.of("rows", "1000", "partitions", "4"))
+    val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of()))
+    val rest = sb.asInstanceOf[SupportsPushDownFilters].pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 900L),
+      org.apache.spark.sql.sources.LessThan("doc_id", 950L),
+      org.apache.spark.sql.sources.EqualTo("text", "x"))) // unsupported
+    assert(rest.toSeq == Seq(org.apache.spark.sql.sources.EqualTo("text", "x")))
+    val parts = sb.build().toBatch.planInputPartitions()
+    val spans = parts.map(_.toString).map { t =>
+      val m = "DocsRange\\((\\d+),(\\d+),".r.findFirstMatchIn(t).get
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    assert(spans.forall { case (a, b) => a >= 900L && b <= 950L }, spans.toSeq)
+    assert(spans.map { case (a, b) => b - a }.sum == 50L, spans.toSeq)
+  }
+
   test("feeds the flagship wordcount end to end") {
     val counts = WordCount.wordCount(
       read("rows" -> "200", "words" -> "Alpha beta! beta?", "wordsPerDoc" -> "5"))
