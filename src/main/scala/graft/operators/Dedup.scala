@@ -161,7 +161,14 @@ object Dedup {
     * band keys) for the streaming ingest filter in
     * [[graft.streaming.Streams]]. */
   private[graft] def minhashBandRows(docFrame: DataFrame): DataFrame =
-    wordSetsOf(docFrame)
+    rawBandRowsOf(wordSetsOf(docFrame))
+
+  /** The raw-minima banding of an already-shingled (doc_id, sh)
+    * frame — the ONE place the 12×2 band layout [[oBandSeedRows]]
+    * mirrors is spelled (shared by the streaming ingest filter and
+    * [[jaccardHistogram]]). */
+  private def rawBandRowsOf(sets: DataFrame): DataFrame =
+    sets
       .withColumn("mh", graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(A24)))
       .select(col("doc_id"), explode(array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band_idx"),
@@ -365,14 +372,7 @@ object Dedup {
     * a new plan family. */
   def jaccardHistogram(s: SparkSession, d: String): DataFrame = {
     val sets = cached(wordShingled(s, d))
-    val bands = sets
-      .withColumn("mh", graft.plans.TextHashes.minhashSigs(col("sh"), typedlit(A24)))
-      .select(col("doc_id"), explode(array((0 until MinhashBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          element_at(col("mh"), 2 * b + 1).as("m1"),
-          element_at(col("mh"), 2 * b + 2).as("m2"))
-      }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band_idx"), col("e.m1"), col("e.m2"))
+    val bands = rawBandRowsOf(sets)
     val cand = bands
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("m1"), col("m2"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("m1"), col("m2")),

@@ -53,18 +53,27 @@ object Events {
       .select(fmt(col("w.start")).as("win_start"), col("n"), col("sum_value"))
       .orderBy("win_start")
 
-  /** Gap-based sessionization (30-minute inactivity gap) per user:
-    * mark session starts with lag(), number sessions with a running
-    * sum, then aggregate per session. One shuffle on user_id. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** The ONE spelling of the 30-minute-gap session-boundary
+    * definition (shared by [[sessionize]] and [[topPaths]] so the
+    * session semantics and their oracles can never diverge): lag()
+    * marks session starts, a running sum numbers them. One shuffle
+    * on user_id. */
+  private def withSessionIds(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    load(s, d)
+    events
       .withColumn("gap_ns", col("ts") - lag("ts", 1).over(byUser))
       .withColumn("is_new",
         when(col("gap_ns").isNull || col("gap_ns") > lit(30L * 60 * 1000000000L), 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("is_new").over(run))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user:
+    * mark session starts with lag(), number sessions with a running
+    * sum, then aggregate per session. One shuffle on user_id. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    withSessionIds(load(s, d))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -233,14 +242,7 @@ object Events {
     * (cardinality ≤ |types|³), and a TakeOrdered top-20 — per-session
     * state is bounded by session length, never corpus size. */
   def topPaths(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    load(s, d)
-      .withColumn("gap_ns", col("ts") - lag("ts", 1).over(byUser))
-      .withColumn("is_new",
-        when(col("gap_ns").isNull || col("gap_ns") > lit(30L * 60 * 1000000000L), 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(run))
+    withSessionIds(load(s, d))
       .groupBy("user_id", "session_id")
       .agg(array_join(
         transform(

@@ -20,15 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** One row per constraint: child row count + violation count. */
+  /** One row per constraint: child row count + violation count.
+    *
+    * Every FK over the same child table rides ONE scan of it: the
+    * child left-joins each parent's DISTINCT keys (null parent key =
+    * orphan), and one aggregate emits the row count plus every
+    * constraint's violation count, unpivoted to a row per
+    * constraint — so lineitem (the 100 TB table) is read once for
+    * both of its FKs, not once per branch per FK. */
   def integrity(s: SparkSession, d: String): DataFrame = {
-    def orphans(name: String, child: DataFrame, ck: String,
-                parent: DataFrame, pk: String): DataFrame = {
-      val bad = child.select(col(ck)).join(
-        parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_violations"))))
-        .select(lit(name).as("constraint_name"), col("n_child"), col("n_violations"))
+    def pkeys(t: String, k: String) =
+      Tables(s, d, t).select(col(k)).distinct()
+    def fkRows(child: DataFrame, fks: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      val joined = fks.foldLeft(child.select(fks.map(f => col(f._2)): _*)) {
+        case (acc, (_, ck, parent, pk)) =>
+          acc.join(parent, col(ck) === col(pk), "left")
+      }
+      val aggs = count(lit(1)).as("n_child") +: fks.map { case (name, _, _, pk) =>
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).as(s"v_$name")
+      }
+      val stacked = fks.map(f => s"'${f._1}', n_child, v_${f._1}").mkString(", ")
+      joined.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${fks.size}, $stacked) AS " +
+          "(constraint_name, n_child, n_violations)")
     }
     def dupKeys(name: String, t: DataFrame, k: String): DataFrame =
       t.groupBy(col(k)).agg(count(lit(1)).as("m"))
@@ -36,13 +50,13 @@ object Quality {
           sum(col("m")).as("n_child"),
           sum(when(col("m") > 1, col("m")).otherwise(0L)).as("n_violations"))
         .select(lit(name).as("constraint_name"), col("n_child"), col("n_violations"))
-    val l = Tables(s, d, "lineitem")
     val o = Tables(s, d, "orders")
-    orphans("fk_lineitem_orders", l, "l_orderkey", o, "o_orderkey")
-      .unionAll(orphans("fk_lineitem_part", l, "l_partkey",
-        Tables(s, d, "part"), "p_partkey"))
-      .unionAll(orphans("fk_orders_customer", o, "o_custkey",
-        Tables(s, d, "customer"), "c_custkey"))
+    fkRows(Tables(s, d, "lineitem"), Seq(
+      ("fk_lineitem_orders", "l_orderkey", pkeys("orders", "o_orderkey"), "o_orderkey"),
+      ("fk_lineitem_part", "l_partkey", pkeys("part", "p_partkey"), "p_partkey")))
+      .unionAll(fkRows(o, Seq(
+        ("fk_orders_customer", "o_custkey",
+          pkeys("customer", "c_custkey"), "c_custkey"))))
       .unionAll(dupKeys("pk_orders", o, "o_orderkey"))
       .unionAll(dupKeys("pk_customer", Tables(s, d, "customer"), "c_custkey"))
       .orderBy("constraint_name")

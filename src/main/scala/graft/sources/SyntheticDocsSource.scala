@@ -100,12 +100,18 @@ private object SyntheticDocsScan {
       case n: Number => Some(n.longValue())
       case _         => None
     }
+    // saturating n+1: at Long.MaxValue a raw +1 wraps negative, which
+    // would turn "> MaxValue" (empty) into "the full table" after the
+    // max(0, lo) clamp — and these filters are NOT re-evaluated by
+    // Spark. Saturation is exact here because generated ids live in
+    // [0, rows) with rows ≤ MaxValue, so no id ever equals MaxValue.
+    def inc(n: Long): Long = if (n == Long.MaxValue) Long.MaxValue else n + 1
     f match {
-      case EqualTo("doc_id", v)            => num(v).map(n => (n, n + 1))
-      case GreaterThan("doc_id", v)        => num(v).map(n => (n + 1, Long.MaxValue))
+      case EqualTo("doc_id", v)            => num(v).map(n => (n, inc(n)))
+      case GreaterThan("doc_id", v)        => num(v).map(n => (inc(n), Long.MaxValue))
       case GreaterThanOrEqual("doc_id", v) => num(v).map(n => (n, Long.MaxValue))
       case LessThan("doc_id", v)           => num(v).map(n => (0L, n))
-      case LessThanOrEqual("doc_id", v)    => num(v).map(n => (0L, n + 1))
+      case LessThanOrEqual("doc_id", v)    => num(v).map(n => (0L, inc(n)))
       case IsNotNull("doc_id")             => Some((0L, Long.MaxValue))
       case _                               => None
     }

@@ -653,9 +653,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
   }
 
-  test("integrity audit plans anti joins per FK; no cartesian anywhere") {
+  test("integrity audit scans lineitem once for both of its FK checks") {
     val s = executed(graft.operators.Quality.integrity(spark, sf))
-    assert("LeftAnti".r.findAllIn(s).size >= 3, s.take(900))
+    // both lineitem FKs ride ONE scan (left joins + null-count agg);
+    // the old per-constraint spelling read the fact table 4×
+    val lineitemScans = s.linesIterator.count(l =>
+      l.contains("lineitem.parquet") && l.contains("Scan"))
+    assert(lineitemScans == 1, s.take(1200))
     assert(!s.contains("CartesianProduct"), s.take(900))
   }
 
