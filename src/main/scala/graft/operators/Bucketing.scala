@@ -25,6 +25,11 @@ object Bucketing {
 
   private val Buckets = 8
 
+  /** sfDir the bucketed lineitem table was last written from — the
+    * reuse guard ([[bucketedAgg]]) must never serve one scale
+    * factor's layout to another's query in a shared session. */
+  @volatile private var bucketedLineitemDir: Option[String] = None
+
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tmp = graft.Core.tempDir("graft-bucketed")
     Tables(s, d, "lineitem")
@@ -33,6 +38,7 @@ object Bucketing {
       .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$tmp/lineitem_b")
       .saveAsTable("graft_lineitem_bucketed")
+    bucketedLineitemDir = Some(d)
     Tables(s, d, "orders")
       .select("o_orderkey", "o_orderstatus")
       .write.mode("overwrite")
@@ -44,6 +50,38 @@ object Bucketing {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
       .orderBy("o_orderstatus")
   }
+
+  /** Exchange-free AGGREGATION on the bucket key: per-order line
+    * counts and quantity totals over the bucketed lineitem table.
+    * The scan reports the bucket spec's hash distribution, so the
+    * groupBy(l_orderkey) needs NO Exchange — the same pay-the-
+    * shuffle-once-at-write-time amortization as the join, applied to
+    * the other wide-operator family (PlanSpec asserts zero
+    * exchanges). Reuses [[bucketedJoin]]'s written table when it
+    * exists; writes it otherwise, so the query is self-contained
+    * under any execution order. */
+  def bucketedAgg(s: SparkSession, d: String): DataFrame = {
+    if (!s.catalog.tableExists("graft_lineitem_bucketed")
+        || !bucketedLineitemDir.contains(d)) {
+      val tmp = graft.Core.tempDir("graft-bucketed-agg")
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem_b")
+        .saveAsTable("graft_lineitem_bucketed")
+      bucketedLineitemDir = Some(d)
+    }
+    aggBucketed(s)
+      .filter(col("n_lines") >= 3)
+      .orderBy("l_orderkey")
+  }
+
+  /** The exchange-free aggregate (split out for PlanSpec). */
+  def aggBucketed(s: SparkSession): DataFrame =
+    s.table("graft_lineitem_bucketed")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
 
   /** The exchange-free join of the two bucketed tables (split out so
     * PlanSpec can assert the plan shape). The merge hint pins the
@@ -61,6 +99,11 @@ object Bucketing {
       s"""SELECT o_orderstatus, ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      headline = false),
+    Q("bucketed_agg", bucketedAgg, Some(
+      s"""SELECT l_orderkey, ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 3
+         |ORDER BY l_orderkey""".stripMargin),
       headline = false),
   )
 }

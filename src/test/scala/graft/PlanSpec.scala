@@ -227,6 +227,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s.take(600))
   }
 
+  test("bucketed aggregation runs with zero exchanges") {
+    Bucketing.bucketedAgg(spark, sf).collect() // ensures the table
+    val s = formatted(Bucketing.aggBucketed(spark))
+    assert(s.contains("HashAggregate"), s.take(600))
+    assert(!s.contains("Exchange"), s.take(600))
+  }
+
   test("partitioned layout prunes at file listing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     spark.read.parquet(s"$sf/events.parquet")
