@@ -116,7 +116,8 @@ object Multimodal {
       (v, i)
     }
 
-    def decode(docId: Long, bytes: Array[Byte]): PpmStats = {
+    /** (width, height, body offset) — shared magic/maxval validation. */
+    private def header(bytes: Array[Byte]): (Int, Int, Int) = {
       require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
         "PPM: bad magic (want P6)")
       val (w, i1) = readInt(bytes, 2)
@@ -126,6 +127,37 @@ object Multimodal {
       val body = i3 + 1 // exactly one whitespace byte after maxval
       require(bytes.length >= body + w * h * 3,
         s"PPM: truncated payload (${bytes.length - body} of ${w * h * 3} bytes)")
+      (w, h, body)
+    }
+
+    /** Difference hash (dHash) of the raster: per pixel pair along
+      * each row, one bit for "right neighbor brighter" — gray is the
+      * exact integer r+g+b (no luma rounding), bits fold row-major
+      * MSB-first. (w−1)·h bits — 42 for the 8×6 fixture, well inside
+      * a long. The classic perceptual fingerprint: stable under
+      * brightness shifts (comparisons, not absolute values), so
+      * re-encoded copies of an image collide. */
+    def dhash(bytes: Array[Byte]): Long = {
+      val (w, h, body) = header(bytes)
+      require((w - 1) * h <= 63, s"PPM: dhash needs (w-1)*h <= 63, got ${w}x$h")
+      var acc = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          val i0 = body + 3 * (y * w + x)
+          val g0 = (bytes(i0) & 0xff) + (bytes(i0 + 1) & 0xff) + (bytes(i0 + 2) & 0xff)
+          val g1 = (bytes(i0 + 3) & 0xff) + (bytes(i0 + 4) & 0xff) + (bytes(i0 + 5) & 0xff)
+          acc = acc * 2 + (if (g1 > g0) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      acc
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): PpmStats = {
+      val (w, h, body) = header(bytes)
       var r = 0L; var g = 0L; var b = 0L; var luma = 0L
       var p = body
       val end = body + w * h * 3
@@ -204,6 +236,28 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Image near-dup via perceptual hash: decode every PPM, take its
+    * [[PpmCodec.dhash]] difference hash, and report each hash bucket
+    * holding ≥ 2 images — pixel-level duplicate detection, the
+    * multimodal sibling of the text/embedding near-dup family. The
+    * hash is computed INSIDE the same batched mapPartitions decode
+    * pass (per-image O(pixels), no second read of the binary), and
+    * only the 8-byte hash shuffles — the grouping never moves image
+    * bytes. At real scale the same shape runs hamming-radius buckets
+    * (band the 64 bits like SimHash); equality buckets are the
+    * radius-0 case the fixture's derived rasters exercise. */
+  def phashDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
+      .toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("min_doc"))
+      .filter(col("n_images") >= 2)
+      .orderBy("dhash")
+  }
+
   /** Metadata-only aggregation: never reads the `media` column (the
     * parquet scan prunes it), groups tiny cardinality (3 rows). */
   def metaAgg(s: SparkSession, d: String): DataFrame =
@@ -265,6 +319,25 @@ object Multimodal {
     // luma is linear, so the oracle folds channel sums once and takes
     // the same integer milli-weight combination the decoder applies
     // per pixel — identical exact integers either way
+    Q("multimodal_phash_dup", phashDup, Some {
+      val oPix = oBytesOf(
+        s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
+      val nBits = (PpmW - 1) * PpmH
+      val i0 = s"((k // ${PpmW - 1}) * $PpmW + (k % ${PpmW - 1}))"
+      def g(i: String) = s"(pb[3*$i+1] + pb[3*$i+2] + pb[3*$i+3])"
+      s"""WITH px AS (SELECT doc_id, $oPix AS pb FROM documents),
+         |hh AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range($nBits), k ->
+         |        CASE WHEN ${g(s"($i0 + 1)")} > ${g(i0)}
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a * 2 + b) AS dhash
+         |  FROM px)
+         |SELECT dhash, COUNT(*) AS n_images, min(doc_id) AS min_doc
+         |FROM hh GROUP BY dhash HAVING COUNT(*) >= 2
+         |ORDER BY dhash""".stripMargin
+    }),
     Q("multimodal_ppm_decode", ppmDecode, Some {
       val oPix = oBytesOf(
         s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")

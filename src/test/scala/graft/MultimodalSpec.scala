@@ -59,6 +59,19 @@ class MultimodalSpec extends SparkSpec {
       luma_q = 2126L * 50 + 7152L * 70 + 722L * 90))
   }
 
+  test("dhash is brightness-shift invariant and flips on pixel edits") {
+    def ppm(pixels: Array[Byte]) = "P6\n3 1\n255\n".getBytes("US-ASCII") ++ pixels
+    // gray row: 60, 150, 90 → bits (150>60)=1, (90>150)=0 → 0b10
+    val base = Array[Byte](10, 20, 30, 40, 50, 60, 20, 30, 40)
+    assert(Multimodal.PpmCodec.dhash(ppm(base)) == 2L)
+    // uniform +10 on every channel preserves all comparisons
+    val brighter = base.map(b => (b + 10).toByte)
+    assert(Multimodal.PpmCodec.dhash(ppm(brighter)) == 2L)
+    // darkening the middle pixel below both neighbors flips both bits
+    val edited = base.clone(); edited(3) = 0; edited(4) = 0; edited(5) = 0
+    assert(Multimodal.PpmCodec.dhash(ppm(edited)) == 1L)
+  }
+
   test("PpmCodec rejects malformed files loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.PpmCodec.decode(0L, "JFIF....".getBytes("US-ASCII"))
