@@ -258,6 +258,50 @@ object Multimodal {
       .orderBy("dhash")
   }
 
+  /** The hamming-radius scale path [[phashDup]]'s docstring promises:
+    * near-duplicate IMAGE pairs at hamming distance 1, found by
+    * SimHash-style chunk banding over the 42-bit dHash VOCABULARY —
+    * never over images. The distinct hashes (with member counts) are
+    * split into 6 seven-bit chunks; band j packs the 5 chunks
+    * EXCLUDING j, so a single differing bit — which lives in exactly
+    * one chunk — leaves at least one band equal (pigeonhole-complete
+    * for radius 1). Candidates equi-join on (band, packed value) and
+    * verify with exact `bit_count(xor)`.
+    *
+    * Scale posture: everything downstream of the per-image hash runs
+    * on |distinct hashes| rows (the hash vocabulary, ≤ 2^42 and in
+    * practice millions), and exact-duplicate mega-groups collapse to
+    * ONE vocabulary row each — the pair explosion a naive image-level
+    * self-join hits on popular images cannot happen here. */
+  def phashNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hv = cached(ppmTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
+      .toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images")))
+    val nChunks = 6
+    val bands = hv.select(col("dhash"), col("n_images"),
+      explode(array((0 until nChunks).map { j =>
+        struct(lit(j).as("band_idx"),
+          (0 until nChunks).filter(_ != j).zipWithIndex.map { case (k, pos) =>
+            shiftright(col("dhash"), 7 * k).bitwiseAND(lit(127L)) * lit(1L << (7 * pos))
+          }.reduce(_ + _).as("band_val"))
+      }: _*)).as("e"))
+      .select(col("dhash"), col("n_images"), col("e.band_idx"), col("e.band_val"))
+    bands
+      .select(col("dhash").as("hash_a"), col("n_images").as("n_a"),
+        col("band_idx"), col("band_val"))
+      .join(bands.select(col("dhash").as("hash_b"), col("n_images").as("n_b"),
+        col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("hash_a") < col("hash_b"))
+      .select("hash_a", "hash_b", "n_a", "n_b").distinct()
+      .filter(bit_count(col("hash_a").bitwiseXOR(col("hash_b"))) === 1)
+      .orderBy("hash_a", "hash_b")
+  }
+
   /** Metadata-only aggregation: never reads the `media` column (the
     * parquet scan prunes it), groups tiny cardinality (3 rows). */
   def metaAgg(s: SparkSession, d: String): DataFrame =
@@ -337,6 +381,27 @@ object Multimodal {
          |SELECT dhash, COUNT(*) AS n_images, min(doc_id) AS min_doc
          |FROM hh GROUP BY dhash HAVING COUNT(*) >= 2
          |ORDER BY dhash""".stripMargin
+    }),
+    Q("multimodal_phash_near", phashNear, Some {
+      val oPix = oBytesOf(
+        s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
+      val nBits = (PpmW - 1) * PpmH
+      val i0 = s"((k // ${PpmW - 1}) * $PpmW + (k % ${PpmW - 1}))"
+      def g(i: String) = s"(pb[3*$i+1] + pb[3*$i+2] + pb[3*$i+3])"
+      s"""WITH px AS (SELECT doc_id, $oPix AS pb FROM documents),
+         |hh AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range($nBits), k ->
+         |        CASE WHEN ${g(s"($i0 + 1)")} > ${g(i0)}
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a * 2 + b) AS dhash
+         |  FROM px),
+         |hv AS (SELECT dhash, COUNT(*) AS n FROM hh GROUP BY dhash)
+         |SELECT a.dhash AS hash_a, b.dhash AS hash_b, a.n AS n_a, b.n AS n_b
+         |FROM hv a JOIN hv b ON a.dhash < b.dhash
+         |WHERE bit_count(xor(a.dhash, b.dhash)) = 1
+         |ORDER BY hash_a, hash_b""".stripMargin
     }),
     Q("multimodal_ppm_decode", ppmDecode, Some {
       val oPix = oBytesOf(
