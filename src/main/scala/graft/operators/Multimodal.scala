@@ -215,12 +215,30 @@ object Multimodal {
     * engines: the decoder reads exactly the first [[PpmBytes]] payload
     * bytes, and the oracle indexes the same byte positions. */
   def ppmTable(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    ppmOf(Tables(s, d, "documents"))
+
+  /** The synthesized PPM frame of any (doc_id, text) frame — shared
+    * with the streaming image-ingest path, which builds it per
+    * micro-batch. */
+  private[graft] def ppmOf(docFrame: DataFrame): DataFrame =
+    docFrame
       .select(col("doc_id"),
         concat(
           lit(s"P6\n$PpmW $PpmH\n255\n").cast("binary"),
           expr(s"CAST(substring(repeat(text, CAST($PpmBytes div length(text) AS INT) + 1), " +
             s"1, $PpmBytes) AS BINARY)")).as("media"))
+
+  /** (doc_id, dhash) of any (doc_id, text) frame — decode + hash in
+    * one partition-local pass (shared by [[phashDup]] and the
+    * streaming ingest). */
+  private[graft] def phashOf(docFrame: DataFrame): DataFrame = {
+    val s = docFrame.sparkSession
+    import s.implicits._
+    ppmOf(docFrame)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
+      .toDF("doc_id", "dhash")
+  }
 
   /** Registered query: real image decode — parse every PPM header and
     * fold per-channel pixel sums + Rec.709 integer luma. Same
@@ -247,11 +265,7 @@ object Multimodal {
     * (band the 64 bits like SimHash); equality buckets are the
     * radius-0 case the fixture's derived rasters exercise. */
   def phashDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    ppmTable(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
-      .toDF("doc_id", "dhash")
+    phashOf(Tables(s, d, "documents"))
       .groupBy("dhash")
       .agg(count(lit(1)).as("n_images"), min("doc_id").as("min_doc"))
       .filter(col("n_images") >= 2)
@@ -274,11 +288,7 @@ object Multimodal {
     * ONE vocabulary row each — the pair explosion a naive image-level
     * self-join hits on popular images cannot happen here. */
   def phashNear(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hv = cached(ppmTable(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
-      .toDF("doc_id", "dhash")
+    val hv = cached(phashOf(Tables(s, d, "documents"))
       .groupBy("dhash")
       .agg(count(lit(1)).as("n_images")))
     val nChunks = 6
@@ -336,6 +346,26 @@ object Multimodal {
     s"list_transform(range(1, octet_length(encode($x)) + 1), i -> " +
       s"CAST(16*(strpos('0123456789ABCDEF', substr(hex(encode($x)), 2*i-1, 1)) - 1) " +
       s"+ (strpos('0123456789ABCDEF', substr(hex(encode($x)), 2*i, 1)) - 1) AS BIGINT))"
+  /** Oracle CTEs `px` (PPM payload bytes) + `hh` (doc_id, dhash) —
+    * the DuckDB replay of [[phashOf]], shared by both batch phash
+    * oracles and the streaming image-ingest oracle. */
+  private[graft] lazy val oPhashCte: String = {
+    val oPix = oBytesOf(
+      s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
+    val nBits = (PpmW - 1) * PpmH
+    val i0 = s"((k // ${PpmW - 1}) * $PpmW + (k % ${PpmW - 1}))"
+    def g(i: String) = s"(pb[3*$i+1] + pb[3*$i+2] + pb[3*$i+3])"
+    s"""px AS (SELECT doc_id, $oPix AS pb FROM documents),
+       |hh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($nBits), k ->
+       |        CASE WHEN ${g(s"($i0 + 1)")} > ${g(i0)}
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a * 2 + b) AS dhash
+       |  FROM px)""".stripMargin
+  }
+
   private val oBytes = oBytesOf("text")
   private val oByteSum =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $oBytes), (a, b) -> a + b)"
@@ -363,46 +393,18 @@ object Multimodal {
     // luma is linear, so the oracle folds channel sums once and takes
     // the same integer milli-weight combination the decoder applies
     // per pixel — identical exact integers either way
-    Q("multimodal_phash_dup", phashDup, Some {
-      val oPix = oBytesOf(
-        s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
-      val nBits = (PpmW - 1) * PpmH
-      val i0 = s"((k // ${PpmW - 1}) * $PpmW + (k % ${PpmW - 1}))"
-      def g(i: String) = s"(pb[3*$i+1] + pb[3*$i+2] + pb[3*$i+3])"
-      s"""WITH px AS (SELECT doc_id, $oPix AS pb FROM documents),
-         |hh AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range($nBits), k ->
-         |        CASE WHEN ${g(s"($i0 + 1)")} > ${g(i0)}
-         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, b) -> a * 2 + b) AS dhash
-         |  FROM px)
+    Q("multimodal_phash_dup", phashDup, Some(
+      s"""WITH $oPhashCte
          |SELECT dhash, COUNT(*) AS n_images, min(doc_id) AS min_doc
          |FROM hh GROUP BY dhash HAVING COUNT(*) >= 2
-         |ORDER BY dhash""".stripMargin
-    }),
-    Q("multimodal_phash_near", phashNear, Some {
-      val oPix = oBytesOf(
-        s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")
-      val nBits = (PpmW - 1) * PpmH
-      val i0 = s"((k // ${PpmW - 1}) * $PpmW + (k % ${PpmW - 1}))"
-      def g(i: String) = s"(pb[3*$i+1] + pb[3*$i+2] + pb[3*$i+3])"
-      s"""WITH px AS (SELECT doc_id, $oPix AS pb FROM documents),
-         |hh AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range($nBits), k ->
-         |        CASE WHEN ${g(s"($i0 + 1)")} > ${g(i0)}
-         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, b) -> a * 2 + b) AS dhash
-         |  FROM px),
+         |ORDER BY dhash""".stripMargin)),
+    Q("multimodal_phash_near", phashNear, Some(
+      s"""WITH $oPhashCte,
          |hv AS (SELECT dhash, COUNT(*) AS n FROM hh GROUP BY dhash)
          |SELECT a.dhash AS hash_a, b.dhash AS hash_b, a.n AS n_a, b.n AS n_b
          |FROM hv a JOIN hv b ON a.dhash < b.dhash
          |WHERE bit_count(xor(a.dhash, b.dhash)) = 1
-         |ORDER BY hash_a, hash_b""".stripMargin
-    }),
+         |ORDER BY hash_a, hash_b""".stripMargin)),
     Q("multimodal_ppm_decode", ppmDecode, Some {
       val oPix = oBytesOf(
         s"substr(repeat(text, CAST($PpmBytes // length(text) AS INTEGER) + 1), 1, $PpmBytes)")

@@ -620,6 +620,54 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Streaming IMAGE ingest dedup — the multimodal member of the
+    * ingest-dedup family ([[streamDedupExact]] by content hash,
+    * [[streamDedupNeardup]] by MinHash bands, this by perceptual
+    * hash): each micro-batch of documents becomes its synthesized
+    * PPM rasters, decoded and dHashed partition-locally
+    * ([[graft.operators.Multimodal.phashOf]]); per-batch hashes
+    * append to a log and the running (dhash → min doc_id) index
+    * merges FORWARD — state is the hash vocabulary, never history.
+    * Admission is first-by-id per hash: order-independent, so any
+    * arrival order converges to the batch recomputation the oracle
+    * runs. */
+  def streamPhashIngest(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-ph-src")
+    graft.Tables(s, d, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-ph-state")
+    val hashLog = graft.Core.tempDir("graft-ph-log")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashes = graft.operators.Multimodal.phashOf(batch)
+        hashes.write.mode("append").parquet(hashLog)
+        val mins = hashes.select(col("dhash"), col("doc_id").as("min_doc"))
+        val merged = (curState match {
+          case None => mins
+          case Some(p) => s.read.parquet(p).unionByName(mins)
+        }).groupBy("dhash").agg(min("min_doc").as("min_doc"))
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    val adm = s.read.parquet(hashLog)
+      .join(s.read.parquet(curState.get), "dhash")
+      .select(col("doc_id"),
+        (col("min_doc") === col("doc_id")).cast("long").as("ok"))
+    graft.Tables(s, d, "documents").join(adm, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("ok")).as("n_admitted"),
+        sum(lit(1L) - col("ok")).as("n_rejected"))
+      .orderBy("source")
+  }
+
   /** Streaming mergeable-sketch maintenance — the distinct-count
     * analogue of [[streamAnnUpsert]]: events arrive in micro-batches
     * and a per-event-type DataSketches HLL state is UNIONed forward
@@ -818,6 +866,15 @@ object Streams {
          |SELECT source, CAST(SUM(ok) AS BIGINT) AS n_admitted,
          |  CAST(SUM(1 - ok) AS BIGINT) AS n_rejected
          |FROM documents JOIN adm USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin)),
+    Q("stream_phash_ingest", streamPhashIngest, Some(
+      s"""WITH ${graft.operators.Multimodal.oPhashCte},
+         |m AS (SELECT dhash, min(doc_id) AS md FROM hh GROUP BY dhash)
+         |SELECT source,
+         |  CAST(SUM(CASE WHEN m.md = documents.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN m.md = documents.doc_id THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+         |FROM documents JOIN hh ON hh.doc_id = documents.doc_id
+         |  JOIN m ON m.dhash = hh.dhash
          |GROUP BY source ORDER BY source""".stripMargin)),
     Q("stream_upsert_latest", streamUpsertLatest, Some(
       """WITH ranked AS (
