@@ -312,6 +312,49 @@ object Events {
       .orderBy("event_type", "hr_start")
   }
 
+  /** Linear interpolation over the same dense hour spine as
+    * [[gapfill]] — the third missing-value policy (zero-fill,
+    * forward-fill, interpolate): a gap hour gets the value linearly
+    * between its nearest observed neighbors; leading/trailing gaps
+    * fall back to the single available neighbor. Four windows over
+    * the SAME (event_type, hr) ordering — one exchange of the tiny
+    * rollup-sized frame, reused by all four (two backward, two
+    * forward). The interpolation arithmetic is one fixed IEEE
+    * expression evaluated identically by both engines — no
+    * accumulation, so no order sensitivity. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = load(s, d)
+      .withColumn("hr", expr("ts div 3600000000000"))
+      .groupBy("event_type", "hr")
+      .agg(dsum(col("value")).as("sum_value"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hr").as("min_hr"), max("hr").as("max_hr"))
+      .select(col("event_type"),
+        explode(sequence(col("min_hr"), col("max_hr"))).as("hr"))
+    val back = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHr = when(col("sum_value").isNotNull, col("hr"))
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last("sum_value", ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHr, ignoreNulls = true).over(back))
+      .withColumn("nv", first("sum_value", ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHr, ignoreNulls = true).over(fwd))
+      .withColumn("value_interp",
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("hr") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv"))))
+      .select(col("event_type"),
+        fmt(timestamp_micros(col("hr") * 3600000000L)).as("hr_start"),
+        col("sum_value").isNotNull.as("observed"),
+        col("value_interp"))
+      .orderBy("event_type", "hr_start")
+  }
+
   /** JSON extraction from the `props` column + aggregation. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     load(s, d)
@@ -561,6 +604,36 @@ object Events {
          |FROM spine s LEFT JOIN hourly h
          |  ON s.event_type = h.event_type AND s.hr = h.hr
          |ORDER BY s.event_type, hr_start""".stripMargin)),
+    Q("events_interpolate", interpolate, Some(
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         |    ${oDsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(mn, mx)) AS hr FROM bounds),
+         |j AS (
+         |  SELECT s.event_type, s.hr, h.sum_value,
+         |    last_value(h.sum_value IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN h.sum_value IS NOT NULL THEN s.hr END IGNORE NULLS) OVER wb AS ph,
+         |    first_value(h.sum_value IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN h.sum_value IS NOT NULL THEN s.hr END IGNORE NULLS) OVER wf AS nh
+         |  FROM spine s LEFT JOIN hourly h
+         |    ON s.event_type = h.event_type AND s.hr = h.hr
+         |  WINDOW
+         |    wb AS (PARTITION BY s.event_type ORDER BY s.hr
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY s.event_type ORDER BY s.hr
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type,
+         |  strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S') AS hr_start,
+         |  sum_value IS NOT NULL AS observed,
+         |  CASE WHEN sum_value IS NOT NULL THEN sum_value
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |         THEN pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+         |       ELSE COALESCE(pv, nv) END AS value_interp
+         |FROM j ORDER BY event_type, hr_start""".stripMargin)),
     Q("events_json", jsonExtract, Some(oJsonSql)),
     Q("events_variant", variantExtract, Some(oJsonSql)),
   )
