@@ -130,31 +130,11 @@ object Multimodal {
       (w, h, body)
     }
 
-    /** Difference hash (dHash) of the raster: per pixel pair along
-      * each row, one bit for "right neighbor brighter" — gray is the
-      * exact integer r+g+b (no luma rounding), bits fold row-major
-      * MSB-first. (w−1)·h bits — 42 for the 8×6 fixture, well inside
-      * a long. The classic perceptual fingerprint: stable under
-      * brightness shifts (comparisons, not absolute values), so
-      * re-encoded copies of an image collide. */
-    def dhash(bytes: Array[Byte]): Long = {
-      val (w, h, body) = header(bytes)
-      require((w - 1) * h <= 63, s"PPM: dhash needs (w-1)*h <= 63, got ${w}x$h")
-      var acc = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w - 1) {
-          val i0 = body + 3 * (y * w + x)
-          val g0 = (bytes(i0) & 0xff) + (bytes(i0 + 1) & 0xff) + (bytes(i0 + 2) & 0xff)
-          val g1 = (bytes(i0 + 3) & 0xff) + (bytes(i0 + 4) & 0xff) + (bytes(i0 + 5) & 0xff)
-          acc = acc * 2 + (if (g1 > g0) 1L else 0L)
-          x += 1
-        }
-        y += 1
-      }
-      acc
-    }
+    /** Difference hash (dHash) of the raster — delegates to the ONE
+      * implementation behind the codegen'd `ppm_dhash` expression
+      * ([[graft.plans.PpmDhashUtil]]), kept here as the codec-facing
+      * name the specs exercise. */
+    def dhash(bytes: Array[Byte]): Long = graft.plans.PpmDhashUtil.dhash(bytes)
 
     def decode(docId: Long, bytes: Array[Byte]): PpmStats = {
       val (w, h, body) = header(bytes)
@@ -228,17 +208,16 @@ object Multimodal {
           expr(s"CAST(substring(repeat(text, CAST($PpmBytes div length(text) AS INT) + 1), " +
             s"1, $PpmBytes) AS BINARY)")).as("media"))
 
-  /** (doc_id, dhash) of any (doc_id, text) frame — decode + hash in
-    * one partition-local pass (shared by [[phashDup]] and the
-    * streaming ingest). */
-  private[graft] def phashOf(docFrame: DataFrame): DataFrame = {
-    val s = docFrame.sparkSession
-    import s.implicits._
+  /** (doc_id, dhash) of any (doc_id, text) frame — decode + hash as
+    * ONE codegen'd expression ([[graft.plans.PpmDhash]]), so the
+    * synthesize → hash → aggregate pipeline stays inside a single
+    * WholeStageCodegen span with no Dataset-encoder round-trip
+    * (shared by [[phashDup]], [[phashNear]], and the streaming
+    * ingest). */
+  private[graft] def phashOf(docFrame: DataFrame): DataFrame =
     ppmOf(docFrame)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, m) => (id, PpmCodec.dhash(m)) })
-      .toDF("doc_id", "dhash")
-  }
+      .select(col("doc_id"),
+        graft.plans.MediaHashes.ppmDhash(col("media")).as("dhash"))
 
   /** Registered query: real image decode — parse every PPM header and
     * fold per-channel pixel sums + Rec.709 integer luma. Same

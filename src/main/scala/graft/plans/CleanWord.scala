@@ -180,5 +180,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[JaccardLong].getName, "jaccard_long"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaccardLong(args(0), args(1))))
+    // binary-column media hash ([[MediaHashes]])
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ppm_dhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PpmDhash].getName, "ppm_dhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PpmDhash(args(0))))
   }
 }

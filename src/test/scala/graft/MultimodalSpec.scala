@@ -72,6 +72,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.PpmCodec.dhash(ppm(edited)) == 1L)
   }
 
+  test("codegen'd ppm_dhash matches the codec on every synthesized raster") {
+    val viaExpr = Multimodal.ppmTable(spark, sf)
+      .select($"doc_id", graft.plans.MediaHashes.ppmDhash($"media").as("dhash"))
+      .as[(Long, Long)].collect().toMap
+    val viaCodec = Multimodal.ppmTable(spark, sf).as[(Long, Array[Byte])]
+      .collect().map { case (id, m) => id -> Multimodal.PpmCodec.dhash(m) }.toMap
+    assert(viaExpr == viaCodec)
+    assert(viaExpr.valuesIterator.exists(_ != 0L)) // non-degenerate rasters
+    // SQL-callable by name through the extension registration
+    Multimodal.ppmTable(spark, sf).createOrReplaceTempView("mm_ppm")
+    val one = spark.sql("SELECT ppm_dhash(media) AS h FROM mm_ppm WHERE doc_id = 0")
+      .as[Long].head()
+    assert(one == viaCodec(0L))
+  }
+
   test("PpmCodec rejects malformed files loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.PpmCodec.decode(0L, "JFIF....".getBytes("US-ASCII"))
