@@ -89,14 +89,20 @@ object Bench {
     // interference waves (10–20× slowdowns at low loadavg); whole-suite
     // passes are minutes apart, so a wave poisons at most one sample
     // of any query. The min is the plan's cost, not the host's.
-    // Pass 2 runs in REVERSE order: interference waves are
-    // position-correlated (r10: text_stats/text_bpe_tokens inflated
-    // 3–4× in BOTH passes while isolated runs matched r9), so
-    // identical ordering can park the same query in the same wave
-    // twice; reversing moves every query's neighborhood between
-    // samples so the min sees at most one poisoned sample.
+    // Pass 2 runs ROTATED BY HALF, not reversed: interference waves
+    // are position-correlated (r10: text_stats/text_bpe_tokens
+    // inflated 3–4× in BOTH passes while isolated runs matched r9),
+    // so identical ordering can park the same query in the same wave
+    // twice. Reversal (r11) had its own failure mode: pass 1's TAIL
+    // and pass 2's HEAD become wall-clock-ADJACENT, so one wave
+    // spanning the pass boundary poisons BOTH samples of exactly the
+    // last-scheduled family (r11: every streaming query "regressed"
+    // 3–7× in-suite while isolated re-runs matched r10). A half
+    // rotation keeps every query's two samples maximally separated
+    // in time AND in neighborhood.
     val p1 = onePass("p1", picked)
-    val p2 = onePass("p2", picked.reverse)
+    val half = picked.size / 2
+    val p2 = onePass("p2", picked.drop(half) ++ picked.take(half))
     val results = picked.flatMap { q =>
       (p1.get(q.name), p2.get(q.name)) match {
         case (Some(a), Some(b)) => Some(q.name -> math.min(a, b))

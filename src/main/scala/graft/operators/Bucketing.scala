@@ -30,15 +30,25 @@ object Bucketing {
     * factor's layout to another's query in a shared session. */
   @volatile private var bucketedLineitemDir: Option[String] = None
 
+  /** Guards the (catalog write, [[bucketedLineitemDir]]) pair:
+    * [[bucketedJoin]] overwrites the table [[bucketedAgg]]'s reuse
+    * guard check-then-acts against, so both the overwrite+record and
+    * the check+maybe-write must be atomic w.r.t. each other or a
+    * concurrent run could read a mid-overwrite table / pair one
+    * scale factor's data with another's guard value. */
+  private val bucketLock = new Object
+
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tmp = graft.Core.tempDir("graft-bucketed")
-    Tables(s, d, "lineitem")
-      .select("l_orderkey", "l_quantity")
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/lineitem_b")
-      .saveAsTable("graft_lineitem_bucketed")
-    bucketedLineitemDir = Some(d)
+    bucketLock.synchronized {
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem_b")
+        .saveAsTable("graft_lineitem_bucketed")
+      bucketedLineitemDir = Some(d)
+    }
     Tables(s, d, "orders")
       .select("o_orderkey", "o_orderstatus")
       .write.mode("overwrite")
@@ -61,16 +71,18 @@ object Bucketing {
     * exists; writes it otherwise, so the query is self-contained
     * under any execution order. */
   def bucketedAgg(s: SparkSession, d: String): DataFrame = {
-    if (!s.catalog.tableExists("graft_lineitem_bucketed")
-        || !bucketedLineitemDir.contains(d)) {
-      val tmp = graft.Core.tempDir("graft-bucketed-agg")
-      Tables(s, d, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/lineitem_b")
-        .saveAsTable("graft_lineitem_bucketed")
-      bucketedLineitemDir = Some(d)
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists("graft_lineitem_bucketed")
+          || !bucketedLineitemDir.contains(d)) {
+        val tmp = graft.Core.tempDir("graft-bucketed-agg")
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .write.mode("overwrite")
+          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/lineitem_b")
+          .saveAsTable("graft_lineitem_bucketed")
+        bucketedLineitemDir = Some(d)
+      }
     }
     aggBucketed(s)
       .filter(col("n_lines") >= 3)

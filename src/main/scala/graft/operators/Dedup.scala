@@ -583,44 +583,116 @@ object Dedup {
     * many records share a deletion variant, and the exact check runs
     * only per candidate. The all-pairs spelling survives only in the
     * DuckDB oracle (N is oracle-sized there). */
+  /** Longest-common-prefix length of two strings. */
+  private def lcpLen(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
+  /** Dataset-global shared-affix strip for edit-distance blocking.
+    *
+    * Levenshtein is EXACTLY invariant under trimming a prefix (or
+    * suffix) shared by both strings — the standard first-DP-row
+    * argument, ed(c·u, c·v) = ed(u, v) — so any affix common to the
+    * WHOLE column can be removed before blocking without losing a
+    * single true pair; the neighborhood equi-join over the stripped
+    * cores keeps FastSS's pigeonhole completeness verbatim.
+    *
+    * Why it matters: on identifier-like corpora (zero-padded
+    * `Customer#000…` names) the shared affix is most of the string,
+    * and deleting from it is what degenerates FastSS — D≤2 variants
+    * of near-uniform strings collide massively (r11 measured 65 M
+    * candidate rows from 15 k names at sf0.1, ~15 % of all-pairs).
+    * Stripping reduces each string to its discriminative core:
+    * variants per row shrink O(L²)→O(core²) and buckets become
+    * selective (r12 measurement in [[fuzzyCandidates]]).
+    *
+    * The constants come from ONE single-row aggregate: the LCP of a
+    * set equals LCP(lexmin, lexmax), and the set-wide common suffix
+    * is the LCP of the reversed strings' lexmin/lexmax. The
+    * `first()` reads that one aggregated row (same class as the
+    * connected-components convergence probe), not data. The suffix
+    * length is capped so prefix + suffix never overlap inside the
+    * shortest string. */
+  private def strippedCore(names: DataFrame, c: Column): Column = {
+    val r = names.agg(
+      min(c), max(c), min(reverse(c)), max(reverse(c)), min(length(c))).first()
+    if (r.isNullAt(4)) c // empty input: nothing to strip
+    else {
+      val pre = lcpLen(r.getString(0), r.getString(1))
+      val minLen = r.getInt(4)
+      val suf =
+        math.min(lcpLen(r.getString(2), r.getString(3)), math.max(0, minLen - pre))
+      if (pre + suf == 0) c
+      else c.substr(lit(pre + 1), length(c) - lit(pre + suf))
+    }
+  }
+
+  /** The FastSS candidate-pair stage of [[fuzzyCounts]], split out so
+    * DedupSpec can measure its output row count. Measured at sf0.1
+    * for D≤2 (r12): raw h-join output 65 M rows pre-strip → 22.7 M
+    * post-strip (2.9×); distinct candidates 17.36 M against a TRUE
+    * ed≤2 pair count of 4.08 M — i.e. post-strip blocking sits ~4×
+    * above the irreducible output floor (8.7 % of 15 k names are
+    * genuine radius-2 matches of each other on this corpus, so no
+    * blocking can emit fewer than those pairs). The bigger r12 win
+    * was parallelism, not volume — see the repartition note below
+    * (49.7 s → 7.2 s min-of-2 end to end). */
+  /** Test-only visibility into [[strippedCore]] (DedupSpec measures
+    * the index-size cut). */
+  private[graft] def strippedCoreForTest(names: DataFrame, c: Column): Column =
+    strippedCore(names, c)
+
+  private[graft] def fuzzyCandidates(
+      names: DataFrame, neighborhood: Column => Column): DataFrame = {
+    // strip the dataset-global shared affix FIRST (exact; see
+    // strippedCore), then expand deletion neighborhoods over the
+    // discriminative core only
+    val core = strippedCore(names, col("c_name"))
+    // native codegen'd neighborhoods (prefix/suffix hash composition
+    // — no substring building); parity with the interpreted
+    // substr+fold spellings is pinned in TextHashesSpec. Cached: the
+    // self-join consumes the explode on BOTH sides.
+    // array_distinct BEFORE the explode: deleting within a run of
+    // identical characters yields the same variant from every
+    // position (a length-r run contributes C(r,2) copies of one
+    // 2-deletion), and duplicate (id, h) index rows amplify the
+    // self-join QUADRATICALLY.
+    // repartition BEFORE the explode: the name table arrives in a
+    // handful of parquet splits, and everything downstream of the
+    // broadcast self-join — including the distinct's partial
+    // aggregate over the ~23M raw pairs (sf0.1) — pipelines at the
+    // STREAMING side's parallelism. Without this the partial agg ran
+    // in ≤4 tasks and dominated the query (18.2 s of the 30 s total
+    // at sf0.1; 2.1 s once spread across the shuffle width).
+    val variants = cached(names.repartition(col("c_custkey"))
+      .select(col("c_custkey"),
+        explode(array_distinct(neighborhood(core))).as("h")))
+    variants.toDF("a", "h")
+      .join(variants.toDF("b", "h"), "h")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   private def fuzzyCounts(
       s: SparkSession, d: String,
       neighborhood: Column => Column, maxDist: Int): DataFrame = {
     val names = cached(
       Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
-    // native codegen'd neighborhoods (prefix/suffix hash composition
-    // — no substring building); parity with the interpreted
-    // substr+fold spellings is pinned in TextHashesSpec. Cached: the
-    // self-join consumes the explode on BOTH sides, and for radius 2
-    // the neighborhood is the O(L²)-per-row half of the query.
-    // array_distinct BEFORE the explode: deleting within a run of
-    // identical characters yields the same variant from every
-    // position (a length-r run contributes C(r,2) copies of one
-    // 2-deletion), and duplicate (id, h) index rows amplify the
-    // self-join QUADRATICALLY — on sf0.1's zero-padded names the
-    // join output is 195M rows with duplicates vs 65M without (3×),
-    // for a per-row O(L² log L) dedup the candidate set never sees.
-    val variants = cached(names.select(col("c_custkey"),
-      explode(array_distinct(neighborhood(col("c_name")))).as("h")))
     // Candidates travel as (a, b) KEY pairs and deduplicate BEFORE
-    // names join back for verification. The tempting alternative —
-    // carry names through the variant explode and filter inside the
-    // candidate join — measured 2.4× SLOWER at sf0.1 (67 s vs 27 s
-    // for radius 2): the h-join's output is the largest relation in
-    // the query, and widening every row by two name strings costs
-    // far more than the post-distinct broadcast joins save. Keys
-    // through the big shuffle, payloads after the dedup.
-    // distinct-FIRST, verify second: the distinct's partial aggregate
-    // dedupes candidates map-side before the only wide shuffle, so
-    // the exchange carries ~17M keys (sf0.1) instead of the raw 31.7M
-    // join output; the verify-first alternative (broadcast the names
-    // onto the raw stream, levenshtein before any dedup) measured
-    // 2.6× SLOWER at sf0.1 (78 s vs 30 s) — it forfeits that partial
-    // dedup and materializes two name strings per raw candidate.
-    val cand = variants.toDF("a", "h")
-      .join(variants.toDF("b", "h"), "h")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // names join back for verification (fuzzyCandidates). The
+    // tempting alternative — carry names through the variant explode
+    // and filter inside the candidate join — measured 2.4× SLOWER at
+    // sf0.1 pre-strip (67 s vs 27 s for radius 2): the h-join's
+    // output is the largest relation in the query, and widening
+    // every row by two name strings costs far more than the
+    // post-distinct broadcast joins save. Keys through the big
+    // shuffle, payloads after the dedup; distinct-first dedupes
+    // candidates map-side before the only wide shuffle (verify-first
+    // measured 2.6× slower pre-strip: 78 s vs 30 s).
+    val cand = fuzzyCandidates(names, neighborhood)
     val verified = cand
       .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
       .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")

@@ -47,8 +47,11 @@ object Quality {
     def dupKeys(name: String, t: DataFrame, k: String): DataFrame =
       t.groupBy(col(k)).agg(count(lit(1)).as("m"))
         .agg(
-          sum(col("m")).as("n_child"),
-          sum(when(col("m") > 1, col("m")).otherwise(0L)).as("n_violations"))
+          // coalesce to 0: on an empty child table sum() yields NULL
+          // while the oracle's COALESCE spelling yields 0
+          coalesce(sum(col("m")), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("m") > 1, col("m")).otherwise(0L)), lit(0L))
+            .as("n_violations"))
         .select(lit(name).as("constraint_name"), col("n_child"), col("n_violations"))
     val o = Tables(s, d, "orders")
     fkRows(Tables(s, d, "lineitem"), Seq(

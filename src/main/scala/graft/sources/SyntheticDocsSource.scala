@@ -96,22 +96,44 @@ private object SyntheticDocsScan {
   /** doc_id comparison → `(lo inclusive, hi exclusive)` range bound,
     * None for filters the source can't turn into a range. */
   def bound(f: Filter): Option[(Long, Long)] = {
-    def num(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue())
-      case _         => None
+    // Exact decimal view of the literal: the ScanBuilder SPI is public
+    // and callers may probe with fractional values (LessThan("doc_id",
+    // 900.5)) that Catalyst would normally have cast away. Because
+    // pushFilters accepts exactly the filters bound() handles and
+    // Spark never re-evaluates them, the range must be floor/ceil
+    // -correct per comparator, not a blind longValue() truncation.
+    def dec(v: Any): Option[BigDecimal] = v match {
+      case b: java.math.BigDecimal => Some(BigDecimal(b))
+      case b: BigDecimal           => Some(b)
+      case d: java.lang.Double     => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue()))
+      case fl: java.lang.Float     => if (fl.isNaN || fl.isInfinite) None else Some(BigDecimal(fl.doubleValue()))
+      case n: Number               => Some(BigDecimal(n.longValue()))
+      case _                       => None
     }
-    // saturating n+1: at Long.MaxValue a raw +1 wraps negative, which
-    // would turn "> MaxValue" (empty) into "the full table" after the
-    // max(0, lo) clamp — and these filters are NOT re-evaluated by
-    // Spark. Saturation is exact here because generated ids live in
-    // [0, rows) with rows ≤ MaxValue, so no id ever equals MaxValue.
+    val MaxL = BigDecimal(Long.MaxValue)
+    // saturating clamp to Long: ids live in [0, rows) with rows ≤
+    // MaxValue, so saturation at the boundary is exact (no id ever
+    // equals MaxValue; lo is later clamped to ≥ 0).
+    def clamp(x: BigDecimal): Long =
+      if (x >= MaxL) Long.MaxValue
+      else if (x <= BigDecimal(Long.MinValue)) Long.MinValue
+      else x.toLong
+    def floorL(x: BigDecimal): Long = clamp(x.setScale(0, BigDecimal.RoundingMode.FLOOR))
+    def ceilL(x: BigDecimal): Long  = clamp(x.setScale(0, BigDecimal.RoundingMode.CEILING))
     def inc(n: Long): Long = if (n == Long.MaxValue) Long.MaxValue else n + 1
     f match {
-      case EqualTo("doc_id", v)            => num(v).map(n => (n, inc(n)))
-      case GreaterThan("doc_id", v)        => num(v).map(n => (inc(n), Long.MaxValue))
-      case GreaterThanOrEqual("doc_id", v) => num(v).map(n => (n, Long.MaxValue))
-      case LessThan("doc_id", v)           => num(v).map(n => (0L, n))
-      case LessThanOrEqual("doc_id", v)    => num(v).map(n => (0L, inc(n)))
+      // id == 900.5 matches nothing; id == 900 matches exactly [900, 901)
+      case EqualTo("doc_id", v) => dec(v).map { x =>
+        if (x.isWhole) { val n = clamp(x); (n, inc(n)) } else (0L, 0L)
+      }
+      // id > 900.5 ⇒ id ≥ 901 = floor+1; id > 900 ⇒ id ≥ 901 = floor+1
+      case GreaterThan("doc_id", v)        => dec(v).map(x => (inc(floorL(x)), Long.MaxValue))
+      // id ≥ 900.5 ⇒ id ≥ 901 = ceil; id ≥ 900 ⇒ ceil = 900
+      case GreaterThanOrEqual("doc_id", v) => dec(v).map(x => (ceilL(x), Long.MaxValue))
+      // id < 900.5 ⇒ id ≤ 900 ⇒ hi-excl 901 = ceil; id < 900 ⇒ hi-excl 900 = ceil
+      case LessThan("doc_id", v)           => dec(v).map(x => (0L, ceilL(x)))
+      // id ≤ 900.5 ⇒ hi-excl 901 = floor+1; id ≤ 900 ⇒ hi-excl 901 = floor+1
+      case LessThanOrEqual("doc_id", v)    => dec(v).map(x => (0L, inc(floorL(x))))
       case IsNotNull("doc_id")             => Some((0L, Long.MaxValue))
       case _                               => None
     }

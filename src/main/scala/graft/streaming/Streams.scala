@@ -596,7 +596,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bands = graft.operators.Dedup.minhashBandRows(batch)
-        bands.write.mode("append").parquet(bandLog)
+        // batchId-keyed overwrite, not a blind append: foreachBatch's
+        // contract allows a micro-batch to re-execute after failure,
+        // and a retry must replace its own log slice, not double it
+        // (the log rows are later summed per source).
+        bands.write.mode("overwrite").parquet(s"$bandLog/b=$batchId")
         val mins = bands
           .select(col("band_idx"), col("m1"), col("m2"), col("doc_id").as("min_doc"))
         val merged = (curState match {
@@ -645,7 +649,10 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hashes = graft.operators.Multimodal.phashOf(batch)
-        hashes.write.mode("append").parquet(hashLog)
+        // batchId-keyed overwrite for retry idempotence (see bandLog
+        // note in streamDedupNeardup) — a re-executed batch replaces
+        // its own slice instead of double-appending admissions.
+        hashes.write.mode("overwrite").parquet(s"$hashLog/b=$batchId")
         val mins = hashes.select(col("dhash"), col("doc_id").as("min_doc"))
         val merged = (curState match {
           case None => mins
