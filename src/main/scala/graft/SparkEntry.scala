@@ -14,6 +14,7 @@ object SparkEntry {
   def all: Seq[Q] =
     WordCount.queries ++ Relational.queries ++ Windows.queries ++
       Events.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      SpanDedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Temporal.queries ++
       Udaf.queries ++ Connectors.queries ++ Bucketing.queries ++
       Pipeline.queries ++ ScalarFns.queries ++ TrainingFilters.queries ++
@@ -89,6 +90,9 @@ object SparkEntry {
     // neighborhood-size multiple.
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_containment",
+    // repeated-span (ExactSubstr) family: the detector carries the
+    // gram shuffle + span folds; clean/keepfirst are its shape twins
+    "dedup_repeated_spans",
     "dedup_fuzzy_names", "dedup_fuzzy_names2",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     // similarity / ANN — sim_knn_label is a demoted shape-twin
