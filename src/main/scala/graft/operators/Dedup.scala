@@ -630,6 +630,11 @@ object Dedup {
     }
   }
 
+  /** Test-only visibility into [[strippedCore]] (DedupSpec measures
+    * the index-size cut). */
+  private[graft] def strippedCoreForTest(names: DataFrame, c: Column): Column =
+    strippedCore(names, c)
+
   /** The FastSS candidate-pair stage of [[fuzzyCounts]], split out so
     * DedupSpec can measure its output row count. Measured at sf0.1
     * for D≤2 (r12): raw h-join output 65 M rows pre-strip → 22.7 M
@@ -640,11 +645,6 @@ object Dedup {
     * blocking can emit fewer than those pairs). The bigger r12 win
     * was parallelism, not volume — see the repartition note below
     * (49.7 s → 7.2 s min-of-2 end to end). */
-  /** Test-only visibility into [[strippedCore]] (DedupSpec measures
-    * the index-size cut). */
-  private[graft] def strippedCoreForTest(names: DataFrame, c: Column): Column =
-    strippedCore(names, c)
-
   private[graft] def fuzzyCandidates(
       names: DataFrame, neighborhood: Column => Column): DataFrame = {
     // strip the dataset-global shared affix FIRST (exact; see

@@ -75,6 +75,31 @@ object Streams {
       .withColumn("ets", col("ts").cast("timestamp"))
       .withColumn("ts", graft.Core.epochNs(col("ets")))
 
+  /** Micro-batch count of the most recently completed streaming
+    * query (data-carrying batches / total triggers) — diagnostic
+    * hook for StreamingSpec's pins. */
+  @volatile private[graft] var lastBatches: (Int, Int) = (-1, -1)
+
+  /** Await completion and log the micro-batch anatomy to stderr.
+    *
+    * Why: bench timings of the streaming family are dominated by
+    * fixed per-micro-batch overhead, so a cross-round "regression"
+    * is only real if the BATCH COUNT stayed equal (r11's apparent
+    * 2–3× streaming drifts could not be adjudicated because the run
+    * logs carried no batch counts). Every bench/verify run now
+    * prints `[stream] <tag> batches=…` so pass logs separate
+    * more-batches (plan/source change) from slower-batches (host
+    * interference or a real regression). */
+  private def awaitAndLog(
+      q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit = {
+    q.awaitTermination()
+    val ps = q.recentProgress
+    val withData = ps.count(_.numInputRows > 0)
+    lastBatches = (withData, ps.length)
+    System.err.println(s"[stream] $tag batches=$withData/${ps.length} " +
+      s"rows=${ps.map(_.numInputRows).sum}")
+  }
+
   /** Run `df`'s streaming plan to completion into a memory sink and
     * return the materialized result. Complete-mode aggregations only
     * support memory/console sinks, so the memory sink is unavoidable
@@ -94,7 +119,7 @@ object Streams {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, name)
     val spark = df.sparkSession
     val spool = s"${graft.Core.tempDir("graft-stream-out")}/$name"
     spark.table(name).write.mode("overwrite").parquet(spool)
@@ -340,7 +365,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "stream_range_join_files")
     rangeRollup(s.read.parquet(s"$out/data"))
   }
 
@@ -505,7 +530,7 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "streamUpsertLatest")
     s.read.parquet(curState.get)
       // epoch µs — the integer DuckDB's `epoch_us(ts)` reports (the
       // stored µs timestamp itself decided the argmax above)
@@ -559,7 +584,7 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "streamAnnUpsert")
     s.read.parquet(curState.get).orderBy("vec_id", "tbl")
   }
 
@@ -612,7 +637,7 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "streamDedupNeardup")
     val adm = s.read.parquet(bandLog)
       .join(s.read.parquet(curState.get), Seq("band_idx", "m1", "m2"))
       .groupBy("doc_id")
@@ -663,7 +688,7 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "streamPhashIngest")
     val adm = s.read.parquet(hashLog)
       .join(s.read.parquet(curState.get), "dhash")
       .select(col("doc_id"),
@@ -710,7 +735,7 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    q.awaitTermination()
+    awaitAndLog(q, "streamHllUsers")
     val est = s.read.parquet(curState.get)
       .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
     val exact = graft.Tables(s, d, "events")

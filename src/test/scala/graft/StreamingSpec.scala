@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$sf/documents.parquet"))
       .as[(String, Long)].collect().toSeq
     assert(streamed == batch)
+    // PIN the micro-batch anatomy: the driver table is ONE parquet
+    // file and the query sets no maxFilesPerTrigger, so AvailableNow
+    // must complete in exactly one data-carrying batch. If this pin
+    // moves, bench timings of the whole memory-sink streaming family
+    // move with it — adjudicate batch-count changes before calling a
+    // timing drift a regression (r11 could not).
+    assert(Streams.lastBatches._1 == 1, s"batches=${Streams.lastBatches}")
+  }
+
+  test("maxFilesPerTrigger replay runs one data batch per source file") {
+    // streamUpsertLatest writes its own source repartitionByRange(4)
+    // → 4 part files, replayed with maxFilesPerTrigger=1: the merge
+    // logic must really execute 4 incremental folds (a single-batch
+    // replay would never exercise the state-merge path).
+    Streams.streamUpsertLatest(spark, sf).collect()
+    assert(Streams.lastBatches._1 == 4, s"batches=${Streams.lastBatches}")
   }
 
   test("streaming heavy hitters equal the batch sketch result on replay") {
