@@ -148,38 +148,6 @@ object SpanDedup {
       .orderBy("source")
   }
 
-  /** Benchmark-membership fixture: `src0` documents stand in for a
-    * held-out eval set, everything else is the training corpus —
-    * same convention as [[Dedup]]'s incremental-batch fixtures. */
-  private def isEval: Column = col("source") === "src0"
-
-  /** Training-data DECONTAMINATION — the eval-overlap hygiene step
-    * every LLM pipeline runs before training (GPT-3 appendix C,
-    * PaLM, Llama: flag training documents sharing any verbatim
-    * K-gram with a held-out benchmark). Per corpus document: total
-    * K-grams, colliding gram occurrences, distinct colliding grams,
-    * and the contamination flag.
-    *
-    * Scale: the eval side collapses to its DISTINCT gram set before
-    * the join — benchmark suites are tiny next to a 100 TB corpus,
-    * so AQE broadcasts that set and the corpus side never shuffles;
-    * the fallback is a plain equi-join keyed by gram. */
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val ds = docs(s, d)
-    val evalGrams = grams(ds.filter(isEval)).select("g").distinct()
-    val hits = grams(ds.filter(!isEval)).join(evalGrams, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("h"), countDistinct(col("g")).as("hg"))
-    ds.filter(!isEval)
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        greatest(size(col("ts")) - (K - 1), lit(0)).cast("long").as("n_grams"),
-        coalesce(col("h"), lit(0L)).as("n_hits"),
-        coalesce(col("hg"), lit(0L)).as("n_hit_grams"),
-        (coalesce(col("h"), lit(0L)) > 0).cast("long").as("is_contaminated"))
-      .orderBy("doc_id")
-  }
-
   private def oracleGrams: String =
     s"""docs AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
@@ -224,22 +192,6 @@ object SpanDedup {
          |    i -> d.ts[i]), ' '), '') AS clean_text,
          |  CAST(len(c.cov) AS BIGINT) AS n_removed
          |FROM cov c JOIN docs d USING (doc_id) ORDER BY doc_id""".stripMargin)),
-    Q("pipeline_decontaminate", decontaminate, Some(
-      s"""WITH $oracleGrams,
-         |eg AS (SELECT DISTINCT g FROM grams
-         |       JOIN docs USING (doc_id) WHERE docs.source = 'src0'),
-         |hits AS (
-         |  SELECT g2.doc_id, COUNT(*) AS h, COUNT(DISTINCT g2.g) AS hg
-         |  FROM grams g2 JOIN docs d2 USING (doc_id) JOIN eg ON g2.g = eg.g
-         |  WHERE d2.source <> 'src0' GROUP BY g2.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(greatest(len(d.ts) - ${K - 1}, 0) AS BIGINT) AS n_grams,
-         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
-         |  CAST(COALESCE(h.hg, 0) AS BIGINT) AS n_hit_grams,
-         |  CAST(CASE WHEN COALESCE(h.h, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
-         |    AS is_contaminated
-         |FROM docs d LEFT JOIN hits h USING (doc_id)
-         |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin)),
     Q("dedup_repeated_spans_keepfirst", spanKeepFirst, Some(
       s"""WITH $oracleGrams,
          |keyed AS (SELECT doc_id, pos, g, doc_id * 1000000 + pos AS k FROM grams),

@@ -66,27 +66,6 @@ class SpanDedupSpec extends SparkSpec {
       ("srcB", 3L, 1L, 55L, 20L)))
   }
 
-  test("decontamination flags corpus docs sharing eval K-grams") {
-    val d2 = java.nio.file.Files.createTempDirectory("graft-decon").toString
-    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
-    Seq(
-      // the "benchmark": holds the passage
-      (0L, s"${filler("q", 4)} $span", "en", "src0", 0L),
-      // corpus: doc 1 leaks the passage, docs 2-3 are clean
-      (1L, s"${filler("a", 5)} $span ${filler("b", 5)}", "en", "srcA", 0L),
-      (2L, filler("c", 20), "en", "srcA", 0L),
-      (3L, filler("d", 6), "en", "srcB", 0L)) // shorter than K
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
-    val rows = SpanDedup.decontaminate(spark, d2)
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(rows == Seq(
-      // 20 tokens → 13 grams; the 3 all-inside-span windows collide
-      (1L, 13L, 3L, 3L, 1L),
-      (2L, 13L, 0L, 0L, 0L),
-      (3L, 0L, 0L, 0L, 0L)))
-  }
-
   private implicit class Map2[A, B, C](rows: Seq[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
