@@ -148,7 +148,16 @@ object SpanDedup {
       .orderBy("source")
   }
 
-  private def oracleGrams: String =
+  /** Gram rows from a raw documents batch — the streaming ingest
+    * hook ([[graft.streaming.Streams]]' span-ingest query feeds each
+    * micro-batch through the same explode the batch operators use). */
+  private[graft] def gramRows(docsRaw: DataFrame): DataFrame =
+    grams(docsRaw.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("ts")))
+
+  /** The shared docs/grams oracle CTE (also used by the streaming
+    * replay-parity oracle). */
+  private[graft] def oracleGrams: String =
     s"""docs AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
        |grams AS (

@@ -649,6 +649,55 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Streaming verbatim-SPAN ingest dedup — the ExactSubstr member
+    * of the ingest-dedup family ([[streamDedupExact]] by content
+    * hash, [[streamDedupNeardup]] by MinHash bands,
+    * [[streamPhashIngest]] by perceptual hash, this by repeated
+    * K-gram overlap): each micro-batch explodes into its K-gram rows
+    * ([[graft.operators.SpanDedup.gramRows]]); the standing state is
+    * the gram VOCABULARY with corpus counts — never documents, never
+    * history — merged forward per batch, and the per-batch gram log
+    * is batchId-keyed for retry idempotence. Admission is a pure
+    * function of the FINAL counts (a doc passes iff none of its
+    * grams reached corpus count ≥ 2), so any arrival order converges
+    * to the batch recomputation the oracle runs. */
+  def streamSpanIngest(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-span-src")
+    graft.Tables(s, d, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-span-state")
+    val gramLog = graft.Core.tempDir("graft-span-log")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val g = graft.operators.SpanDedup.gramRows(batch).select("doc_id", "g")
+        g.write.mode("overwrite").parquet(s"$gramLog/b=$batchId")
+        val counts = g.groupBy("g").agg(count(lit(1)).as("n"))
+        val merged = (curState match {
+          case None => counts
+          case Some(p) => s.read.parquet(p).unionByName(counts)
+            .groupBy("g").agg(sum(col("n")).as("n"))
+        })
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamSpanIngest")
+    val rep = s.read.parquet(curState.get).filter(col("n") >= 2).select("g")
+    val dirty = s.read.parquet(gramLog).join(rep, "g")
+      .select("doc_id").distinct().withColumn("dirty", lit(1L))
+    graft.Tables(s, d, "documents").join(dirty, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(when(col("dirty").isNull, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("dirty").isNull, 0L).otherwise(1L)).as("n_rejected"))
+      .orderBy("source")
+  }
+
   /** Streaming IMAGE ingest dedup — the multimodal member of the
     * ingest-dedup family ([[streamDedupExact]] by content hash,
     * [[streamDedupNeardup]] by MinHash bands, this by perceptual
@@ -899,6 +948,17 @@ object Streams {
          |  CAST(SUM(1 - ok) AS BIGINT) AS n_rejected
          |FROM documents JOIN adm USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin)),
+    // admission is a pure function of the final gram counts, so the
+    // batch recomputation IS the streaming end state
+    Q("stream_span_ingest", streamSpanIngest, Some(
+      s"""WITH ${graft.operators.SpanDedup.oracleGrams},
+         |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |dirty AS (SELECT DISTINCT doc_id FROM grams JOIN rep USING (g))
+         |SELECT d.source,
+         |  CAST(SUM(CASE WHEN dy.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN dy.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+         |FROM docs d LEFT JOIN dirty dy ON d.doc_id = dy.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
     Q("stream_phash_ingest", streamPhashIngest, Some(
       s"""WITH ${graft.operators.Multimodal.oPhashCte},
          |m AS (SELECT dhash, min(doc_id) AS md FROM hh GROUP BY dhash)

@@ -362,6 +362,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("HashAggregate"), s.take(800))
   }
 
+  test("repeated-span dedup: gram shuffle + array folds, no Window, no cartesian") {
+    for (df <- Seq(SpanDedup.repeatedSpans(spark, sf),
+                   SpanDedup.spanClean(spark, sf),
+                   SpanDedup.spanKeepFirst(spark, sf))) {
+      val s = executed(df)
+      // span reconstruction is per-document array math riding the
+      // collect_list aggregate — a Window over token positions (the
+      // naive spelling) would shuffle the full token stream per doc
+      assert(!s.contains("Window"), s.take(500))
+      assert(!s.contains("CartesianProduct"))
+      // the gram explode must exist and aggregation must run partial
+      assert(s.contains("Generate"))
+      assert(s.contains("HashAggregate"))
+    }
+  }
+
   test("incremental fuzzy match explodes only the batch side") {
     val s = executed(Dedup.fuzzyIncremental(spark, sf))
     // exactly one Generate: the batch's deletion-neighborhood explode.
