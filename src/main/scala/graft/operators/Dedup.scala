@@ -676,27 +676,32 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Verified fuzzy pairs (a, b), a < b: FastSS candidates
+    * ([[fuzzyCandidates]]) confirmed by thresholded levenshtein.
+    * Candidates travel as (a, b) KEY pairs and deduplicate BEFORE
+    * names join back for verification. The tempting alternative —
+    * carry names through the variant explode and filter inside the
+    * candidate join — measured 2.4× SLOWER at sf0.1 pre-strip (67 s
+    * vs 27 s for radius 2): the h-join's output is the largest
+    * relation in the query, and widening every row by two name
+    * strings costs far more than the post-distinct broadcast joins
+    * save. Keys through the big shuffle, payloads after the dedup;
+    * distinct-first dedupes candidates map-side before the only wide
+    * shuffle (verify-first measured 2.6× slower pre-strip: 78 s vs
+    * 30 s). */
+  private def fuzzyVerified(
+      names: DataFrame, neighborhood: Column => Column, maxDist: Int): DataFrame =
+    fuzzyCandidates(names, neighborhood)
+      .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
+      .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")
+      .filter(levenshtein(col("name_a"), col("name_b"), maxDist) =!= -1)
+
   private def fuzzyCounts(
       s: SparkSession, d: String,
       neighborhood: Column => Column, maxDist: Int): DataFrame = {
     val names = cached(
       Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
-    // Candidates travel as (a, b) KEY pairs and deduplicate BEFORE
-    // names join back for verification (fuzzyCandidates). The
-    // tempting alternative — carry names through the variant explode
-    // and filter inside the candidate join — measured 2.4× SLOWER at
-    // sf0.1 pre-strip (67 s vs 27 s for radius 2): the h-join's
-    // output is the largest relation in the query, and widening
-    // every row by two name strings costs far more than the
-    // post-distinct broadcast joins save. Keys through the big
-    // shuffle, payloads after the dedup; distinct-first dedupes
-    // candidates map-side before the only wide shuffle (verify-first
-    // measured 2.6× slower pre-strip: 78 s vs 30 s).
-    val cand = fuzzyCandidates(names, neighborhood)
-    val verified = cand
-      .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
-      .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")
-      .filter(levenshtein(col("name_a"), col("name_b"), maxDist) =!= -1)
+    val verified = fuzzyVerified(names, neighborhood, maxDist)
     // Each verified pair counts toward BOTH endpoints. Exploding the
     // two-element array keeps ONE copy of the expensive verify
     // subtree in the plan; the union-of-two-selects spelling planned
@@ -796,6 +801,58 @@ object Dedup {
       .orderBy("c_custkey")
   }
 
+  /** Entity resolution END TO END — the composition a master-data /
+    * record-linkage pipeline actually ships, built from pieces this
+    * engine already proves separately: FastSS-blocked edit-distance
+    * edges ([[fuzzyVerified]], D ≤ 1) → pointer-doubling connected
+    * components ([[connectedComponents]]) → golden-record
+    * survivorship. The match rule is CONJUNCTIVE, the standard ER
+    * shape: same nation AND name within one edit — the cheap
+    * exact-match attribute gates the fuzzy one (without it, radius-1
+    * chains over near-sequential zero-padded names transitively
+    * collapse the whole table into one cluster — measured: 1 row at
+    * sf0.01). At production scale the equality attribute would also
+    * join INTO the blocking key ((nation, deletion-hash) buckets);
+    * here it rides the verify filter so [[fuzzyCandidates]] stays
+    * shared. Matching customers collapse into one entity cluster
+    * (cluster_id = min member key, the CC label); the surviving
+    * "golden" record per cluster is chosen by
+    * a deterministic rule — highest account balance, ties to the
+    * lowest key — expressed as a single struct-max aggregate
+    * (map-side partial, no Window), never a per-cluster sort.
+    * Singletons (no fuzzy twin anywhere) form their own cluster.
+    *
+    * Scale: edges come from the blocked candidate join (never
+    * all-pairs), CC is O(log d) rounds, and survivorship is one
+    * groupBy over N rows. The all-pairs levenshtein + recursive-CTE
+    * closure survives only in the oracle. */
+  def goldenRecords(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")))
+    val names = cust.select(col("c_custkey"), col("c_name"))
+    val nations = cust.select(col("c_custkey"), col("c_nationkey"))
+    val pairs = fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1)
+      .join(nations.toDF("a", "na"), "a")
+      .join(nations.toDF("b", "nb"), "b")
+      .filter(col("na") === col("nb"))
+      .select("a", "b")
+    val (labels, _) = connectedComponents(pairs)
+    val labeled = cust
+      .join(labels, col("c_custkey") === col("v"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("lbl"), col("c_custkey")).as("cluster_id"),
+        col("c_acctbal"))
+    labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        // arg-max by (acctbal, -key): struct ordering makes the
+        // tiebreak deterministic inside one mergeable aggregate
+        max(struct(col("c_acctbal").as("bal"),
+          (-col("c_custkey")).as("negk"))).as("g"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("g.negk")).as("golden_custkey"), col("g.bal").as("golden_acctbal"))
+      .orderBy("cluster_id")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -848,13 +905,20 @@ object Dedup {
     * behavior.
     *
     * Scale: per round, one shuffle join + partial-aggregated min for
-    * the neighbor term plus one label-keyed self-join for the hop;
-    * each round's labels are materialized via the cache registry (and
-    * the previous round's relation released immediately) so lineage
-    * never replays earlier rounds. A 1000-executor run would
-    * checkpoint every few rounds for fault tolerance — same plan
-    * shape. The driver holds only the converged/not-converged count,
-    * never row data.
+    * the neighbor term plus one label-keyed self-join for the hop.
+    * Each round's labels are CHECKPOINTED to parquet and read back as
+    * a leaf, so every round plans against a constant-size tree. This
+    * is load-bearing, not hygiene: each round references the previous
+    * labels THREE times (neighbor join, base, hop), so under plain
+    * caching the analyzed logical plan grows ~3× per round and
+    * Catalyst's per-action analyze/canonicalize work grows
+    * exponentially — measured r12 on a 776-edge graph needing ~10
+    * rounds: round 5 = 2.7 s, round 6 = 52 s, round 7 unreachable,
+    * with execution itself trivial throughout. The parquet round-trip
+    * is the reliable-storage checkpoint every iterative graph system
+    * performs anyway (fault tolerance at 1000 executors), here doing
+    * double duty as the lineage cut. The driver holds only the
+    * converged/not-converged count, never row data.
     *
     * @param pairs undirected edges, two id columns, each pair once.
     * @return (labels (v, lbl), rounds until fixpoint) */
@@ -869,7 +933,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("v"))
       .agg(min("dst").as("m"))
       .select(col("v"), least(col("v"), col("m")).as("lbl"))
-    var prevRound: Option[DataFrame] = None
+    val ckpt = graft.Core.tempDir("graft-cc")
     var rounds = 0
     var delta = 1L
     while (delta > 0) {
@@ -898,22 +962,18 @@ object Dedup {
               coalesce(col("plbl"), col("lbl"))).as("nl"),
             col("lbl"))
       }
-      // The convergence check rides along as a 0/1 `changed` column:
-      // one aggregate action both materializes the round's cached
-      // labels (the InMemoryRelation populates as the agg scans it)
-      // and returns the changed-count — one job per round, not a
-      // separate count() pass after the label job.
-      val next = cached(withHop
+      // Checkpoint the round: the write materializes the labels and
+      // the read-back is a LEAF plan, so round N+1's tree is
+      // (cached edges ⋈ parquet leaf) regardless of N — constant
+      // planning cost per round (see scaladoc for why plain caching
+      // is exponential here). The convergence check then rides a
+      // trivial scan of the just-written file.
+      withHop
         .select(col("v"), col("nl").as("lbl"),
-          when(col("nl") < col("lbl"), 1L).otherwise(0L).as("changed")))
+          when(col("nl") < col("lbl"), 1L).otherwise(0L).as("changed"))
+        .write.mode("overwrite").parquet(s"$ckpt/r$rounds")
+      val next = pairs.sparkSession.read.parquet(s"$ckpt/r$rounds")
       delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
-      // The round's aggregate has materialized `next`; the previous
-      // round's cached labels are now dead — release immediately
-      // instead of letting one relation per round pile up until the
-      // session-level releaseCaches() (double-unpersist there is a
-      // no-op).
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
       labels = next.select("v", "lbl")
     }
     (labels, rounds)
@@ -1154,6 +1214,35 @@ object Dedup {
         |  CAST(CASE WHEN COALESCE(m.n, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted
         |FROM b LEFT JOIN m ON b.c_custkey = m.c_custkey
         |ORDER BY b.c_custkey""".stripMargin)),
+    // oracle: all-pairs D<=1 edges + recursive min-label closure +
+    // window-based survivorship (the naive spellings the engine avoids)
+    Q("er_golden_records", goldenRecords, Some(
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT ka AS src, kb AS dst FROM pr
+        |      UNION SELECT kb, ka FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT c.c_custkey, COALESCE(cc.cluster_id, c.c_custkey) AS cluster_id,
+        |    c.c_acctbal
+        |  FROM customer c LEFT JOIN cc ON cc.k = c.c_custkey),
+        |ranked AS (
+        |  SELECT cluster_id, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM lab)
+        |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
+        |  c_acctbal AS golden_acctbal
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -160,6 +160,36 @@ class DedupSpec extends SparkSpec {
     assert(nStripped * 5 <= nFull)
   }
 
+  test("entity resolution: fuzzy clusters collapse, golden record by balance") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.goldenRecords(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // independent ground truth: all-pairs D<=1 union-find + max-by
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .as[(Long, String, Double, Int)].collect().toSeq
+    val parent = scala.collection.mutable.Map(cust.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long = { val p = parent(x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (Seq(x, y) <- cust.combinations(2) if x._4 == y._4 && lev(x._2, y._2) <= 1) {
+      val (rx, ry) = (find(x._1), find(y._1))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val expected = cust.groupBy(c => find(c._1)).toSeq.map { case (cid, ms) =>
+      val g = ms.maxBy(m => (m._3, -m._1))
+      (cid, ms.size.toLong, g._1, g._3)
+    }.sortBy(_._1)
+    assert(rows == expected)
+    // the corpus must actually exercise merging (non-singleton clusters)
+    assert(expected.exists(_._2 > 1))
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
