@@ -362,7 +362,31 @@ object Connectors {
       .orderBy("status")
   }
 
+  /** Round-trip through the custom DSv2 SINK
+    * ([[graft.sources.GraftDocsSink]]): documents written via the
+    * staging + atomic-manifest-commit protocol, read back through the
+    * manifest-gated scan, and aggregated — integrity proof that the
+    * commit protocol publishes exactly the written rows (count, byte
+    * mass, and id-sum must match the source table bit-for-bit).
+    * Protocol-level scenarios (abort, zombie orphan files, overwrite
+    * visibility) are driven directly in SourceSpec. */
+  def dsv2SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Core.tempDir("graft-dsv2-sink")
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .write.format("graft.sources.GraftDocsSink")
+      .option("path", dir).mode("overwrite").save()
+    s.read.format("graft.sources.GraftDocsSink").option("path", dir).load()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("connector_dsv2_sink", dsv2SinkRoundtrip, Some(
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin)),
     Q("maint_table_diff", tableDiff, Some(
       """WITH b AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
