@@ -185,6 +185,116 @@ object Multimodal {
   def features(s: SparkSession, d: String): DataFrame =
     decodeFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
 
+  // ------------------------------------------------------------- audio
+  private val WavRate = 8000
+  private val WavSamples = 64
+  private val WavDataBytes = WavSamples * 2 // PCM16 mono
+
+  /** Decoded audio features — integer-exact so the oracle replays
+    * them: abs/square sums, peak, and sign-change count instead of a
+    * floating RMS. `sample_rate` comes from the PARSED header, which
+    * pins the RIFF parsing itself. */
+  final case class WavStats(
+      doc_id: Long, sample_rate: Long, n_samples: Long,
+      abs_sum: Long, sq_sum: Long, peak: Long, zero_crossings: Long)
+
+  /** Real RIFF/WAVE PCM16 codec, pure JVM — the audio sibling of
+    * [[PpmCodec]]: WAV needs no native library, so unlike JPEG
+    * ([[DecodeStub]]) the audio modality gets a GENUINE decoder:
+    * chunk-walk the RIFF container, validate the fmt chunk (PCM,
+    * mono, 16-bit), locate `data`, and fold little-endian int16
+    * samples into features. */
+  object WavCodec {
+    /** Canonical 44-byte header for the fixture's fixed geometry. */
+    private[Multimodal] def header: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + WavDataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(WavRate).putInt(WavRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(WavDataBytes)
+      b.array()
+    }
+
+    def decode(id: Long, wav: Array[Byte]): WavStats = {
+      val bb = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val c = new Array[Byte](4); bb.get(c); new String(c, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", s"doc $id: not RIFF")
+      bb.getInt() // container size
+      require(fourcc() == "WAVE", s"doc $id: not WAVE")
+      // chunk walk: real WAVs may carry LIST/fact chunks before data
+      var rate = -1
+      var stats: WavStats = null
+      while (stats == null && bb.remaining() >= 8) {
+        val tag = fourcc()
+        val len = bb.getInt()
+        tag match {
+          case "fmt " =>
+            val fmt = bb.getShort(); val ch = bb.getShort()
+            rate = bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"doc $id: unsupported wav layout ($fmt/$ch/$bits)")
+            bb.position(bb.position() + (len - 16))
+          case "data" =>
+            require(rate > 0, s"doc $id: data before fmt")
+            val n = len / 2
+            var i = 0; var abs = 0L; var sq = 0L; var peak = 0L
+            var zc = 0L; var prevSign = 0
+            while (i < n) {
+              val s = bb.getShort().toLong
+              val a = math.abs(s)
+              abs += a; sq += s * s; if (a > peak) peak = a
+              val sign = java.lang.Long.signum(s)
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            stats = WavStats(id, rate, n, abs, sq, peak, zc)
+          case _ => bb.position(bb.position() + len) // skip LIST/fact/…
+        }
+      }
+      require(stats != null, s"doc $id: no data chunk")
+      stats
+    }
+  }
+
+  /** documents → REAL binary WAV files: canonical RIFF/fmt/data
+    * header plus PCM16LE samples drawn from the document's own bytes
+    * cycled to fill the payload (the audio analogue of [[ppmTable]];
+    * byte-exact on both engines, so the oracle recomputes every
+    * sample as `ascii(substr(...))` pairs). Header bytes carry values
+    * ≥ 0x80, so they ship as a binary LITERAL, never through a
+    * string cast (UTF-8 would mangle them). */
+  def wavTable(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit(WavCodec.header),
+          expr(s"CAST(substring(repeat(text, CAST($WavDataBytes div length(text) AS INT) + 1), " +
+            s"1, $WavDataBytes) AS BINARY)")).as("media"))
+
+  /** Registered query: real audio decode — chunk-walk every RIFF
+    * container and fold PCM sample statistics, in the same batched
+    * partition-local mapPartitions shape as [[ppmDecode]]. */
+  def wavDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => WavCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   private val PpmW = 8
   private val PpmH = 6
   private val PpmBytes = PpmW * PpmH * 3 // 144-byte raster
@@ -352,6 +462,37 @@ object Multimodal {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $oBytes), (a, b) -> (a * 31 + b) % $HashMod)"
 
   val queries: Seq[Q] = Seq(
+    // oracle replays every PCM sample as ascii(substr) byte pairs from
+    // the same cycled payload the WAV synthesis wrote. The driver
+    // corpus is ASCII text, so all samples are positive (high byte
+    // < 0x80) and zero_crossings is 0 corpus-wide; sign extension and
+    // crossing counting are pinned on hand-built PCM in MultimodalSpec.
+    Q("multimodal_wav_decode", wavDecode, Some(
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $WavDataBytes // length(text) + 1), 1, $WavDataBytes) AS p
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+         |  FROM (
+         |    SELECT doc_id, j,
+         |      ascii(substring(p, 2*j + 1, 1)) + 256 * ascii(substring(p, 2*j + 2, 1)) AS v
+         |    FROM pay, LATERAL (SELECT unnest(range(0, $WavSamples)) AS j) t)),
+         |nz AS (SELECT doc_id, j, sign(smp) AS sgn FROM s WHERE smp <> 0),
+         |zc AS (
+         |  SELECT doc_id, SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS z
+         |  FROM (SELECT doc_id, sgn,
+         |          lag(sgn) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM nz) q
+         |  WHERE prev IS NOT NULL GROUP BY doc_id)
+         |SELECT s.doc_id, CAST($WavRate AS BIGINT) AS sample_rate,
+         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |  CAST(SUM(ABS(smp)) AS BIGINT) AS abs_sum,
+         |  CAST(SUM(smp * smp) AS BIGINT) AS sq_sum,
+         |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+         |  CAST(COALESCE(MAX(zc.z), 0) AS BIGINT) AS zero_crossings
+         |FROM s LEFT JOIN zc ON s.doc_id = zc.doc_id
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
     Q("multimodal_features", features, Some(
       s"""SELECT doc_id, $oType AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

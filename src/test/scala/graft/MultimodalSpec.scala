@@ -96,6 +96,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav codec: sign extension, peak, and crossings on hand-built PCM") {
+    // independently constructed RIFF container (not WavCodec.header),
+    // with a LIST chunk BEFORE data to force a real chunk walk, at a
+    // different rate/geometry than the fixture
+    val samples = Array[Short](1000, -2000, 0, 3000, -1, -5, 4, 32767, -32768)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + 12 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 12 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200).putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val st = Multimodal.WavCodec.decode(7L, bb.array())
+    assert(st.sample_rate == 44100L && st.n_samples == 9L)
+    assert(st.abs_sum == 71545L)        // incl. |−32768| sign-extended
+    assert(st.sq_sum == 2161418155L)
+    assert(st.peak == 32768L)
+    // nonzero sign sequence +,-,+,-,-,+,+,- → 5 crossings (zeros skipped)
+    assert(st.zero_crossings == 5L)
+    // malformed containers fail loudly, never silently zero
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(0L, "RIFxWAVE".getBytes("US-ASCII"))
+    }
+  }
+
+  test("every synthesized WAV round-trips through the real decoder") {
+    val decoded = Multimodal.wavDecode(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(decoded.count() == n)
+    val row = decoded.filter($"doc_id" === 0).collect().head
+    assert(row.getAs[Long]("sample_rate") == 8000L)
+    assert(row.getAs[Long]("n_samples") == 64L)
+    // ASCII corpus ⇒ high bytes < 0x80 ⇒ strictly positive samples
+    assert(row.getAs[Long]("zero_crossings") == 0L)
+    assert(row.getAs[Long]("peak") < 32768L)
+  }
+
   test("every synthesized PPM round-trips through the real decoder") {
     val decoded = Multimodal.ppmDecode(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
