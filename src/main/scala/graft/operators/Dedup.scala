@@ -826,16 +826,22 @@ object Dedup {
     * all-pairs), CC is O(log d) rounds, and survivorship is one
     * groupBy over N rows. The all-pairs levenshtein + recursive-CTE
     * closure survives only in the oracle. */
-  def goldenRecords(s: SparkSession, d: String): DataFrame = {
-    val cust = cached(Tables(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")))
+  /** The ER match graph: (a, b, nation) edges under the conjunctive
+    * rule, a < b — shared by [[goldenRecords]] and [[triangles]]. */
+  private def erEdges(cust: DataFrame): DataFrame = {
     val names = cust.select(col("c_custkey"), col("c_name"))
     val nations = cust.select(col("c_custkey"), col("c_nationkey"))
-    val pairs = fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1)
+    fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1)
       .join(nations.toDF("a", "na"), "a")
       .join(nations.toDF("b", "nb"), "b")
       .filter(col("na") === col("nb"))
-      .select("a", "b")
+      .select(col("a"), col("b"), col("na").as("nation"))
+  }
+
+  def goldenRecords(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")))
+    val pairs = erEdges(cust).select("a", "b")
     val (labels, _) = connectedComponents(pairs)
     val labeled = cust
       .join(labels, col("c_custkey") === col("v"), "left")
@@ -851,6 +857,52 @@ object Dedup {
       .select(col("cluster_id"), col("n_members"),
         (-col("g.negk")).as("golden_custkey"), col("g.bal").as("golden_acctbal"))
       .orderBy("cluster_id")
+  }
+
+  /** Triangle counting over the ER match graph — the canonical
+    * scale-aware graph JOIN, and the structural diagnostic a
+    * record-linkage pipeline reads before trusting transitive
+    * closure (triangle-dense components are true duplicate cliques;
+    * triangle-free chains are suspect bridges).
+    *
+    * The scale story is the ORIENTATION: each undirected edge points
+    * from its lower-(degree, id) endpoint to the higher one, so
+    * every wedge is enumerated at its lowest-rank vertex. A raw
+    * two-hop self-join fans out quadratically in the max degree
+    * (one celebrity vertex of degree 10⁶ yields 10¹² wedges); after
+    * degree orientation each vertex's out-degree is bounded by
+    * O(√edges) on any graph (arboricity bound), so the wedge join is
+    * the textbook distributed triangle algorithm rather than the
+    * naive one. Each triangle is counted exactly once — at its
+    * lowest-rank apex, closed by its rank-ordered third edge.
+    * Per-nation counts because the conjunctive rule makes every
+    * component (hence every triangle) single-nation. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e = cached(erEdges(cust))
+    // rank = (degree, id), totally ordered; degree from the symmetrized view
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val withRanks = e
+      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+    // orient toward the higher (degree, id); rank structs keep degree
+    // FIRST so struct comparison IS the rank order
+    val ra = struct(col("da").as("d"), col("a").as("v"))
+    val rb = struct(col("db").as("d"), col("b").as("v"))
+    val oriented = cached(withRanks.select(col("nation"),
+      when(ra < rb, ra).otherwise(rb).as("lo"),
+      when(ra < rb, rb).otherwise(ra).as("hi")))
+    // wedges at the lowest-rank apex: two out-edges, rank-ordered ends
+    val wedges = oriented.toDF("nation", "apex", "m1")
+      .join(oriented.toDF("n2", "apex", "m2"), "apex")
+      .filter(col("m1") < col("m2"))
+    // close the triangle with the oriented m1→m2 edge
+    wedges.join(oriented.select(col("lo").as("m1"), col("hi").as("m2")),
+        Seq("m1", "m2"))
+      .groupBy(col("nation").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("c_nationkey")
   }
 
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
@@ -1243,6 +1295,22 @@ object Dedup {
         |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
         |  c_acctbal AS golden_acctbal
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    // oracle: the naive a<b<c triple self-join (correct at oracle
+    // size; the engine's degree orientation exists for the celebrity
+    // -vertex fan-out the naive join cannot survive)
+    Q("graph_triangles", triangles, Some(
+      """WITH e AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    a.c_nationkey AS nation
+        |  FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT e1.nation AS c_nationkey, COUNT(*) AS n_triangles
+        |FROM e e1
+        |  JOIN e e2 ON e2.ka = e1.ka AND e2.kb > e1.kb
+        |  JOIN e e3 ON e3.ka = e1.kb AND e3.kb = e2.kb
+        |GROUP BY e1.nation ORDER BY c_nationkey""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -190,6 +190,37 @@ class DedupSpec extends SparkSpec {
     assert(expected.exists(_._2 > 1))
   }
 
+  test("triangle counts match the brute-force triple enumeration") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.triangles(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .as[(Long, String, Int)].collect().toSeq
+    def lev1(a: String, b: String): Boolean = {
+      // distance ≤ 1 check: equal, one sub (equal length), or one indel
+      if (a == b) true
+      else if (a.length == b.length) a.zip(b).count { case (x, y) => x != y } == 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        if (l.length - s.length != 1) false
+        else {
+          var i = 0
+          while (i < s.length && s(i) == l(i)) i += 1
+          s.substring(i) == l.substring(i + 1)
+        }
+      }
+    }
+    val adj = cust.map(c =>
+      c._1 -> cust.filter(o => o._1 > c._1 && o._3 == c._3 && lev1(c._2, o._2))
+        .map(_._1).toSet).toMap
+    val expected = scala.collection.mutable.Map[Int, Long]()
+    for (x <- cust; y <- adj(x._1); z <- adj(x._1) if z > y && adj(y)(z))
+      expected(x._3) = expected.getOrElse(x._3, 0L) + 1L
+    assert(rows == expected.toMap)
+    assert(rows.values.sum > 0) // the corpus actually has triangles
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
