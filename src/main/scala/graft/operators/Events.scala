@@ -416,7 +416,67 @@ object Events {
       |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Winsorization — the outlier-clipping cleanup a metrics pipeline
+    * runs before aggregating heavy-tailed values: clip each value to
+    * its group's exact [p05, p95] and account for the edit (clip
+    * counts, boundaries, clipped sum).
+    *
+    * EXACT rank-based percentiles (percentile_disc semantics: the
+    * smallest value whose cumulative count reaches ceil(q·n)),
+    * computed WITHOUT a per-group row sort: counts collapse to the
+    * (group, distinct value) table first, and the cumulative window
+    * runs over that vocabulary — at 100 TB the window sorts distinct
+    * values per group, never events. Boundary selection and clipping
+    * are pure comparisons, so the boundary doubles pass through
+    * bit-identical to the oracle; the clipped sum uses the exact
+    * decimal spelling. (The sketch-based scale alternative is
+    * already covered by `sketch_approx_quantiles`.) */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "events")
+    val vc = e.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("value")))
+    // ceil(q·n) in exact integer math: ceil(n/20), ceil(19n/20)
+    val ks = vc.groupBy("event_type").agg(sum(col("c")).as("n"))
+      .select(col("event_type"), col("n"),
+        ((col("n") + 19) / 20).cast("long").as("k_lo"),
+        ((col("n") * 19 + 19) / 20).cast("long").as("k_hi"))
+    val bounds = cum.join(ks, "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("cum") >= col("k_lo"), col("value"))).as("p05"),
+        min(when(col("cum") >= col("k_hi"), col("value"))).as("p95"))
+    e.join(bounds, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("p05")).cast("long")).as("n_low"),
+        sum((col("value") > col("p95")).cast("long")).as("n_high"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        dsum(least(greatest(col("value"), col("p05")), col("p95")))
+          .as("sum_winsorized"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("events_winsorize", winsorize, Some(
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type,
+         |    MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+         |    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+         |  FROM r GROUP BY event_type)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  b.p05, b.p95,
+         |  ${oDsum("least(greatest(e.value, b.p05), b.p95)")} AS sum_winsorized
+         |FROM events e JOIN b USING (event_type)
+         |GROUP BY e.event_type, b.p05, b.p95
+         |ORDER BY e.event_type""".stripMargin)),
     Q("events_scd2", scd2, Some(
       """WITH m AS (
         |  SELECT user_id, event_type, ts, event_id,

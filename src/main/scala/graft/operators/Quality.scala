@@ -65,7 +65,61 @@ object Quality {
       .orderBy("constraint_name")
   }
 
+  /** Join-key SKEW report — the diagnostic that decides which keys
+    * need the salted-join / AQE-skew treatment BEFORE a 100 TB
+    * shuffle discovers it the hard way: per candidate shuffle key,
+    * total rows, distinct keys, the heaviest key's row count, and
+    * the skew ratio max/avg. Each column costs one partial+final
+    * count per key plus a second tiny aggregate over the per-key
+    * counts; the hottest key itself rides a struct-max (ties to the
+    * smallest key), never a sort. The ratio is ONE double division
+    * of exact integers, so it hash-matches the oracle bit-for-bit. */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    def one(name: String, t: DataFrame, k: String): DataFrame =
+      t.groupBy(col(k)).agg(count(lit(1)).as("m"))
+        .agg(
+          coalesce(sum(col("m")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(max(col("m")), lit(0L)).as("max_rows"),
+          max(struct(col("m"), (-col(k)).as("negk"))).as("h"))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_rows"), (-col("h.negk")).as("hot_key"),
+          ((col("max_rows") * col("n_keys")).cast("double") / col("n_rows"))
+            .as("skew_ratio"))
+    one("events.user_id", Tables(s, d, "events"), "user_id")
+      .unionAll(one("lineitem.l_orderkey", Tables(s, d, "lineitem"), "l_orderkey"))
+      .unionAll(one("lineitem.l_partkey", Tables(s, d, "lineitem"), "l_partkey"))
+      .unionAll(one("orders.o_custkey", Tables(s, d, "orders"), "o_custkey"))
+      .orderBy("key_name")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("quality_key_skew", keySkew, Some(
+      """WITH stats AS (
+        |  SELECT 'events.user_id' AS key_name, user_id AS k, COUNT(*) AS m
+        |  FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey', l_orderkey, COUNT(*)
+        |  FROM lineitem GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', l_partkey, COUNT(*)
+        |  FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', o_custkey, COUNT(*)
+        |  FROM orders GROUP BY o_custkey),
+        |agg AS (
+        |  SELECT key_name, CAST(SUM(m) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_keys, CAST(MAX(m) AS BIGINT) AS max_rows
+        |  FROM stats GROUP BY key_name),
+        |hot AS (
+        |  SELECT key_name, k AS hot_key,
+        |    row_number() OVER (PARTITION BY key_name
+        |      ORDER BY m DESC, k ASC) AS rn
+        |  FROM stats)
+        |SELECT a.key_name, a.n_rows, a.n_keys, a.max_rows, h.hot_key,
+        |  CAST(a.max_rows * a.n_keys AS DOUBLE) / a.n_rows AS skew_ratio
+        |FROM agg a JOIN hot h ON h.key_name = a.key_name AND h.rn = 1
+        |ORDER BY a.key_name""".stripMargin)),
     Q("quality_integrity", integrity, Some(
       """SELECT 'fk_lineitem_orders' AS constraint_name,
         |  (SELECT COUNT(*) FROM lineitem) AS n_child,
