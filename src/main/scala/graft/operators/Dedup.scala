@@ -859,6 +859,26 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Duplicate-cluster SIZE histogram — the one-page report every
+    * dedup run ships (how much of the corpus sits in 2-clusters vs
+    * mega-clusters decides the near-dup threshold and the removal
+    * budget). Sizes from the converged CC labels; singleton docs
+    * (no near-dup pair anywhere) enter as the size-1 row via an
+    * anti-join, so the histogram masses sum to the corpus. Shuffles
+    * carry (label) then (size) keys only. */
+  def clusterSizeHistogram(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) = connectedComponents(
+      minhashLsh(s, d).select("doc_a", "doc_b"))
+    val paired = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables(s, d, "documents")
+      .join(labels, col("doc_id") === col("v"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    paired.unionByName(singles).orderBy("cluster_size")
+  }
+
   /** Triangle counting over the ER match graph — the canonical
     * scale-aware graph JOIN, and the structural diagnostic a
     * record-linkage pipeline reads before trusting transitive
@@ -1295,6 +1315,19 @@ object Dedup {
         |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
         |  c_acctbal AS golden_acctbal
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    Q("dedup_cluster_sizes", clusterSizeHistogram, Some(
+      s"""WITH RECURSIVE $oClusterChain,
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |       FROM cc GROUP BY cluster_id),
+         |h AS (SELECT cluster_size, COUNT(*) AS n_clusters
+         |      FROM sz GROUP BY cluster_size),
+         |singles AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cc))
+         |SELECT cluster_size, n_clusters FROM h
+         |UNION ALL
+         |SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
+         |ORDER BY cluster_size""".stripMargin)),
     // oracle: the naive a<b<c triple self-join (correct at oracle
     // size; the engine's degree orientation exists for the celebrity
     // -vertex fan-out the naive join cannot survive)

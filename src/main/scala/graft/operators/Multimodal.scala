@@ -234,6 +234,8 @@ object Multimodal {
       while (stats == null && bb.remaining() >= 8) {
         val tag = fourcc()
         val len = bb.getInt()
+        // RIFF pads odd-length chunks to even; skip the pad byte
+        val skip = len + (len & 1)
         tag match {
           case "fmt " =>
             val fmt = bb.getShort(); val ch = bb.getShort()
@@ -241,7 +243,7 @@ object Multimodal {
             val bits = bb.getShort()
             require(fmt == 1 && ch == 1 && bits == 16,
               s"doc $id: unsupported wav layout ($fmt/$ch/$bits)")
-            bb.position(bb.position() + (len - 16))
+            bb.position(bb.position() + (skip - 16))
           case "data" =>
             require(rate > 0, s"doc $id: data before fmt")
             val n = len / 2
@@ -259,7 +261,7 @@ object Multimodal {
               i += 1
             }
             stats = WavStats(id, rate, n, abs, sq, peak, zc)
-          case _ => bb.position(bb.position() + len) // skip LIST/fact/…
+          case _ => bb.position(bb.position() + skip) // skip LIST/fact/…
         }
       }
       require(stats != null, s"doc $id: no data chunk")
