@@ -79,6 +79,21 @@ object GraftDocsSink {
 
   def manifestPath(root: String): java.nio.file.Path =
     Paths.get(root, "MANIFEST")
+
+  /** Table maintenance: delete data files NOT referenced by the
+    * current manifest (each overwrite publishes a fresh file list and
+    * strands the previous version's files — the same garbage a table
+    * format's VACUUM collects). Safe by construction: the manifest is
+    * the only visibility gate, so removing unreferenced files can
+    * never change a reader's view. Returns (live, removed) counts. */
+  def vacuum(root: String): (Int, Int) = {
+    val live = committedFiles(root).toSet
+    val dataDir = new File(root, "data")
+    val all = Option(dataDir.listFiles).getOrElse(Array.empty)
+    val orphans = all.filterNot(f => live(f.getName))
+    orphans.foreach(_.delete())
+    (live.size, orphans.length)
+  }
   /** Data files of the CURRENTLY COMMITTED version (empty if never
     * committed). */
   def committedFiles(root: String): Seq[String] = {

@@ -68,5 +68,15 @@ class GraftSinkProtocolSpec extends SparkSpec {
     writeDf(Seq((9L, "nine")))
     // the manifest gates: only the new version's files are visible
     assert(readBack(root) == Set((9L, "nine")))
+    // the stranded v1 files are exactly what vacuum collects — and
+    // collecting them cannot change the reader's view
+    val dataDir = new java.io.File(root, "data")
+    val before = dataDir.listFiles.length
+    val (live, removed) = GraftDocsSink.vacuum(root)
+    assert(live >= 1 && removed == before - live && removed >= 1)
+    assert(dataDir.listFiles.length == live)
+    assert(readBack(root) == Set((9L, "nine")))
+    // idempotent: a second vacuum finds nothing
+    assert(GraftDocsSink.vacuum(root) == (live, 0))
   }
 }
