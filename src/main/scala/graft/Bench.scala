@@ -103,11 +103,26 @@ object Bench {
     val p1 = onePass("p1", picked)
     val half = picked.size / 2
     val p2 = onePass("p2", picked.drop(half) ++ picked.take(half))
-    val results = picked.flatMap { q =>
+    // Adaptive third sample: two samples of the same constant-cost
+    // plan disagreeing >3× PROVES at least one met an interference
+    // wave — and during a long wave the "better" sample may itself be
+    // poisoned (observed: a pass-total-424 s lap left min-of-2 values
+    // 3–5× above quiet-window anchors). Re-time the worst such
+    // queries once, minutes after both passes, and take the overall
+    // min. Bounded at 10 queries so the extra lap can't blow the
+    // wall-clock budget; sub-second disagreements are scheduling
+    // jitter, not waves, and are skipped.
+    val suspects = picked.filter { q =>
       (p1.get(q.name), p2.get(q.name)) match {
-        case (Some(a), Some(b)) => Some(q.name -> math.min(a, b))
-        case (a, b)             => a.orElse(b).map(q.name -> _)
+        case (Some(a), Some(b)) =>
+          math.max(a, b) / math.min(a, b) > 3.0 && math.min(a, b) > 1.0
+        case _ => false
       }
+    }.sortBy(q => -math.min(p1(q.name), p2(q.name))).take(10)
+    val p3 = onePass("p3", suspects)
+    val results = picked.flatMap { q =>
+      val samples = Seq(p1.get(q.name), p2.get(q.name), p3.get(q.name)).flatten
+      if (samples.isEmpty) None else Some(q.name -> samples.min)
     }.toMap
     def f(v: Double) = math.round(v * 1000) / 1000.0
     def qjson(m: Map[String, Double]) =
@@ -129,7 +144,7 @@ object Bench {
     // first — and stays well under the tail window.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${qjson(results)},"queries_p1":${qjson(p1)},"queries_p2":${qjson(p2)}}""")
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-passes-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2+adaptive-3rd-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // The stdout copy rides inside sbt's log framing, whose
     // `[success] Total time` epilogue has defeated the driver's
