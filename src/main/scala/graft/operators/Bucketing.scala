@@ -9,13 +9,22 @@ import org.apache.spark.sql.functions._
   * exchange (SURVEY §2b "joins"; the builder directive's "bucketing
   * for co-located joins").
   *
-  * The query materializes `lineitem` and `orders` bucketed (and
-  * bucket-sorted) by their join key into a temp-path external table,
-  * then joins the bucketed tables: Spark aligns the 8 buckets
-  * one-to-one and the SortMergeJoin runs with ZERO Exchange on
-  * either side (asserted in PlanSpec). At cluster scale this is the
-  * pattern for repeated joins against the same key: pay the shuffle
-  * once at write time, never again at read time.
+  * The queries materialize `lineitem` / `orders` bucketed (and
+  * bucket-sorted) by their join key into temp-path external tables,
+  * then join/aggregate the bucketed tables: Spark aligns the 8
+  * buckets one-to-one and both the SortMergeJoin and the groupBy run
+  * with ZERO Exchange (asserted in PlanSpec). At cluster scale this
+  * is the pattern for repeated work against the same key: pay the
+  * shuffle once at write time, never again at read time.
+  *
+  * Catalog-state discipline (r12, after review): table names embed a
+  * digest of the source dir, so two scale factors NEVER share a
+  * catalog entry — the earlier shared-name design left a window
+  * where one query's lazily-executed scan could read the table
+  * another scale factor's query had overwritten (a lock around the
+  * write cannot cover a scan that runs at collect() time). Builds
+  * memoize per dir through a ConcurrentHashMap computeIfAbsent (one
+  * writer per table, existence-revalidated like the fuzzy index).
   *
   * Excluded from the benchmark set (`headline = false`) because the
   * measured time would be dominated by the one-off bucketed WRITE,
@@ -25,41 +34,49 @@ object Bucketing {
 
   private val Buckets = 8
 
-  /** sfDir the bucketed lineitem table was last written from — the
-    * reuse guard ([[bucketedAgg]]) must never serve one scale
-    * factor's layout to another's query in a shared session. */
-  @volatile private var bucketedLineitemDir: Option[String] = None
+  /** dir → (lineitem table, orders table); values only ever written
+    * under the map's per-key lock. */
+  private val builtTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
 
-  /** Guards the (catalog write, [[bucketedLineitemDir]]) pair:
-    * [[bucketedJoin]] overwrites the table [[bucketedAgg]]'s reuse
-    * guard check-then-acts against, so both the overwrite+record and
-    * the check+maybe-write must be atomic w.r.t. each other or a
-    * concurrent run could read a mid-overwrite table / pair one
-    * scale factor's data with another's guard value. */
-  private val bucketLock = new Object
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tmp = graft.Core.tempDir("graft-bucketed")
-    bucketLock.synchronized {
-      Tables(s, d, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/lineitem_b")
-        .saveAsTable("graft_lineitem_bucketed")
-      bucketedLineitemDir = Some(d)
-    }
-    Tables(s, d, "orders")
-      .select("o_orderkey", "o_orderstatus")
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/orders_b")
-      .saveAsTable("graft_orders_bucketed")
-    joinBucketed(s)
+  /** Idempotently materialize both bucketed tables for `d` and return
+    * their names. computeIfAbsent runs the write at most once per
+    * (dir, session lifetime); a vanished catalog entry (external
+    * clear) triggers a rebuild. */
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+    builtTables.compute(d, (_, prev) => {
+      val tag = dirTag(d)
+      val li = s"graft_lineitem_bucketed_$tag"
+      val o = s"graft_orders_bucketed_$tag"
+      if (prev != null && s.catalog.tableExists(li) && s.catalog.tableExists(o)) prev
+      else {
+        val tmp = graft.Core.tempDir("graft-bucketed")
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .write.mode("overwrite")
+          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/lineitem_b")
+          .saveAsTable(li)
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite")
+          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/orders_b")
+          .saveAsTable(o)
+        (li, o)
+      }
+    })
+  }
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame =
+    joinBucketed(s, d)
       .groupBy("o_orderstatus")
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
       .orderBy("o_orderstatus")
-  }
 
   /** Exchange-free AGGREGATION on the bucket key: per-order line
     * counts and quantity totals over the bucketed lineitem table.
@@ -67,33 +84,19 @@ object Bucketing {
     * groupBy(l_orderkey) needs NO Exchange — the same pay-the-
     * shuffle-once-at-write-time amortization as the join, applied to
     * the other wide-operator family (PlanSpec asserts zero
-    * exchanges). Reuses [[bucketedJoin]]'s written table when it
-    * exists; writes it otherwise, so the query is self-contained
-    * under any execution order. */
-  def bucketedAgg(s: SparkSession, d: String): DataFrame = {
-    bucketLock.synchronized {
-      if (!s.catalog.tableExists("graft_lineitem_bucketed")
-          || !bucketedLineitemDir.contains(d)) {
-        val tmp = graft.Core.tempDir("graft-bucketed-agg")
-        Tables(s, d, "lineitem")
-          .select("l_orderkey", "l_quantity")
-          .write.mode("overwrite")
-          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$tmp/lineitem_b")
-          .saveAsTable("graft_lineitem_bucketed")
-        bucketedLineitemDir = Some(d)
-      }
-    }
-    aggBucketed(s)
+    * exchanges). */
+  def bucketedAgg(s: SparkSession, d: String): DataFrame =
+    aggBucketed(s, d)
       .filter(col("n_lines") >= 3)
       .orderBy("l_orderkey")
-  }
 
   /** The exchange-free aggregate (split out for PlanSpec). */
-  def aggBucketed(s: SparkSession): DataFrame =
-    s.table("graft_lineitem_bucketed")
+  def aggBucketed(s: SparkSession, d: String): DataFrame = {
+    val (li, _) = ensureBucketed(s, d)
+    s.table(li)
       .groupBy("l_orderkey")
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+  }
 
   /** The exchange-free join of the two bucketed tables (split out so
     * PlanSpec can assert the plan shape). The merge hint pins the
@@ -101,10 +104,11 @@ object Bucketing {
     * broadcasts, and that is the path bucketing de-shuffles; without
     * it the small test tables would auto-broadcast and hide the
     * demonstration. */
-  def joinBucketed(s: SparkSession): DataFrame =
-    s.table("graft_lineitem_bucketed").hint("merge")
-      .join(s.table("graft_orders_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val (li, o) = ensureBucketed(s, d)
+    s.table(li).hint("merge")
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+  }
 
   val queries: Seq[Q] = Seq(
     Q("bucketed_join", bucketedJoin, Some(

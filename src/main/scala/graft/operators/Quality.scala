@@ -86,6 +86,10 @@ object Quality {
           col("max_rows"), (-col("h.negk")).as("hot_key"),
           ((col("max_rows") * col("n_keys")).cast("double") / col("n_rows"))
             .as("skew_ratio"))
+        // empty-table parity with the oracle: its rn=1 inner join
+        // emits no row for a keyless table, so the engine must drop
+        // the would-be NaN/NULL accounting row too
+        .filter(col("n_rows") > 0)
     one("events.user_id", Tables(s, d, "events"), "user_id")
       .unionAll(one("lineitem.l_orderkey", Tables(s, d, "lineitem"), "l_orderkey"))
       .unionAll(one("lineitem.l_partkey", Tables(s, d, "lineitem"), "l_partkey"))

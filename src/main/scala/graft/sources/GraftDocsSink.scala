@@ -58,8 +58,13 @@ object GraftDocsSink {
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  // \r must be escaped too: the reader splits on LINES, and a bare
+  // carriage return in a payload would terminate a record early
+  // (readAllLines treats \r as a line break) — corrupting or
+  // crashing the round-trip of rows the writer accepted.
   def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
   def unesc(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
@@ -69,6 +74,7 @@ object GraftDocsSink {
         s.charAt(i + 1) match {
           case 't'  => b.append('\t'); i += 2
           case 'n'  => b.append('\n'); i += 2
+          case 'r'  => b.append('\r'); i += 2
           case '\\' => b.append('\\'); i += 2
           case _    => b.append(c); i += 1
         }
@@ -83,10 +89,20 @@ object GraftDocsSink {
   /** Table maintenance: delete data files NOT referenced by the
     * current manifest (each overwrite publishes a fresh file list and
     * strands the previous version's files — the same garbage a table
-    * format's VACUUM collects). Safe by construction: the manifest is
-    * the only visibility gate, so removing unreferenced files can
-    * never change a reader's view. Returns (live, removed) counts. */
+    * format's VACUUM collects).
+    *
+    * Concurrency contract — same as a real table format's VACUUM
+    * with retention 0: run in a maintenance window with NO concurrent
+    * writer (a commit between the manifest read and the deletes could
+    * otherwise lose just-moved files) and no reader still scanning a
+    * SUPERSEDED manifest. The staging/ directory only exists between
+    * writer start and commit/abort, so its presence detects an
+    * in-flight write and the call refuses rather than race it.
+    * Returns (live, removed) counts. */
   def vacuum(root: String): (Int, Int) = {
+    require(!new File(root, "staging").exists(),
+      s"vacuum($root): write in flight (staging/ present) — " +
+        "run vacuum only in a maintenance window")
     val live = committedFiles(root).toSet
     val dataDir = new File(root, "data")
     val all = Option(dataDir.listFiles).getOrElse(Array.empty)

@@ -107,6 +107,11 @@ private object SyntheticDocsScan {
       case b: BigDecimal           => Some(b)
       case d: java.lang.Double     => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue()))
       case fl: java.lang.Float     => if (fl.isNaN || fl.isInfinite) None else Some(BigDecimal(fl.doubleValue()))
+      // BigInteger BEFORE the Number fallback: longValue() on 2^63
+      // wraps negative and would turn an empty-range predicate into
+      // a full-table range that Spark never re-evaluates
+      case bi: java.math.BigInteger => Some(BigDecimal(new java.math.BigDecimal(bi)))
+      case bi: BigInt              => Some(BigDecimal(bi))
       case n: Number               => Some(BigDecimal(n.longValue()))
       case _                       => None
     }

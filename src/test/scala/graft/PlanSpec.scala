@@ -222,14 +222,14 @@ class PlanSpec extends SparkSpec {
 
   test("bucketed fact join runs with zero exchanges") {
     Bucketing.bucketedJoin(spark, sf).collect() // creates the tables
-    val s = formatted(Bucketing.joinBucketed(spark))
+    val s = formatted(Bucketing.joinBucketed(spark, sf))
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"))
     assert(!s.contains("Exchange"), s.take(600))
   }
 
   test("bucketed aggregation runs with zero exchanges") {
     Bucketing.bucketedAgg(spark, sf).collect() // ensures the table
-    val s = formatted(Bucketing.aggBucketed(spark))
+    val s = formatted(Bucketing.aggBucketed(spark, sf))
     assert(s.contains("HashAggregate"), s.take(600))
     assert(!s.contains("Exchange"), s.take(600))
   }

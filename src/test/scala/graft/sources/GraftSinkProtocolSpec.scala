@@ -30,14 +30,16 @@ class GraftSinkProtocolSpec extends SparkSpec {
   test("commit publishes exactly the surviving attempts; zombies are invisible") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val m0 = writeRows(root, 0, 100L, Seq((1L, "alpha"), (2L, "tab\there")))
-    val m1 = writeRows(root, 1, 101L, Seq((3L, "line\nbreak")))
+    val m1 = writeRows(root, 1, 101L, Seq((3L, "line\nbreak"), (4L, "cr\rhere")))
     // zombie: a second attempt of partition 1 stages its own file but
     // its message never reaches the driver (Spark picked attempt 101)
     writeRows(root, 1, 999L, Seq((99L, "zombie")))
     new GraftSinkBatchWrite(root).commit(Array(m0, m1))
-    // escapes round-trip; the zombie row is not published
+    // escapes round-trip (incl. \r, which the line-based reader would
+    // otherwise treat as a record break); the zombie row is not
+    // published
     assert(readBack(root) ==
-      Set((1L, "alpha"), (2L, "tab\there"), (3L, "line\nbreak")))
+      Set((1L, "alpha"), (2L, "tab\there"), (3L, "line\nbreak"), (4L, "cr\rhere")))
     // staging fully swept — no orphan files accumulate
     assert(!Files.exists(Paths.get(root, "staging")))
   }
