@@ -49,7 +49,7 @@ object Dedup {
     * native single-pass [[graft.plans.JaccardLong]] (the interpreted
     * `array_intersect` spelling re-ran the intersection for the join
     * condition and every projection reference). */
-  private def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     graft.plans.TextHashes.jaccardLong(a, b)
 
   /** Shingle sets are HASH sets (each shingle → 64-bit polyhash mod
@@ -139,7 +139,7 @@ object Dedup {
   /** Word-shingle sets of any frame with (doc_id, text) — shared with
     * the end-to-end pipeline, which shingles only its gate/exact-dedup
     * survivors. */
-  private[operators] def wordSetsOf(docFrame: DataFrame): DataFrame =
+  private[graft] def wordSetsOf(docFrame: DataFrame): DataFrame =
     docFrame
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
@@ -1108,7 +1108,7 @@ object Dedup {
     * [[dupClusters]] converges to). Must appear under
     * `WITH RECURSIVE`. Shared with the leakage-aware split oracle in
     * [[Pipeline]]. */
-  private[operators] val oClusterChain: String =
+  private[graft] val oClusterChain: String =
     s"""$oWordSets,
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

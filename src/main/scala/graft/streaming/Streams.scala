@@ -649,6 +649,82 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Streaming duplicate-CLUSTER maintenance — the TRANSITIVE member
+    * of the ingest-dedup family: where [[streamDedupNeardup]] decides
+    * per-document admission, this maintains the full cluster labeling
+    * as documents arrive. Per micro-batch: shingle the batch, probe
+    * the STANDING band index for candidates (new-vs-old and
+    * new-vs-new in one join), verify with exact Jaccard against the
+    * standing shingle index, then RE-LABEL by running connected
+    * components over (previous labels as edges) ∪ (new verified
+    * pairs) — the label table is a collapsed, connectivity-
+    * equivalent quotient of all edges ever seen, so incremental CC
+    * over it converges to exactly the batch labeling regardless of
+    * arrival order (the oracle IS the batch recursive closure).
+    *
+    * State = the three standing indexes a production incremental
+    * dedup service keeps: band index (candidate generation), shingle
+    * index (verification), label table (clusters) — each
+    * vocabulary/corpus-keyed, never pair history; per-batch appends
+    * are batchId-keyed for retry idempotence. Per-batch cost is the
+    * batch's own banding + probe + a few CC rounds on the collapsed
+    * graph. */
+  def streamDupClusters(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-cl-src")
+    graft.Tables(s, d, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val bandLog = graft.Core.tempDir("graft-cl-bands")
+    val setsLog = graft.Core.tempDir("graft-cl-sets")
+    val labelRoot = graft.Core.tempDir("graft-cl-labels")
+    @volatile var curLabels: Option[String] = None
+    val q = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val sets = Dedup.wordSetsOf(batch)
+        val bands = Dedup.minhashBandRows(batch)
+        sets.write.mode("overwrite").parquet(s"$setsLog/b=$batchId")
+        bands.write.mode("overwrite").parquet(s"$bandLog/b=$batchId")
+        // candidates: batch bands vs ALL bands seen so far (incl. own
+        // batch — the log already contains this batch's slice)
+        val allBands = s.read.parquet(bandLog)
+          .select(col("band_idx"), col("m1"), col("m2"), col("doc_id").as("doc_b"))
+        val cand = bands
+          .select(col("band_idx"), col("m1"), col("m2"), col("doc_id").as("doc_a"))
+          .join(allBands, Seq("band_idx", "m1", "m2"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("a"),
+            greatest(col("doc_a"), col("doc_b")).as("b"))
+          .distinct()
+        val allSets = s.read.parquet(setsLog)
+        val newPairs = cand
+          .join(allSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+          .join(allSets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+          .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+          .select("a", "b")
+        // previous labels, replayed as (v, lbl) edges: a collapsed
+        // graph with identical connectivity over all prior vertices
+        val prevEdges = curLabels.map(p => s.read.parquet(p)
+          .filter(col("v") =!= col("lbl")).select(col("v").as("a"), col("lbl").as("b")))
+        val edges = prevEdges.fold(newPairs)(_.unionByName(newPairs))
+        val (labels, _) = Dedup.connectedComponents(edges)
+        val next = s"$labelRoot/v$batchId"
+        labels.write.mode("overwrite").parquet(next)
+        curLabels = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamDupClusters")
+    val labels = s.read.parquet(curLabels.get)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming verbatim-SPAN ingest dedup — the ExactSubstr member
     * of the ingest-dedup family ([[streamDedupExact]] by content
     * hash, [[streamDedupNeardup]] by MinHash bands,
@@ -948,6 +1024,14 @@ object Streams {
          |  CAST(SUM(1 - ok) AS BIGINT) AS n_rejected
          |FROM documents JOIN adm USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin)),
+    // the incremental labeling converges to the batch connected
+    // components regardless of arrival order, so the oracle is the
+    // same recursive closure dedup_clusters replays
+    Q("stream_dedup_clusters", streamDupClusters, Some(
+      s"""WITH RECURSIVE ${graft.operators.Dedup.oClusterChain},
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
     // admission is a pure function of the final gram counts, so the
     // batch recomputation IS the streaming end state
     Q("stream_span_ingest", streamSpanIngest, Some(
