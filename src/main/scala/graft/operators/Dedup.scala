@@ -1006,43 +1006,49 @@ object Dedup {
       .agg(min("dst").as("m"))
       .select(col("v"), least(col("v"), col("m")).as("lbl"))
     val ckpt = graft.Core.tempDir("graft-cc")
-    var rounds = 0
-    var delta = 1L
-    while (delta > 0) {
-      rounds += 1
+    // One min-label propagation step. Pointer hop: lbl(lbl(v)) —
+    // lbl(v) is always a vertex of the same component (inductively:
+    // a min over same-component ids), so the lookup always hits;
+    // coalesce is belt-and-braces only. The hop is gated off the
+    // FIRST materialized round: near-dup clusters are near-cliques
+    // that converge immediately, where the extra label-keyed join is
+    // pure overhead; a graph still propagating after that has real
+    // depth, and the hop then halves remaining chain depth per step
+    // (O(log d) total instead of O(d)). Output keeps the input label
+    // as `prev` so the caller can fold convergence accounting.
+    def step(l: DataFrame, withHop: Boolean): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("v").as("src"), col("lbl")), "src")
+        .join(l.select(col("v").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
-      val base = labels.join(nbrMin, Seq("v"), "left")
-      // Pointer hop: lbl(lbl(v)). lbl(v) is always a vertex of the
-      // same component (inductively: a min over same-component ids),
-      // so the lookup always hits; coalesce is belt-and-braces only.
-      // Engaged only from round 3: near-dup clusters are near-cliques
-      // that converge in 2–3 rounds, where the extra label-keyed join
-      // is pure overhead — a graph still propagating at round 3 has
-      // real depth, and from there the hop halves remaining chain
-      // depth every round (O(log d) total instead of O(d)).
-      val withHop = if (rounds < 3) {
+      val base = l.join(nbrMin, Seq("v"), "left")
+      if (!withHop)
         base.select(col("v"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"),
-          col("lbl"))
-      } else {
-        val hop = labels.select(col("v").as("p"), col("lbl").as("plbl"))
+          col("lbl").as("prev"))
+      else {
+        val hop = l.select(col("v").as("p"), col("lbl").as("plbl"))
         base.join(hop, col("lbl") === col("p"), "left")
           .select(col("v"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
               coalesce(col("plbl"), col("lbl"))).as("nl"),
-            col("lbl"))
+            col("lbl").as("prev"))
       }
-      // Checkpoint the round: the write materializes the labels and
-      // the read-back is a LEAF plan, so round N+1's tree is
-      // (cached edges ⋈ parquet leaf) regardless of N — constant
-      // planning cost per round (see scaladoc for why plain caching
-      // is exponential here). The convergence check then rides a
-      // trivial scan of the just-written file.
-      withHop
+    }
+    var rounds = 0
+    var delta = 1L
+    while (delta > 0) {
+      rounds += 1
+      // TWO propagation steps per materialized round: the plan
+      // between checkpoints stays bounded (each step references a
+      // LEAF three times — 9 leaf copies, constant), while the
+      // checkpoint/agg round-trips halve. Convergence rides the
+      // SECOND step only: if step 2 changed nothing, its input —
+      // which already includes step 1's changes — is the fixpoint
+      // being written, so stopping is exact.
+      val s1 = step(labels, rounds >= 2).select(col("v"), col("nl").as("lbl"))
+      step(s1, rounds >= 2)
         .select(col("v"), col("nl").as("lbl"),
-          when(col("nl") < col("lbl"), 1L).otherwise(0L).as("changed"))
+          when(col("nl") < col("prev"), 1L).otherwise(0L).as("changed"))
         .write.mode("overwrite").parquet(s"$ckpt/r$rounds")
       val next = pairs.sparkSession.read.parquet(s"$ckpt/r$rounds")
       delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
