@@ -314,6 +314,132 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming A/B of the whole-operator sessionizer — completes the
+    * sessionization ladder: window spelling → built-in
+    * `session_window` → custom batch operator
+    * ([[graft.plans.SessionAgg]]) → `flatMapGroupsWithState`
+    * ([[streamSessionize]]) → THIS: the same custom Catalyst operator
+    * run per micro-batch with open-session carry-forward state.
+    *
+    * Replay: events are split into 4 ts-range slices written
+    * SEQUENTIALLY (strictly increasing file modification times), so
+    * the file source's mod-time ordering replays them in event-time
+    * order — the streaming analogue of an in-order log with
+    * watermark = max-event-time (zero allowed lateness across
+    * slices). Each micro-batch then:
+    *
+    *   1. runs the BATCH [[graft.plans.SessionAgg]] operator over its
+    *      own rows (Exchange → spillable Sort → O(1)-state fold —
+    *      identical code path, plan and semantics as
+    *      `events_sessionize_native`);
+    *   2. chain-merges those sessions with the carried-forward open
+    *      sessions: per user, order intervals by start and break a
+    *      chain when `start − running-max(end) > gap`. The running
+    *      MAX (not lag) handles containment/overlap; merging on that
+    *      rule is EXACT — a chain link means two actual events ≤ gap
+    *      apart, and any cross-interval event pair ≤ gap apart forces
+    *      a link — so incremental merge ≡ global sessionization of
+    *      the union, in any arrival order;
+    *   3. emits sessions that can no longer grow — `end + gap <
+    *      max event ts of the slice` (exactly the event-time-timeout
+    *      rule [[streamSessionize]] delegates to Spark's watermark) —
+    *      to a batchId-keyed log (overwrite ⇒ retry-idempotent), and
+    *      carries only the still-open tail as versioned state.
+    *
+    * State per user is the folded (start, end, n) open tail — never
+    * events; the chain-merge window partitions by user over
+    * state ∪ this-slice sessions, both O(active users). Emitted ∪
+    * final state is the COMPLETE session set, so the result is
+    * bit-for-bit the batch operator's output and shares its oracle —
+    * full replay parity, not the append-mode subset
+    * [[streamSessionize]] settles for. The per-batch `first()` reads
+    * one aggregated row (the slice max ts — the watermark the
+    * source would otherwise track); at production scale it is the
+    * trigger's watermark, not a data read. */
+  def streamSessionizeNative(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = GapNs
+    val srcDir = graft.Core.tempDir("graft-sessnat-src")
+    val ev0 = graft.Tables(s, d, "events").select("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+    // quartile boundaries need only be monotone, not exact — any
+    // half-open ts split keeps slices range-ordered, which is all the
+    // closure rule relies on
+    val bounds = ev0
+      .select(graft.Core.epochNs(col("ts").cast("timestamp")).cast("double").as("tsn"))
+      .stat.approxQuantile("tsn", Array(0.25, 0.5, 0.75), 0.01)
+    val cuts = (Double.NegativeInfinity +: bounds.toSeq) :+ Double.PositiveInfinity
+    cuts.sliding(2).foreach { pair =>
+      val (lo, hi) = (pair(0), pair(1))
+      // [lo, hi) half-open; finite tsn < +Inf always, so the last
+      // slice needs no special case
+      val tsn = graft.Core.epochNs(col("ts").cast("timestamp")).cast("double")
+      ev0.filter(tsn >= lit(lo) && tsn < lit(hi))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val stateRoot = graft.Core.tempDir("graft-sessnat-state")
+    val closedLog = graft.Core.tempDir("graft-sessnat-out")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ev = batch
+          .withColumn("tsn", graft.Core.epochNs(col("ts").cast("timestamp")))
+          .select(col("user_id"), col("tsn").as("ts"))
+        val mx = ev.agg(max("ts")).first()
+        if (!mx.isNullAt(0)) {
+          val sliceMax = mx.getLong(0)
+          val batchSess = graft.plans.SessionAgg(ev, "user_id", "ts", gap)
+            .select("user_id", "start_ns", "end_ns", "n_events")
+          val combined = curState match {
+            case None    => batchSess
+            case Some(p) => s.read.parquet(p).unionByName(batchSess)
+          }
+          val w = Window.partitionBy("user_id").orderBy("start_ns", "end_ns")
+          val runMaxEnd = max("end_ns")
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+          val merged = combined
+            .withColumn("brk",
+              when(runMaxEnd.isNull || col("start_ns") > runMaxEnd + gap, 1L)
+                .otherwise(0L))
+            .withColumn("chain",
+              sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "chain")
+            .agg(min("start_ns").as("start_ns"), max("end_ns").as("end_ns"),
+              sum("n_events").as("n_events"))
+            .select("user_id", "start_ns", "end_ns", "n_events")
+            .cache()
+          merged.filter(col("end_ns") + gap < sliceMax)
+            .write.mode("overwrite").parquet(s"$closedLog/b=$batchId")
+          val next = s"$stateRoot/v$batchId"
+          merged.filter(col("end_ns") + gap >= sliceMax)
+            .write.mode("overwrite").parquet(next)
+          merged.unpersist()
+          curState = Some(next)
+        }
+      }
+      .start()
+    awaitAndLog(q, "streamSessionizeNative")
+    // enumerate the b=<id> dirs rather than globbing: a glob path
+    // makes the reader probe "<log>/*" for a streaming-sink metadata
+    // dir, which logs a spurious FileNotFound WARN per run
+    val closedDirs = new java.io.File(closedLog).listFiles()
+      .filter(_.isDirectory).map(_.toString).sorted
+    val all = s.read.parquet(closedDirs.toIndexedSeq: _*)
+      .unionByName(s.read.parquet(curState.get))
+    all
+      .withColumn("session_id", row_number()
+        .over(Window.partitionBy("user_id").orderBy("start_ns")).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_micros(expr("start_ns DIV 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(expr("end_ns DIV 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks within the
     * preceding 30 minutes, both sides watermarked (the watermark +
     * interval bound is what lets the join state be dropped — without
@@ -1124,6 +1250,27 @@ object Streams {
         |WHERE sid < max_sid
         |   OR epoch_ms(CAST(s_end AS TIMESTAMP)) + 1800000 < wm_ms
         |ORDER BY user_id, session_start""".stripMargin),
+      headline = false),
+    // Full replay parity with the batch whole-operator (emitted ∪
+    // final state = the complete session set), so the oracle is the
+    // SAME SQL as `events_sessionize_native` — unlike
+    // `stream_sessionize`'s append-mode subset above.
+    Q("stream_sessionize_native", streamSessionizeNative, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
       headline = false),
   )
 }

@@ -183,4 +183,18 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSet
     assert(streamed.subsetOf(batch))
   }
+
+  test("native micro-batch sessionizer replays to EXACT batch-operator parity") {
+    // emitted ∪ final state must be the COMPLETE session set — full
+    // parity with the whole-operator batch plan, not the append-mode
+    // subset streamSessionize settles for — and the ts-range-sliced
+    // replay must really run as 4 micro-batches
+    val streamed = Streams.streamSessionizeNative(spark, sf)
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(Streams.lastBatches._1 == 4, s"batches=${Streams.lastBatches}")
+    val batch = Events.sessionizeNative(spark, sf)
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
