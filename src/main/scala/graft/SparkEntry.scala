@@ -49,12 +49,16 @@ object SparkEntry {
   val benchSet: Set[String] = Set(
     // word count family
     "wordcount", "wordcount_topk",
-    // relational / TPC-H-style
+    // relational / TPC-H-style — join_full_outer is a demoted
+    // shape-twin (its full-outer hash join is timed inside
+    // maint_table_diff's digest diff below); q6_forecast likewise
+    // (scan-filter-agg, timed under q1_pricing/q14_promo_share) in
+    // favor of events_value_deciles' percentile + broadcast fold
     "q1_pricing", "q_filter_pushdown", "join_broadcast",
     "join_null_aware_anti", "subquery_above_avg", "agg_arg_minmax",
     "join_multiway", "topk_orders", "distinct_parts", "setop_except_all",
-    "join_full_outer", "join_lateral", "cube_sales", "q14_promo_share",
-    "q6_forecast", "q3_shipping_priority", "q18_large_orders",
+    "join_lateral", "cube_sales", "q14_promo_share",
+    "q3_shipping_priority", "q18_large_orders",
     // scalar function library (scalar_dates represents the family;
     // scalar_complex is its oracle-parity twin)
     "scalar_dates",
@@ -74,7 +78,7 @@ object SparkEntry {
     "events_top_paths", "events_sessionize",
     "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
-    "events_retention",
+    "events_retention", "events_value_deciles",
     // text analysis — text_langid is a demoted shape-twin (per-row
     // scan + tiny agg, timed under text_stats/filter_unigram_score)
     "text_bpe_tokens", "text_stats", "text_fingerprint",
@@ -108,7 +112,7 @@ object SparkEntry {
     // sketches / UDAF
     "udaf_weighted_disc", "sketch_approx_quantiles", "sketch_hll_union",
     // connectors / maintenance
-    "maint_zorder_stats",
+    "maint_zorder_stats", "maint_table_diff",
     // multimodal
     "multimodal_features",
     // pipeline
