@@ -88,6 +88,29 @@ object Core {
     while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
   }
 
+  /** Iterative loops (k-means, BPE, connected components) checkpoint
+    * their state to a parquet LEAF every this-many rounds: caching
+    * truncates per-round recompute but NOT the logical plan, so an
+    * N-round loop otherwise re-analyzes an N-round-deep tree every
+    * round — O(N²) planning overall. Production round counts (2–5)
+    * sit below the threshold, so headline queries never pay a write;
+    * long-running loops stay flat (CoreSpec pins a 20-round loop's
+    * plan depth). Connected components checkpoints EVERY round
+    * instead — its convergence probe needs the materialization
+    * anyway. */
+  val CkptEvery = 8
+
+  /** Materialize `df` to a temp parquet dir and return the read-back
+    * LEAF — the lineage cut [[CkptEvery]] describes. (RDD
+    * `localCheckpoint` pins executor blocks until RDD GC; a parquet
+    * round-trip is released by the tempDir shutdown hook and, unlike
+    * `checkpoint()`, needs no cluster-wide checkpoint dir.) */
+  def ckptRound(df: DataFrame, prefix: String): DataFrame = {
+    val dir = tempDir(prefix)
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Epoch MICROSECONDS of the events `ts` column. The driver stores
     * `ts` as a naive (no-timezone) microsecond parquet timestamp;
     * every session pins `spark.sql.session.timeZone=UTC`, so the

@@ -381,7 +381,13 @@ object Similarity {
         .select(col("clab"), col("dim"),
           (col("s").cast("double") / col("n") / 1e7).as("c"))
     var cw = cwOf(cent0)
-    for (_ <- 1 until rounds) cw = cwOf(update(assign(cw)))
+    for (r <- 1 until rounds) {
+      cw = cwOf(update(assign(cw)))
+      // parquet-leaf cut every CkptEvery rounds (see Core.CkptEvery):
+      // k rows of (clab, cv, cc) — the write is trivia, the bounded
+      // plan depth is the point. Never fires at KmeansRounds/PqRounds.
+      if (r % graft.Core.CkptEvery == 0) cw = graft.Core.ckptRound(cw, "graft-km-ckpt")
+    }
     val fin = cached(assign(cw)) // final assignment feeds stats AND centroids
     val stats = fin.groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vectors"),

@@ -304,10 +304,13 @@ object TextAnalysis {
     * The per-doc state is the separator-joined token string, so the
     * merge step is one literal `replace` per doc (codegen'd,
     * map-side) and pair extraction is a slice-zip over the re-split
-    * tokens — no per-row loops outside codegen, no driver collect:
-    * the winning pair is a 1-row broadcast frame joined into the next
-    * round, exactly the iterate-on-broadcast shape of
-    * [[Similarity]]'s k-means.
+    * tokens — no per-row loops outside codegen. The winning pair is
+    * collected to the driver (ONE row per round, the loop's control
+    * decision — same class as the connected-components convergence
+    * probe) and inlined as a literal rewrite pattern; re-joining it
+    * as a derived 1-row frame would reference the corpus plan twice
+    * per round and double the logical tree every round (see
+    * [[bpeLoopN]]).
     *
     * Scale: per round, the corpus is scanned map-side (explode of
     * adjacent pairs feeds a partially-aggregated count — the shuffle
@@ -349,7 +352,14 @@ object TextAnalysis {
     * non-overlapping replacement merges `a a a a → aa aa` and
     * `a a a → aa a` — exactly GPT-2's per-scan semantics — without
     * regex lookarounds (which DuckDB's RE2 oracle could not replay). */
-  private def bpeLoop(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def bpeLoop(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeLoopN(s, d, BpeRounds)
+
+  /** Round count exposed for CoreSpec's bounded-plan-depth pin (a
+    * 20-round train crossing the [[graft.Core.CkptEvery]] threshold
+    * twice); registered queries always run [[BpeRounds]]. */
+  private[graft] def bpeLoopN(
+      s: SparkSession, d: String, bpeRounds: Int): (DataFrame, DataFrame) = {
     val Sep2 = BpeSep + BpeSep
     def retok(st: Column): Column = split(trim(st, BpeSep), Sep2)
     def pairs(t: Column): Column =
@@ -361,35 +371,49 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("t")).as("n0"),
         concat(lit(BpeSep), concat_ws(Sep2, col("t")), lit(BpeSep)).as("s")))
     var cur = base
-    var merges: Option[DataFrame] = None
-    for (r <- 1 to BpeRounds) {
-      // cached: the round winner feeds BOTH the merge-table union and
-      // the next round's broadcast rewrite
-      val top1 = cached(
-        cur.select(explode(pairs(retok(col("s")))).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1)
-          .select(lit(r).as("round"), col("pair"), col("cnt")))
-      merges = Some(merges.fold(top1)(_.union(top1)))
-      // cached: truncates the recompute chain — round r+1's pair scan
-      // reads this round's rewrite once, not the whole replay.
-      // LEFT join (not crossJoin): a round with NO pairs left yields
-      // an empty top1, and a cross join with an empty frame would
-      // silently delete the whole corpus; the left join keeps every
-      // doc and the coalesce turns the rewrite into a no-op (\u0002
-      // can never occur in the [a-z0-9]+ state alphabet)
-      cur = cached(
-        cur.join(broadcast(top1.select(
-            concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit(Sep2)),
-              lit(BpeSep)).as("pat"),
-            concat(lit(BpeSep), replace(col("pair"), lit(BpeSep), lit("")),
-              lit(BpeSep)).as("rep"))), lit(true), "left")
-          .select(col("doc_id"), col("n0"),
-            replace(col("s"), coalesce(col("pat"), lit("\u0002")),
-              coalesce(col("rep"), lit(""))).as("s")))
+    val winners = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to bpeRounds) {
+      // The round winner is ONE row: the argmax rides
+      // TakeOrderedAndProject (per-partition top-1 merge) and lands
+      // on the driver as the loop's control decision — same class as
+      // the connected-components convergence probe. It must NOT be
+      // re-joined as a derived 1-row frame: that frame's plan
+      // contains the corpus plan, so each round would reference the
+      // previous corpus TWICE (rewrite left side + inside the
+      // winner) and the logical tree doubles every round — 2^N nodes
+      // by round N, and the post-write explain walk (eager in
+      // Spark's command execution) degenerates with it (measured: a
+      // 20-round train froze the driver for minutes inside
+      // generateTreeString before this rewrite).
+      val top = cur.select(explode(pairs(retok(col("s")))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      // a round with NO pairs left (every doc fused to one token)
+      // simply stops merging; remaining rounds are no-ops
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        winners += ((r, pair, top(0).getLong(1)))
+        // literal boundary-anchored rewrite — the merge is a plain
+        // Project, so the chain between checkpoints stays linear and
+        // CollapseProject fuses the nested replaces into one
+        // codegen'd expression. cached: round r+1's pair scan reads
+        // this round's rewrite once, not the whole replay.
+        cur = cached(cur.select(col("doc_id"), col("n0"),
+          replace(col("s"),
+            lit(BpeSep + pair.replace(BpeSep, Sep2) + BpeSep),
+            lit(BpeSep + pair.replace(BpeSep, "") + BpeSep)).as("s")))
+      }
+      // parquet-leaf cut every CkptEvery rounds: a long vocab train
+      // (thousands of merges) must not accumulate one rewrite
+      // projection per round in the logical plan. Never fires at
+      // BpeRounds=5; CoreSpec drives a 20-round loop and pins the
+      // depth.
+      if (r % graft.Core.CkptEvery == 0)
+        cur = graft.Core.ckptRound(cur, "graft-bpe-ckpt")
     }
-    (cur, merges.get)
+    import s.implicits._
+    (cur, winners.toSeq.toDF("round", "pair", "cnt"))
   }
   private[graft] def bpeFinalTokens(st: Column): Column =
     split(trim(st, BpeSep), BpeSep + BpeSep)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Pins for [[Core.CkptEvery]]/[[Core.ckptRound]]: iterative loops
+  * must keep a BOUNDED logical plan as rounds grow — caching
+  * truncates recompute, not lineage, so without the parquet-leaf cut
+  * an N-round loop re-analyzes an O(N)-deep tree every round (O(N²)
+  * planning; see the connected-components scaladoc for the measured
+  * exponential variant). The pin: a loop run 20 rounds (crossing the
+  * every-8 threshold twice, 3–4 live rounds after the last cut) has
+  * EXACTLY the depth of a 12-round run (one cut, same live tail),
+  * and strictly less than an uncut 7-round run. */
+class CoreSpec extends SparkSpec {
+
+  private def depth(p: LogicalPlan): Int =
+    1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+  private def depth(df: DataFrame): Int = depth(df.queryExecution.analyzed)
+
+  test("20-round k-means keeps a bounded plan via parquet-leaf checkpoints") {
+    val d20 = graft.operators.Similarity.kmeansRounds(spark, sf, 20)
+    val d12 = graft.operators.Similarity.kmeansRounds(spark, sf, 12)
+    val d7 = graft.operators.Similarity.kmeansRounds(spark, sf, 7)
+    assert(depth(d20) == depth(d12),
+      s"post-checkpoint tail should be identical: ${depth(d20)} vs ${depth(d12)}")
+    assert(depth(d20) < depth(d7),
+      s"two cuts must beat an uncut 7-round chain: ${depth(d20)} vs ${depth(d7)}")
+    // the checkpointed plan still executes end to end
+    assert(d20.count() > 0)
+    Core.releaseCaches()
+  }
+
+  test("20-round BPE train keeps a bounded plan and a complete merge table") {
+    val (c20, m20) = graft.operators.TextAnalysis.bpeLoopN(spark, sf, 20)
+    val (c12, _) = graft.operators.TextAnalysis.bpeLoopN(spark, sf, 12)
+    val (c7, _) = graft.operators.TextAnalysis.bpeLoopN(spark, sf, 7)
+    assert(depth(c20) == depth(c12),
+      s"post-checkpoint tail should be identical: ${depth(c20)} vs ${depth(c12)}")
+    assert(depth(c20) < depth(c7),
+      s"two cuts must beat an uncut 7-round chain: ${depth(c20)} vs ${depth(c7)}")
+    // merge table survives the leaf cuts intact: one winner per round
+    assert(m20.count() == 20)
+    Core.releaseCaches()
+  }
+}
