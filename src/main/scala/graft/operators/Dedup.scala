@@ -744,6 +744,18 @@ object Dedup {
     * never enter the index. */
   private val fuzzyIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Affix-stripped name core for the incremental index and its
+    * probes. The strip constants come from the WHOLE customer table
+    * (corpus ∪ batch — `isFuzzyBatch` splits one table), so the
+    * stripped prefix/suffix is literally common to every row on BOTH
+    * sides and the per-row levenshtein-invariance argument of
+    * [[strippedCore]] applies exactly; computing them per side would
+    * de-align the hash spaces. */
+  private def fuzzyCore(s: SparkSession, d: String): Column =
+    strippedCore(
+      Tables(s, d, "customer").select(col("c_name")), col("c_name"))
+
   private def fuzzyIndex(s: SparkSession, d: String): DataFrame = {
     val path = fuzzyIndexDirs.compute(d, (_, prev) => {
       if (prev != null && new java.io.File(prev).isDirectory) prev
@@ -752,11 +764,16 @@ object Dedup {
         Tables(s, d, "customer")
           .filter(!isFuzzyBatch)
           .select(col("c_custkey").as("ck"),
-            // per-name variant dedup (see fuzzyCounts): identical-char
-            // runs would otherwise store duplicate (h, ck) rows
+            // affix-stripped core (see fuzzyCore) + per-name variant
+            // dedup (see fuzzyCounts): identical-char runs would
+            // otherwise store duplicate (h, ck) rows. On the driver's
+            // zero-padded names the strip alone cuts the stored index
+            // ~12× (DedupSpec measures the exact ratio).
             explode(array_distinct(
-              graft.plans.TextHashes.deletionHashes(col("c_name")))).as("h"))
+              graft.plans.TextHashes.deletionHashes(fuzzyCore(s, d)))).as("h"))
           .write.mode("overwrite").parquet(s"$dir/fuzzy_index")
+        val n = s.read.parquet(s"$dir/fuzzy_index").count()
+        System.err.println(s"[fuzzy-index] $d rows=$n")
         s"$dir/fuzzy_index"
       }
     })
@@ -783,8 +800,10 @@ object Dedup {
     val names = Tables(s, d, "customer").select(col("c_custkey"), col("c_name"))
     val batch = cached(names.filter(isFuzzyBatch))
     val probes = batch.select(col("c_custkey").as("bk"),
+      // SAME whole-table strip constants as the stored index — the
+      // hash spaces must align (see fuzzyCore)
       explode(array_distinct(
-        graft.plans.TextHashes.deletionHashes(col("c_name")))).as("h"))
+        graft.plans.TextHashes.deletionHashes(fuzzyCore(s, d)))).as("h"))
     val cand = probes.join(fuzzyIndex(s, d), "h")
       .select("bk", "ck").distinct()
     val matches = cand

@@ -724,15 +724,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(900))
   }
 
-  test("BPE training rewrites ride 1-row broadcasts; the corpus never shuffles") {
-    val s = executed(TextAnalysis.bpeTrain(spark, sf))
-    // each round's winning pair enters as a broadcast nested loop
-    // over the 1-row argmax frame
-    assert(s.contains("BroadcastNestedLoopJoin"), s.take(900))
-    // pair counting is partial+final; the only exchanges carry pair
-    // tallies — no Exchange sits directly over the document scan
-    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(900))
-    assert(!s.contains("CartesianProduct"), s.take(900))
+  test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
+    // the round winners are collected (1 row per round, loop
+    // control), so the merge table plans as a LocalTableScan — no
+    // join of any kind ever touches the corpus. (The former 1-row
+    // BroadcastNestedLoopJoin spelling referenced the corpus plan
+    // twice per round — exponential logical tree; see bpeLoopN.)
+    val t = executed(TextAnalysis.bpeTrain(spark, sf))
+    assert(t.contains("LocalTableScan"), t.take(900))
+    assert(!t.contains("Join") && !t.contains("CartesianProduct"), t.take(900))
+    // the apply path (the corpus chain itself): literal-replace
+    // projections over the cached scan — join-free, and the ONLY
+    // exchange is the final presentation orderBy, so the corpus
+    // never shuffles through any merge round
+    val a = executed(TextAnalysis.bpeApply(spark, sf))
+    assert(!a.contains("Join") && !a.contains("CartesianProduct"), a.take(900))
+    assert("Exchange".r.findAllIn(a).size <= 1, a.take(900))
     Core.releaseCaches()
   }
 }
