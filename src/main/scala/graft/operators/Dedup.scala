@@ -688,13 +688,23 @@ object Dedup {
     * save. Keys through the big shuffle, payloads after the dedup;
     * distinct-first dedupes candidates map-side before the only wide
     * shuffle (verify-first measured 2.6× slower pre-strip: 78 s vs
-    * 30 s). */
+    * 30 s).
+    *
+    * Verification runs on the affix-STRIPPED cores, not full names:
+    * edit distance is exactly invariant under the dataset-global
+    * strip (same argument as the blocking side), the banded DP is
+    * O(len·(2k+1)) so a ~25-char name shrinking to its ~7-char core
+    * cuts the per-pair cost ~3×, and the joined-back payload rows
+    * shrink with it — on 17 M surviving candidates the verify stage
+    * is the query's floor, so this is where the length matters. */
   private def fuzzyVerified(
-      names: DataFrame, neighborhood: Column => Column, maxDist: Int): DataFrame =
+      names: DataFrame, neighborhood: Column => Column, maxDist: Int): DataFrame = {
+    val core = strippedCore(names, col("c_name"))
     fuzzyCandidates(names, neighborhood)
-      .join(names.select(col("c_custkey").as("a"), col("c_name").as("name_a")), "a")
-      .join(names.select(col("c_custkey").as("b"), col("c_name").as("name_b")), "b")
+      .join(names.select(col("c_custkey").as("a"), core.as("name_a")), "a")
+      .join(names.select(col("c_custkey").as("b"), core.as("name_b")), "b")
       .filter(levenshtein(col("name_a"), col("name_b"), maxDist) =!= -1)
+  }
 
   private def fuzzyCounts(
       s: SparkSession, d: String,
@@ -807,9 +817,13 @@ object Dedup {
     val cand = probes.join(fuzzyIndex(s, d), "h")
       .select("bk", "ck").distinct()
     val matches = cand
-      .join(batch.select(col("c_custkey").as("bk"), col("c_name").as("batch_name")), "bk")
+      // verification on the whole-table-stripped cores (exact; see
+      // fuzzyVerified) — shorter DP strings, lighter payload rows
+      .join(batch.select(col("c_custkey").as("bk"),
+        fuzzyCore(s, d).as("batch_name")), "bk")
       .join(names.filter(!isFuzzyBatch)
-        .select(col("c_custkey").as("ck"), col("c_name").as("corpus_name")), "ck")
+        .select(col("c_custkey").as("ck"),
+          fuzzyCore(s, d).as("corpus_name")), "ck")
       // thresholded levenshtein: banded O(L·k) DP, -1 = above radius
       .filter(levenshtein(col("batch_name"), col("corpus_name"), 1) =!= -1)
       .groupBy("bk").agg(count(lit(1)).as("n"))
