@@ -1071,15 +1071,33 @@ object Dedup {
     var delta = 1L
     while (delta > 0) {
       rounds += 1
-      // TWO propagation steps per materialized round: the plan
-      // between checkpoints stays bounded (each step references a
-      // LEAF three times — 9 leaf copies, constant), while the
-      // checkpoint/agg round-trips halve. Convergence rides the
-      // SECOND step only: if step 2 changed nothing, its input —
-      // which already includes step 1's changes — is the fixpoint
-      // being written, so stopping is exact.
-      val s1 = step(labels, rounds >= 2).select(col("v"), col("nl").as("lbl"))
-      step(s1, rounds >= 2)
+      // Materialized round 1 is a SINGLE hop-free step: with the
+      // head-start init, near-dup cluster graphs (near-cliques) are
+      // usually already at the fixpoint, and that common case must
+      // pay one propagation, not two (measured: unconditional
+      // double-stepping cost dedup_clusters ~2.4 s → ~3.7 s at
+      // sf0.1). A graph still changing after round 1 has real depth:
+      // from round 2 every materialized round runs TWO hop-enabled
+      // steps — the plan between checkpoints stays bounded (each
+      // step references a LEAF three times — 9 leaf copies,
+      // constant) while the checkpoint/agg round-trips halve, and
+      // the hop halves remaining chain depth per step (O(log d)
+      // rounds total). Convergence rides the LAST step only: if it
+      // changed nothing, its input — which already includes the
+      // prior step's changes — is the fixpoint being written, so
+      // stopping is exact.
+      // hop gating unchanged from the single-step design: rounds 1–2
+      // propagate plainly (shallow graphs finish here and the
+      // label-keyed hop join is pure overhead for them); the hop
+      // engages at round 3 where depth is proven
+      val stepped =
+        if (rounds == 1) step(labels, withHop = false)
+        else {
+          val hop = rounds >= 3
+          val s1 = step(labels, hop).select(col("v"), col("nl").as("lbl"))
+          step(s1, hop)
+        }
+      stepped
         .select(col("v"), col("nl").as("lbl"),
           when(col("nl") < col("prev"), 1L).otherwise(0L).as("changed"))
         .write.mode("overwrite").parquet(s"$ckpt/r$rounds")
@@ -1087,6 +1105,9 @@ object Dedup {
       delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
       labels = next.select("v", "lbl")
     }
+    // diagnostic parity with the [stream]/[fuzzy-index] logs: round
+    // counts separate more-rounds from slower-rounds in bench drift
+    System.err.println(s"[cc] materialized rounds=$rounds")
     (labels, rounds)
   }
 
