@@ -61,21 +61,19 @@ object Bench {
           None
       }
     }
-    // Untimed warmup at the smallest SF, but ONLY for codegen-heavy
-    // plans (native-expression dedup/text/similarity paths) whose first
-    // run pays seconds of JIT that would poison pass 1. Everything else
-    // — streaming especially, where fixed micro-batch overhead dwarfs
-    // JIT — uses timed pass 1 as its own warmup; the per-query min of
-    // two passes absorbs the difference. This cuts a full catalog lap
-    // from the wall-clock budget (r7's bench timed out before output).
+    // Untimed warmup at the smallest SF for EVERY benched query (an
+    // r12 allowlist of name prefixes silently missed new families —
+    // er_/graph_/maint_ paid their JIT inside timed pass 1). Sole
+    // exclusion, chosen so new families warm BY DEFAULT: streaming,
+    // where fixed micro-batch overhead dwarfs JIT and a warm lap
+    // would cost real wall-clock (r7's bench timed out before
+    // output); its pass 1 is its own warmup and min-of-passes
+    // absorbs the difference.
     val warmDir = {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory && sibling.toString != sfDir) sibling.toString else sfDir
     }
-    val warmPrefixes =
-      Seq("dedup_", "text_", "tfidf", "lm_", "filter_", "sim_",
-        "pipeline_", "wordcount", "multimodal_")
-    picked.filter(q => warmPrefixes.exists(q.name.startsWith)).foreach { q =>
+    picked.filterNot(_.name.startsWith("stream_")).foreach { q =>
       Core.releaseCaches()
       runOne(q, warmDir, "warm")
     }

@@ -37,7 +37,7 @@ object SparkEntry {
     all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
   /** Curated bench subset — one representative per distinct physical
-    * plan family, capped at 70 names so three laps (warmup + two timed
+    * plan family, capped at ~70 names so three laps (warmup + two timed
     * passes) fit the driver's wall-clock budget on a host with
     * documented 10–20× interference waves (the full catalog ×3 timed
     * out in r7 before printing anything). Correctness still covers
@@ -59,6 +59,9 @@ object SparkEntry {
     "join_multiway", "topk_orders", "distinct_parts", "setop_except_all",
     "join_lateral", "cube_sales", "q14_promo_share",
     "q3_shipping_priority", "q18_large_orders",
+    // the partsupp-free Q9 SHAPE: the catalog's one 5-table two-fact
+    // rollup with a computed two-term measure (r12 verdict stretch)
+    "q9_shape_profit",
     // scalar function library (scalar_dates represents the family;
     // scalar_complex is its oracle-parity twin)
     "scalar_dates",

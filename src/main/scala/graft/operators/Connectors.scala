@@ -381,11 +381,42 @@ object Connectors {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Snapshot time travel through the DSv2 sink: version 1 holds the
+    * even-keyed half of the corpus, version 2 overwrites with the
+    * full corpus, and the query reads BOTH — v1 pinned with
+    * `versionAsOf` while v2 is current — proving the manifest
+    * protocol retains and resolves superseded snapshots (the same
+    * table-format capability `maint_table_diff` demonstrates over
+    * plain parquet copies). */
+  def dsv2TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Core.tempDir("graft-dsv2-tt")
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    def sink(df: DataFrame): Unit =
+      df.write.format("graft.sources.GraftDocsSink")
+        .option("path", dir).mode("overwrite").save()
+    sink(docs.filter(col("doc_id") % 2 === 0))
+    sink(docs)
+    val v1 = s.read.format("graft.sources.GraftDocsSink")
+      .option("path", dir).option("versionAsOf", "1").load()
+      .agg(count(lit(1)).as("n_v1"), sum(col("doc_id")).as("v1_id_sum"))
+    val v2 = s.read.format("graft.sources.GraftDocsSink")
+      .option("path", dir).load()
+      .agg(count(lit(1)).as("n_v2"), sum(col("doc_id")).as("v2_id_sum"))
+    v1.crossJoin(v2)
+      .select("n_v1", "n_v2", "v1_id_sum", "v2_id_sum")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("connector_dsv2_sink", dsv2SinkRoundtrip, Some(
       """SELECT COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin)),
+    Q("connector_dsv2_timetravel", dsv2TimeTravel, Some(
+      """SELECT COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_v1,
+        |  COUNT(*) AS n_v2,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS BIGINT) AS v1_id_sum,
+        |  CAST(SUM(doc_id) AS BIGINT) AS v2_id_sum
         |FROM documents""".stripMargin)),
     Q("maint_table_diff", tableDiff, Some(
       """WITH b AS (

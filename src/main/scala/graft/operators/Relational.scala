@@ -782,6 +782,39 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q9-SHAPED profit rollup, partsupp-free: profit by supplier
+    * nation and order year over lineitem⋈part⋈supplier⋈nation⋈orders
+    * with a COMPUTED two-term measure — the one TPC-H plan shape
+    * (two-fact multi-dim rollup over a derived measure with a
+    * part-name LIKE filter) that the partsupp-dependent exclusions
+    * (Q2/9/11/16/20) left unexercised. The per-unit supply cost is a
+    * surrogate (10% of p_retailprice; the driver's generator ships no
+    * partsupp table — TESTDATA.md), so the measure is arbitrary but
+    * EXACT: every term stays decimal until the final double cast.
+    * Plan: the selective p_name filter prunes part before the fact
+    * join; nation broadcasts; one shuffle per fact join key and one
+    * for the rollup. */
+  def profitShape(s: SparkSession, d: String): DataFrame = {
+    val profit =
+      dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) * lit(0.10).cast("decimal(12,2)")
+    li(s, d)
+      .join(Tables(s, d, "part").filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(ord(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** TPC-H Q15-style top supplier: a grouped revenue rollup consumed
     * TWICE — once to find the global max, once as the join input —
     * so it is [[graft.Core.cached]] (one lineitem scan, not two; the
@@ -1116,6 +1149,22 @@ object Relational {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+    Q("q9_shape_profit", profitShape, Some(
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(12,2))
+        |  ) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
     Q("q15_top_supplier", topSupplier, Some(
       s"""WITH revenue AS (
          |  SELECT l_suppkey, SUM($discPrice) AS rev_dec

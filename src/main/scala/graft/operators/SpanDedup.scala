@@ -126,15 +126,18 @@ object SpanDedup {
   def spanKeepFirst(s: SparkSession, d: String): DataFrame = {
     val ds = docs(s, d)
     val g = grams(ds)
-    // encode (doc_id, pos) as one orderable key; pos < 1e6 by corpus
-    // construction (documents are ~50 tokens)
-    val keyed = g.withColumn("k", col("doc_id") * 1000000L + col("pos"))
-    val firsts = keyed.groupBy("g")
-      .agg(count(lit(1)).as("n"), min(col("k")).as("k0"))
+    // corpus-first key = min(struct(doc_id, pos)): one mergeable
+    // aggregate with NO magnitude assumption (the r12 arithmetic
+    // doc_id*1e6+pos encoding silently mis-ordered for ≥1e6-token
+    // documents, and the oracle shared the bug so parity couldn't
+    // catch it)
+    val firsts = g.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id").as("d0"), col("pos").as("p0"))).as("k0"))
       .filter(col("n") >= 2)
       .select("g", "k0")
-    val removableStarts = keyed.join(firsts, "g")
-      .filter(col("k") =!= col("k0"))
+    val removableStarts = g.join(firsts, "g")
+      .filter(col("doc_id") =!= col("k0.d0") || col("pos") =!= col("k0.p0"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
     ds.join(removableStarts, Seq("doc_id"), "left")
       .select(col("source"), size(col("ts")).cast("long").as("nt"),
@@ -146,6 +149,32 @@ object SpanDedup {
         sum(col("nt")).as("n_tokens"),
         sum(col("nr")).as("n_tokens_removed"))
       .orderBy("source")
+  }
+
+  /** Maximal-span LENGTH histogram — the report the ExactSubstr paper
+    * publishes (how long the verbatim repeats are decides whether
+    * they're boilerplate headers or wholesale copied documents).
+    * Reuses the same single (gram, count) shuffle as the detector;
+    * the repeated starts then explode per doc (O(repeated grams)
+    * rows, a strict subset of the corpus token count), runs break on
+    * a gap > K exactly as [[repeatedSpans]]'s fold defines them, and
+    * each maximal run's length is last − first + K tokens. Per
+    * length: span count and distinct affected documents. */
+  def spanLengths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = grams(docs(s, d))
+    val starts = g.join(repeated(g), "g").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = starts
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > K, 1L).otherwise(0L))
+      .withColumn("run", sum("brk").over(w))
+      .groupBy("doc_id", "run")
+      .agg((max("pos") - min("pos") + lit(K)).cast("long").as("span_len"))
+    runs.groupBy("span_len")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("span_len")
   }
 
   /** Gram rows from a raw documents batch — the streaming ingest
@@ -203,12 +232,13 @@ object SpanDedup {
          |FROM cov c JOIN docs d USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("dedup_repeated_spans_keepfirst", spanKeepFirst, Some(
       s"""WITH $oracleGrams,
-         |keyed AS (SELECT doc_id, pos, g, doc_id * 1000000 + pos AS k FROM grams),
-         |firsts AS (SELECT g, min(k) AS k0 FROM keyed
-         |           GROUP BY g HAVING COUNT(*) >= 2),
+         |ranked AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n
+         |  FROM grams),
          |removable AS (
          |  SELECT doc_id, list(pos ORDER BY pos) AS ps
-         |  FROM keyed JOIN firsts USING (g) WHERE k <> k0 GROUP BY doc_id),
+         |  FROM ranked WHERE n >= 2 AND rn > 1 GROUP BY doc_id),
          |perdoc AS (
          |  SELECT d.doc_id, d.source, len(d.ts) AS nt,
          |    COALESCE(len(list_distinct(flatten(list_transform(r.ps,
@@ -219,5 +249,23 @@ object SpanDedup {
          |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
          |  CAST(SUM(nr) AS BIGINT) AS n_tokens_removed
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
+    Q("dedup_span_lengths", spanLengths, Some(
+      s"""WITH $oracleGrams,
+         |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |starts AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $K
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM starts),
+         |r2 AS (SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+         |  FROM runs),
+         |spans AS (
+         |  SELECT doc_id, run, MAX(pos) - MIN(pos) + $K AS span_len
+         |  FROM r2 GROUP BY doc_id, run)
+         |SELECT CAST(span_len AS BIGINT) AS span_len, COUNT(*) AS n_spans,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM spans GROUP BY span_len ORDER BY span_len""".stripMargin)),
   )
 }

@@ -288,6 +288,9 @@ object TextAnalysis {
   }
 
   private val BpeRounds = 5
+  /** `text_bpe_train12`'s round count: past CkptEvery = 8, so the
+    * registered query actually crosses a loop checkpoint. */
+  private val DeepBpeRounds = 12
   /** Token separator inside the per-doc merge state — a control char
     * the cleaned token alphabet ([a-z0-9]) can never contain, so a
     * separator collision is impossible by construction. */
@@ -319,7 +322,17 @@ object TextAnalysis {
     * round. Production BPE trainers run on a sampled shard for
     * exactly this reason; the loop here is the shard trainer. */
   def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeLoop(s, d)._2
+    bpeTrainN(s, d, BpeRounds)
+
+  /** [[bpeTrain]] at an arbitrary round count. The registered
+    * `text_bpe_train12` variant runs [[DeepBpeRounds]] rounds — past
+    * the [[graft.Core.CkptEvery]] = 8 threshold, so its execution
+    * provably crosses one parquet-leaf checkpoint (rounds 9–12 scan
+    * the round-8 leaf, not the live rewrite chain): the deep-loop
+    * plan-growth machinery CoreSpec pins structurally also carries a
+    * green CORRECTNESS row. */
+  private[graft] def bpeTrainN(s: SparkSession, d: String, n: Int): DataFrame =
+    bpeLoopN(s, d, n)._2
       .select(col("round"),
         element_at(split(col("pair"), BpeSep), 1).as("lhs"),
         element_at(split(col("pair"), BpeSep), 2).as("rhs"),
@@ -421,11 +434,11 @@ object TextAnalysis {
   /** The oracle replay of [[bpeLoop]]: d0..dN rewrite states (doc_id
     * and pre-merge count carried through) and m1..mN round winners —
     * shared by the train and apply oracles. */
-  private val oBpeChain: String = {
+  private def oBpeChain(bpeRounds: Int): String = {
     // ␟tok␟␟tok␟ wrapped state + boundary-anchored literal patterns —
     // byte-for-byte the [[bpeLoop]] spellings
     val retok = "string_split(trim(s, chr(1)), chr(1) || chr(1))"
-    val rounds = (1 to BpeRounds).map { r =>
+    val rounds = (1 to bpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT pair, COUNT(*) AS cnt FROM (
          |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
@@ -446,9 +459,9 @@ object TextAnalysis {
        |$rounds""".stripMargin
   }
 
-  private val oBpeTrainSql: String = {
-    val union = (1 to BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    s"""WITH $oBpeChain
+  private def oBpeTrainSql(bpeRounds: Int): String = {
+    val union = (1 to bpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH ${oBpeChain(bpeRounds)}
        |SELECT CAST(round AS INTEGER) AS round,
        |  string_split(pair, chr(1))[1] AS lhs,
        |  string_split(pair, chr(1))[2] AS rhs,
@@ -457,7 +470,7 @@ object TextAnalysis {
   }
 
   private val oBpeApplySql: String =
-    s"""WITH $oBpeChain
+    s"""WITH ${oBpeChain(BpeRounds)}
        |SELECT doc_id, n0 AS n_tokens_before,
        |  CAST(len(string_split(trim(s, chr(1)), chr(1) || chr(1))) AS INTEGER) AS n_tokens_after,
        |  n0 - CAST(len(string_split(trim(s, chr(1)), chr(1) || chr(1))) AS INTEGER) AS n_saved
@@ -575,7 +588,9 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin)),
-    Q("text_bpe_train", bpeTrain, Some(oBpeTrainSql)),
+    Q("text_bpe_train", bpeTrain, Some(oBpeTrainSql(BpeRounds))),
+    Q("text_bpe_train12", (s, d) => bpeTrainN(s, d, DeepBpeRounds),
+      Some(oBpeTrainSql(DeepBpeRounds))),
     Q("text_bpe_apply", bpeApply, Some(oBpeApplySql)),
     Q("text_bm25", bm25, Some(
       s"""WITH $oBm25Cte

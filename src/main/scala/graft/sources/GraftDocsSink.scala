@@ -21,28 +21,50 @@ import scala.jdk.CollectionConverters._
   * for exactly-once batch output.
   *
   * Protocol (the part worth building):
-  *  - each task's [[DataWriter]] writes to a staging file named by
-  *    (partitionId, taskId) — task RETRIES and speculative attempts
-  *    each stage their own file and never clobber one another;
+  *  - each write JOB stages under its own `staging/<jobId>/`
+  *    directory (jobId = Spark's queryId for the write), so two
+  *    concurrent jobs against the same table can never sweep each
+  *    other's staged files; within a job, each task's [[DataWriter]]
+  *    writes a file named by (partitionId, taskId) — task RETRIES and
+  *    speculative attempts each stage their own file and never
+  *    clobber one another;
   *  - `commit()` on a writer returns its staging path as the
   *    [[WriterCommitMessage]]; only messages from the ONE attempt
   *    Spark picks per partition reach the driver;
   *  - driver-side [[BatchWrite.commit]] atomically publishes exactly
   *    the staged files named in the messages (rename into `data/`,
-  *    then one manifest write marks the table live) — zombie
-  *    attempts' orphan staging files are ignored and swept;
-  *  - [[BatchWrite.abort]] deletes staging so a failed job leaves no
-  *    partial table (readers see the previous manifest or nothing).
+  *    then ONE atomic manifest-version CREATE marks the snapshot
+  *    live) — zombie attempts' orphan staging files are ignored and
+  *    swept;
+  *  - [[BatchWrite.abort]] deletes the job's staging so a failed job
+  *    leaves no partial table (readers see the previous manifest or
+  *    nothing).
   *
-  * Readers scan ONLY files listed in the committed manifest, so a
+  * Snapshots and time travel: every commit lands as a NEW manifest
+  * file `MANIFEST-v<n>` and the current table state is the
+  * highest-numbered manifest. The version file is created with an
+  * atomic hard-link (create-if-absent) — two concurrent committers
+  * can never overwrite one another's manifest; the committer that
+  * loses the version number simply allocates the next one, so
+  * concurrent blind overwrites SERIALIZE (both snapshots are
+  * retained, the later allocation is "current" — the same
+  * last-committer-wins semantics two uncoordinated INSERT OVERWRITE
+  * jobs get from a real table format's catalog). Readers pin a
+  * snapshot with `option("versionAsOf", n)`; [[GraftDocsSink.vacuum]]
+  * keeps every file any RETAINED manifest references, and
+  * [[GraftDocsSink.expireVersions]] drops old snapshots to let vacuum
+  * reclaim them.
+  *
+  * Readers scan ONLY files listed in the resolved manifest, so a
   * concurrent reader never observes a half-written table — the same
   * manifest-gated visibility a table format (Iceberg/Delta) provides,
   * demonstrated at connector scale. Rows are TSV-encoded (doc_id,
   * text with tab/newline escapes); one reader partition per data
   * file, so read parallelism tracks write parallelism.
   *
-  * SourceSpec drives commit, abort, zombie-orphan, and overwrite
-  * scenarios directly through this SPI.
+  * GraftSinkProtocolSpec drives commit, abort, zombie-orphan,
+  * overwrite, concurrent-writer, time-travel and expire scenarios
+  * directly through this SPI.
   */
 class GraftDocsSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -83,40 +105,65 @@ object GraftDocsSink {
     b.toString
   }
 
-  def manifestPath(root: String): java.nio.file.Path =
-    Paths.get(root, "MANIFEST")
+  private val ManifestRe = "MANIFEST-v(\\d{5})".r
 
-  /** Table maintenance: delete data files NOT referenced by the
-    * current manifest (each overwrite publishes a fresh file list and
-    * strands the previous version's files — the same garbage a table
-    * format's VACUUM collects).
+  def manifestPath(root: String, version: Int): java.nio.file.Path =
+    Paths.get(root, f"MANIFEST-v$version%05d")
+
+  /** Retained snapshot versions, ascending (empty if never committed). */
+  def versions(root: String): Seq[Int] =
+    Option(new File(root).list()).getOrElse(Array.empty[String])
+      .toSeq.collect { case ManifestRe(n) => n.toInt }.sorted
+
+  /** Data files of a committed snapshot — the given version, or the
+    * CURRENT (highest) one. Empty if the table was never committed;
+    * an explicitly requested version that is not retained is an
+    * error, not an empty table. */
+  def committedFiles(root: String, version: Option[Int] = None): Seq[String] = {
+    val have = versions(root)
+    version.foreach(v => require(have.contains(v),
+      s"graft-docs-sink: versionAsOf $v not retained at $root " +
+        s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})"))
+    version.orElse(have.lastOption).fold(Seq.empty[String]) { v =>
+      new String(Files.readAllBytes(manifestPath(root, v)), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Table maintenance: delete data files NOT referenced by ANY
+    * retained manifest version (each overwrite publishes a fresh file
+    * list; superseded versions stay readable via `versionAsOf` until
+    * [[expireVersions]] drops them, so vacuum only reclaims files no
+    * retained snapshot can reach).
     *
-    * Concurrency contract — same as a real table format's VACUUM
-    * with retention 0: run in a maintenance window with NO concurrent
-    * writer (a commit between the manifest read and the deletes could
-    * otherwise lose just-moved files) and no reader still scanning a
-    * SUPERSEDED manifest. The staging/ directory only exists between
+    * Concurrency contract — same as a real table format's VACUUM:
+    * run in a maintenance window with NO concurrent writer (a commit
+    * between the manifest read and the deletes could otherwise lose
+    * just-moved files). The staging/ directory only exists between
     * writer start and commit/abort, so its presence detects an
-    * in-flight write and the call refuses rather than race it.
-    * Returns (live, removed) counts. */
+    * in-flight (or crashed) write and the call refuses rather than
+    * race it. Returns (live, removed) counts. */
   def vacuum(root: String): (Int, Int) = {
     require(!new File(root, "staging").exists(),
       s"vacuum($root): write in flight (staging/ present) — " +
         "run vacuum only in a maintenance window")
-    val live = committedFiles(root).toSet
+    val live = versions(root)
+      .flatMap(v => committedFiles(root, Some(v))).toSet
     val dataDir = new File(root, "data")
     val all = Option(dataDir.listFiles).getOrElse(Array.empty)
     val orphans = all.filterNot(f => live(f.getName))
     orphans.foreach(_.delete())
     (live.size, orphans.length)
   }
-  /** Data files of the CURRENTLY COMMITTED version (empty if never
-    * committed). */
-  def committedFiles(root: String): Seq[String] = {
-    val m = manifestPath(root)
-    if (!Files.exists(m)) Seq.empty
-    else new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq
+
+  /** Drop all but the newest `keepLast` snapshot manifests (their
+    * data files become vacuum-collectable unless a retained snapshot
+    * still references them). Returns the expired version numbers. */
+  def expireVersions(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "expireVersions: must retain at least the current version")
+    val expired = versions(root).dropRight(keepLast)
+    expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    expired
   }
 }
 
@@ -136,26 +183,35 @@ private[sources] class GraftDocsSinkTable(options: Map[String, String])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       // overwrite == truncate-then-write for an unpartitioned table;
-      // visibility still flips atomically at the manifest write
+      // visibility still flips atomically at the manifest create
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftSinkBatchWrite(root)
+        // queryId is Spark's unique id for THIS write job — the
+        // staging namespace that isolates concurrent writers
+        override def toBatch: BatchWrite =
+          new GraftSinkBatchWrite(root, info.queryId())
       }
     }
 
   // ----------------------------------------------------------------- read
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel: pin the scan to a retained snapshot; default is
+    // the current (highest) version
+    val versionAsOf =
+      Option(o.get("versionAsOf")).orElse(options.get("versionasof"))
+        .map(_.trim.toInt)
     () => new Scan with Batch {
       override def readSchema(): StructType = GraftDocsSink.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         // manifest-gated: uncommitted/orphan staging files are invisible
-        GraftDocsSink.committedFiles(root)
+        GraftDocsSink.committedFiles(root, versionAsOf)
           .map(f => GraftSinkFilePartition(s"$root/data/$f"): InputPartition)
           .toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftSinkReaderFactory
     }
+  }
 }
 
 private[sources] case class GraftSinkFilePartition(path: String)
@@ -186,16 +242,21 @@ private[sources] class GraftSinkReaderFactory extends PartitionReaderFactory {
 private[sources] case class GraftSinkCommitMessage(stagedFile: String)
     extends WriterCommitMessage
 
-private[sources] class GraftSinkBatchWrite(root: String) extends BatchWrite {
+private[sources] class GraftSinkBatchWrite(root: String, jobId: String)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(root)
+    new GraftSinkWriterFactory(root, jobId)
 
   /** Atomic publish: move exactly the staged files the surviving
-    * attempts reported, then flip the manifest. The manifest write is
-    * the commit point — readers either see the old file list or the
-    * complete new one. Orphan staging files (zombie attempts) are
-    * swept, not published. */
+    * attempts reported, then CREATE the next manifest version. The
+    * version create (an atomic hard-link — fails if the name exists)
+    * is the commit point AND the concurrent-writer arbiter: a
+    * committer that loses the race for version n retries at n+1, so
+    * racing jobs serialize into distinct retained snapshots and the
+    * last allocation is "current". Readers either see a complete old
+    * snapshot or the complete new one. Orphan staging files (zombie
+    * attempts of THIS job) are swept, not published. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
@@ -205,33 +266,49 @@ private[sources] class GraftSinkBatchWrite(root: String) extends BatchWrite {
       Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING)
       staged.getFileName.toString
     }
-    // commit point: one atomic manifest replace
-    val tmp = Paths.get(root, "MANIFEST.tmp")
+    val tmp = Paths.get(root, s"MANIFEST.tmp-$jobId")
     Files.write(tmp, published.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, GraftDocsSink.manifestPath(root),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    var v = GraftDocsSink.versions(root).lastOption.getOrElse(0) + 1
+    var committed = false
+    while (!committed) {
+      try {
+        Files.createLink(GraftDocsSink.manifestPath(root, v), tmp)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    Files.delete(tmp)
     sweepStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     sweepStaging() // failed job leaves no partial table
 
+  /** Sweep ONLY this job's staging namespace — a concurrent job's
+    * staged files are its own to commit or abort. The shared parent
+    * dir is removed when this was the last job in flight (delete on a
+    * non-empty dir is a no-op failure). */
   private def sweepStaging(): Unit = {
-    val staging = new File(root, "staging")
-    val fs = staging.listFiles
+    val jobDir = new File(new File(root, "staging"), jobId)
+    val fs = jobDir.listFiles
     if (fs != null) fs.foreach(_.delete())
-    staging.delete(): Unit
+    jobDir.delete()
+    new File(root, "staging").delete(): Unit
   }
 }
 
-private[sources] class GraftSinkWriterFactory(root: String)
+private[sources] class GraftSinkWriterFactory(root: String, jobId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    // (partitionId, taskId)-unique staging file: concurrent attempts
-    // of the same partition never collide
-    val dir = Paths.get(root, "staging")
+    // staging/<jobId>/ namespace isolates concurrent jobs; the
+    // (partitionId, taskId)-unique file name isolates concurrent
+    // attempts within one job; the jobId prefix on the FILE name
+    // keeps published names collision-free in the shared data/ dir
+    // (taskIds restart per job)
+    val dir = Paths.get(root, "staging", jobId)
     Files.createDirectories(dir)
-    val path = dir.resolve(f"part-$partitionId%05d-$taskId.tsv")
+    val path = dir.resolve(f"$jobId%s-part-$partitionId%05d-$taskId.tsv")
     val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
     new DataWriter[InternalRow] {
       override def write(r: InternalRow): Unit = {

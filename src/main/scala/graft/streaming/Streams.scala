@@ -369,13 +369,29 @@ object Streams {
       .select(graft.Core.epochNs(col("ts").cast("timestamp")).cast("double").as("tsn"))
       .stat.approxQuantile("tsn", Array(0.25, 0.5, 0.75), 0.01)
     val cuts = (Double.NegativeInfinity +: bounds.toSeq) :+ Double.PositiveInfinity
-    cuts.sliding(2).foreach { pair =>
+    // The closure rule (end + gap < sliceMax) is only exact if slices
+    // REPLAY in ts order, and the file source orders by modification
+    // time — ms granularity, ties undefined. Encode the order
+    // explicitly: stamp each slice's files with strictly increasing
+    // mod-times (r12 ADVICE; a tie could replay a later slice first
+    // and prematurely close a session).
+    val stamped = scala.collection.mutable.Set[String]()
+    val mtBase = System.currentTimeMillis() - 3600000L
+    cuts.sliding(2).zipWithIndex.foreach { case (pair, sliceIdx) =>
       val (lo, hi) = (pair(0), pair(1))
       // [lo, hi) half-open; finite tsn < +Inf always, so the last
       // slice needs no special case
       val tsn = graft.Core.epochNs(col("ts").cast("timestamp")).cast("double")
       ev0.filter(tsn >= lit(lo) && tsn < lit(hi))
         .coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles().foreach { f =>
+        if (!stamped.contains(f.getName) && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) {
+          require(f.setLastModified(mtBase + sliceIdx * 60000L),
+            s"setLastModified failed for $f")
+          stamped += f.getName
+        }
+      }
     }
     val stateRoot = graft.Core.tempDir("graft-sessnat-state")
     val closedLog = graft.Core.tempDir("graft-sessnat-out")
@@ -427,8 +443,19 @@ object Streams {
     // dir, which logs a spurious FileNotFound WARN per run
     val closedDirs = new java.io.File(closedLog).listFiles()
       .filter(_.isDirectory).map(_.toString).sorted
-    val all = s.read.parquet(closedDirs.toIndexedSeq: _*)
-      .unionByName(s.read.parquet(curState.get))
+    // edge corpora guards (r12 ADVICE): an empty events table carries
+    // no batch (curState stays None), and a single-session corpus may
+    // never close a session (closedDirs empty) — both legs fall back
+    // to an empty frame with the session schema
+    val sessSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("start_ns", LongType),
+      StructField("end_ns", LongType), StructField("n_events", LongType)))
+    def emptySessions = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sessSchema)
+    val closed =
+      if (closedDirs.isEmpty) emptySessions
+      else s.read.parquet(closedDirs.toIndexedSeq: _*)
+    val all = closed.unionByName(curState.fold(emptySessions)(s.read.parquet(_)))
     all
       .withColumn("session_id", row_number()
         .over(Window.partitionBy("user_id").orderBy("start_ns")).cast("long"))

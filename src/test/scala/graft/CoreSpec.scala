@@ -43,4 +43,22 @@ class CoreSpec extends SparkSpec {
     assert(m20.count() == 20)
     Core.releaseCaches()
   }
+
+  test("the registered 12-round BPE train executes through a checkpoint leaf") {
+    // text_bpe_train12 runs DeepBpeRounds = 12 > CkptEvery = 8, so the
+    // production deep-loop path (checkpoint-then-continue) is exercised
+    // by a CORRECTNESS-gated query, not only by this suite's structural
+    // pins: rounds 9–12 must scan the round-8 parquet leaf, which
+    // makes the leaf the state's ONLY input
+    val (c12, m12) = graft.operators.TextAnalysis.bpeLoopN(spark, sf, 12)
+    assert(m12.count() == 12)
+    // the loop caches every round's rewrite, and inputFiles reads the
+    // OPTIMIZED plan — with the caches live, withCachedData swaps an
+    // InMemoryRelation in for the whole chain and no file leaf shows.
+    // Release them first so the plan's real leaves are visible.
+    Core.releaseCaches()
+    assert(c12.inputFiles.nonEmpty &&
+      c12.inputFiles.forall(_.contains("graft-bpe-ckpt")),
+      s"state should read ONLY the checkpoint leaf, got: ${c12.inputFiles.take(3).mkString(", ")}")
+  }
 }

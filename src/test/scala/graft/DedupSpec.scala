@@ -135,7 +135,8 @@ class DedupSpec extends SparkSpec {
       graft.plans.TextHashes.deletionHashes2
     val names = spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
-    val stripped = Dedup.fuzzyCandidates(names, nh)
+    val stripped = Dedup.fuzzyCandidates(names, nh,
+      Dedup.stripBoundsForTest(names, col("c_name")))
       .as[(Long, Long)].collect().toSet
     // unstripped baseline: identical join shape over full-name variants
     val v = names.repartition(col("c_custkey")).select(col("c_custkey"),

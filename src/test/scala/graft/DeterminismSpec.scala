@@ -31,8 +31,12 @@ class DeterminismSpec extends SparkSpec {
     // sf0.1; +1 (r12) admits dedup_repeated_spans, measured 2.0 s at
     // sf0.1 in the SAME round the fuzzy fix cut the whole suite
     // 100.6 → 79.9 s min-of-2 — net budget went DOWN. Raise only
-    // with a measured timing for each admitted query.
-    assert(SparkEntry.benchSet.size <= 73)
+    // with a measured timing for each admitted query. +1 (r13)
+    // admits q9_shape_profit — the one TPC-H plan shape (5-table
+    // two-fact rollup over a computed measure) the partsupp
+    // exclusions left unexercised — measured 1.82 s min-of-2 at
+    // sf0.1.
+    assert(SparkEntry.benchSet.size <= 74)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }
