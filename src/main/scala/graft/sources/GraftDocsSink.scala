@@ -43,7 +43,10 @@ import scala.jdk.CollectionConverters._
   * Snapshots and time travel: every commit lands as a NEW manifest
   * file `MANIFEST-v<n>` and the current table state is the
   * highest-numbered manifest. The version file is created with an
-  * atomic hard-link (create-if-absent) — two concurrent committers
+  * atomic hard-link (create-if-absent; on a cluster the same
+  * primitive is HDFS `create(overwrite=false)` or an object store's
+  * conditional put / If-None-Match — exactly how Delta's log store
+  * serializes commits) — two concurrent committers
   * can never overwrite one another's manifest; the committer that
   * loses the version number simply allocates the next one, so
   * concurrent blind overwrites SERIALIZE (both snapshots are
@@ -105,7 +108,10 @@ object GraftDocsSink {
     b.toString
   }
 
-  private val ManifestRe = "MANIFEST-v(\\d{5})".r
+  // \d{5,}: the %05d pad is a MINIMUM width, so version 100,000
+  // writes 6 digits — an exactly-5 pattern would leave it invisible
+  // to versions() and silently shadow every later snapshot
+  private val ManifestRe = "MANIFEST-v(\\d{5,})".r
 
   def manifestPath(root: String, version: Int): java.nio.file.Path =
     Paths.get(root, f"MANIFEST-v$version%05d")

@@ -81,6 +81,16 @@ class GraftSinkProtocolSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root, "staging")))
   }
 
+  test("version numbers past the 5-digit pad stay visible") {
+    // %05d is a MINIMUM width: version 100000 writes 6 digits, and an
+    // exactly-5-digit listing pattern would silently shadow it (commit
+    // "succeeds", snapshot invisible, reads pin a stale table)
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    Files.write(GraftDocsSink.manifestPath(root, 99999), Array.empty[Byte])
+    Files.write(GraftDocsSink.manifestPath(root, 100000), Array.empty[Byte])
+    assert(GraftDocsSink.versions(root) == Seq(99999, 100000))
+  }
+
   test("time travel: versionAsOf reads an old snapshot while newer commits exist") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     def writeDf(rows: Seq[(Long, String)]): Unit =
