@@ -107,6 +107,57 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Bloom-GATED incremental dedup — the 100 TB refinement of
+    * [[incrementalDedup]]. The plain incremental path anti-joins the
+    * ENTIRE new batch against the corpus hash set; at corpus scale
+    * that shuffle is the whole job. A Bloom filter over the corpus
+    * hashes ([[graft.plans.BloomAgg]], merge = bitwise OR, m/8 bytes
+    * broadcast once) has NO FALSE NEGATIVES, so a "no" admits the row
+    * map-side with no join at all — only the `maybe` subset (true
+    * dups + the deterministic false-positive residue) reaches the
+    * verify semi-join. Admission decisions are EXACT: the bloom only
+    * routes, the join confirms.
+    *
+    * m = 256 bits / k = 2 is sized deliberately small so the
+    * false-positive path is actually exercised and REPORTED
+    * (`n_false_pos` > 0 at sf0.01) — with fixed hash seeds the FPs
+    * are deterministic and the oracle replays the bitset bit-for-bit.
+    * Production sizing is m ≈ 1.44·n·log2(1/p); the plan shape is
+    * identical. Hash = [[graft.Core.polyHash]] of the normalized text
+    * (lower + alnum, the `text_fingerprint` parity scheme).
+    *
+    * The corpus/batch split (doc_id % 3 vs % 2) OVERLAPS by
+    * construction — the re-crawl scenario where a sixth of tonight's
+    * batch was already ingested — so both routing outcomes are
+    * exercised and accounted: true dups confirmed by the semi-join,
+    * false positives surviving it. */
+  def bloomIncremental(s: SparkSession, d: String): DataFrame = {
+    val (m, k) = (256, 2)
+    val h = polyHash(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val corpusH = docs(s, d).filter(col("doc_id") % 3 === 0)
+      .select(h.as("h")).distinct()
+    val bf = corpusH.agg(graft.plans.Sketches.bloomAgg(col("h"), m, k).as("bf"))
+    val flagged = docs(s, d).filter(col("doc_id") % 2 === 0)
+      .groupBy(h.as("h"))
+      .agg(min("doc_id").as("doc_id"), min("source").as("source"))
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe",
+        graft.plans.Sketches.bloomMightContain(col("bf"), col("h"), m, k))
+    val confirmed = flagged.filter(col("maybe"))
+      .join(corpusH, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    flagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("maybe"), lit(1L)).otherwise(lit(0L))).as("n_bloom_maybe"))
+      .join(confirmed, Seq("source"), "left")
+      .select(col("source"), col("n_batch"), col("n_bloom_maybe"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_batch") - coalesce(col("n_dup"), lit(0L))).as("n_admitted"),
+        (col("n_bloom_maybe") - coalesce(col("n_dup"), lit(0L))).as("n_false_pos"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------------
   // Word-shingle MinHash-LSH
   // -------------------------------------------------------------------
@@ -1241,6 +1292,39 @@ object Dedup {
         |  CAST(SUM(n_chars) AS BIGINT) AS admitted_chars
         |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
         |GROUP BY source ORDER BY source""".stripMargin)),
+    // The oracle replays the BITSET: corpus set-bit positions, the
+    // batch's per-seed probes, and maybe = all probes land on set
+    // bits — so the deterministic false-positive count hash-matches,
+    // not just the exact admission counts.
+    Q("dedup_bloom_incremental", bloomIncremental, Some {
+      val hh = oPolyHash("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")
+      s"""WITH ch AS (
+         |  SELECT DISTINCT $hh AS h FROM documents WHERE doc_id % 3 = 0),
+         |bt AS (
+         |  SELECT $hh AS h, min(doc_id) AS doc_id, min(source) AS source
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |seeds(i, a, b) AS (VALUES ${graft.plans.Sketches.oSeedRows(2)}),
+         |setbits AS (
+         |  SELECT DISTINCT ((a * h + b) % ${graft.plans.Sketches.P}) % 256 AS pos
+         |  FROM ch CROSS JOIN seeds),
+         |probe AS (
+         |  SELECT bt.h, bt.source, ((a * bt.h + b) % ${graft.plans.Sketches.P}) % 256 AS pos
+         |  FROM bt CROSS JOIN seeds),
+         |pm AS (
+         |  SELECT p.h, p.source, bool_and(sb.pos IS NOT NULL) AS maybe
+         |  FROM probe p LEFT JOIN setbits sb ON p.pos = sb.pos
+         |  GROUP BY p.h, p.source),
+         |acc AS (
+         |  SELECT source, maybe,
+         |    CASE WHEN h IN (SELECT h FROM ch) THEN 1 ELSE 0 END AS dup
+         |  FROM pm)
+         |SELECT source, COUNT(*) AS n_batch,
+         |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_maybe,
+         |  CAST(SUM(dup) AS BIGINT) AS n_dup,
+         |  CAST(COUNT(*) - SUM(dup) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) - SUM(dup) AS BIGINT) AS n_false_pos
+         |FROM acc GROUP BY source ORDER BY source""".stripMargin
+    }),
     Q("dedup_minhash_lsh", minhashLsh, Some(oJaccardPairs(oWordSets))),
     Q("dedup_jaccard_histogram", jaccardHistogram, Some(
       s"""WITH $oWordSets,

@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Core, Q, Tables}
+import graft.plans.Sketches
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
@@ -167,6 +168,84 @@ object Udaf {
       .filter(col("pos") < 10)
       .select((col("pos") + 1).as("rn"), col("e.word"), col("e.count"))
 
+  /** KMV (k-minimum-values) distinct sketches with set INTERSECTION —
+    * the operation HLL sketches cannot do (HLL unions only; see
+    * [[hllUnionRollup]]). Question: how many customers ordered in
+    * BOTH 1995 and 1996? Each year's sketch is the k = 64 smallest
+    * values of `(a·custkey + b) mod P` ([[graft.plans.MinKHashes]]);
+    * merging keeps the k minima of the union, and the fraction of
+    * those minima present in both input sketches is an unbiased
+    * Jaccard estimate, so `est∩ = ρ̂ · est∪`.
+    *
+    * Unlike the HLL/GK rows, the oracle here does NOT need an
+    * error-band contract: the k minima are a deterministic set
+    * property and every estimate is a fixed integer/IEEE expression,
+    * so DuckDB replays the SKETCH VALUES and the row hash-matches
+    * bit-for-bit — exact counts and approximate estimates side by
+    * side in one row.
+    *
+    * Scale: both sketches ride ONE aggregation over the per-customer
+    * year flags — partial state is 2×64 longs per partition; the
+    * exact columns are the expensive part (a distinct shuffle the
+    * sketch columns would not need). At 100 TB you'd keep only the
+    * sketch columns and drop the exact twins. */
+  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val perCust = Tables(s, d, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("y") === 1995, lit(1)).otherwise(lit(0))).as("in95"),
+        max(when(col("y") === 1996, lit(1)).otherwise(lit(0))).as("in96"))
+    val hc = (lit(Sketches.seedA(40)) * col("o_custkey") + lit(Sketches.seedB(40))) % Sketches.P
+    perCust
+      .agg(
+        sum("in95").as("exact_1995"),
+        sum("in96").as("exact_1996"),
+        sum(col("in95") * col("in96")).as("exact_both"),
+        Sketches.minKHashes(when(col("in95") === 1, hc), k).as("ska"),
+        Sketches.minKHashes(when(col("in96") === 1, hc), k).as("skb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .select(
+        col("exact_1995"), col("exact_1996"), col("exact_both"),
+        Sketches.kmvEstimate(col("ska"), k).as("est_1995"),
+        Sketches.kmvEstimate(col("skb"), k).as("est_1996"),
+        ((size(filter(col("u"), (x: Column) =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("double") / size(col("u")).cast("double")) *
+          Sketches.kmvEstimate(col("u"), k)).as("est_both"))
+  }
+
+  /** Count-Min frequency sketch over the raw token stream
+    * ([[graft.plans.CountMinSketch]], depth 3 × width 16): estimated
+    * counts for the exact top-10 words next to their true counts.
+    * Width 16 is deliberately far below the ~31-word vocabulary so
+    * the sketch runs in its genuinely APPROXIMATE regime — and
+    * because cells are sums under fixed seeds, the overcounts are
+    * DETERMINISTIC: the oracle replays every cell and the estimates
+    * hash-match exactly, `overcount ≥ 0` by construction. (Production
+    * sizing is width = e/ε; the point here is the collision path.)
+    * Complements [[heavyHitters]]: Misra-Gries answers "which keys
+    * are frequent", Count-Min answers "how frequent is THIS key" for
+    * any key, and both shuffle O(state × partitions), never the
+    * token stream. */
+  def countMinWords(s: SparkSession, d: String): DataFrame = {
+    val (depth, width) = (3, 16)
+    val toks = WordCount.cleanTokens(Tables(s, d, "documents"), "text")
+    val h = Core.polyHash(col("word"))
+    val cms = toks.agg(Sketches.countMin(h, lit(1L), depth, width).as("cms"))
+    toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word")).limit(10)
+      .crossJoin(broadcast(cms))
+      .select(col("word"), col("n"),
+        least((0 until depth).map(r =>
+          element_at(col("cms"),
+            lit(r * width) + Sketches.cell(h, r, width).cast("int") + 1)): _*).as("est"))
+      .withColumn("overcount", col("est") - col("n"))
+      .orderBy(desc("n"), col("word"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
@@ -196,5 +275,52 @@ object Udaf {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+    // The oracle replays the SKETCH itself: same hash, same k minima,
+    // same estimator arithmetic (the (k-1)·P numerator is interpolated
+    // as one exact-in-double integer so both engines divide the same
+    // two doubles). COALESCE guards the empty-year edge (DuckDB's
+    // list() over zero rows is NULL where the aggregate's empty buffer
+    // is []).
+    Q("sketch_kmv_intersect", kmvIntersect, Some {
+      val est = (l: String) =>
+        s"CASE WHEN len($l) < 64 THEN CAST(len($l) AS DOUBLE) " +
+          s"ELSE CAST(${63L * Sketches.P} AS DOUBLE) / CAST($l[64] AS DOUBLE) END"
+      s"""WITH per AS (
+         |  SELECT o_custkey,
+         |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in95,
+         |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in96
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         |  GROUP BY o_custkey),
+         |h AS (SELECT in95, in96,
+         |  (${Sketches.seedA(40)} * o_custkey + ${Sketches.seedB(40)}) % ${Sketches.P} AS h
+         |  FROM per),
+         |ska AS (SELECT COALESCE(list_slice(list_sort(list(h)), 1, 64), []) AS l
+         |  FROM h WHERE in95 = 1),
+         |skb AS (SELECT COALESCE(list_slice(list_sort(list(h)), 1, 64), []) AS l
+         |  FROM h WHERE in96 = 1),
+         |u AS (SELECT list_slice(list_sort(list_distinct(list_cat(ska.l, skb.l))), 1, 64) AS l
+         |  FROM ska, skb),
+         |ex AS (SELECT CAST(SUM(in95) AS BIGINT) AS e95, CAST(SUM(in96) AS BIGINT) AS e96,
+         |  CAST(SUM(in95 * in96) AS BIGINT) AS eb FROM per)
+         |SELECT ex.e95 AS exact_1995, ex.e96 AS exact_1996, ex.eb AS exact_both,
+         |  ${est("ska.l")} AS est_1995,
+         |  ${est("skb.l")} AS est_1996,
+         |  (CAST(len(list_filter(u.l, x -> list_contains(ska.l, x) AND list_contains(skb.l, x))) AS DOUBLE)
+         |     / CAST(len(u.l) AS DOUBLE)) * (${est("u.l")}) AS est_both
+         |FROM ex, ska, skb, u""".stripMargin
+    }),
+    Q("sketch_countmin", countMinWords, Some(
+      s"""WITH toks AS (SELECT word FROM (${WordCount.cleanedSql}) WHERE word <> ''),
+         |wc AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+         |wh AS (SELECT word, n, ${graft.Core.oPolyHash("word")} AS h FROM wc),
+         |seeds(r, a, b) AS (VALUES ${Sketches.oSeedRows(3)}),
+         |probe AS (SELECT word, n, r, ((a * h + b) % ${Sketches.P}) % 16 AS cell
+         |  FROM wh CROSS JOIN seeds),
+         |cellsum AS (SELECT r, cell, SUM(n) AS s FROM probe GROUP BY r, cell)
+         |SELECT word, n, CAST(MIN(s) AS BIGINT) AS est,
+         |  CAST(MIN(s) AS BIGINT) - n AS overcount
+         |FROM probe JOIN cellsum USING (r, cell)
+         |GROUP BY word, n
+         |ORDER BY n DESC, word LIMIT 10""".stripMargin)),
   )
 }

@@ -187,5 +187,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PpmDhash].getName, "ppm_dhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PpmDhash(args(0))))
+    // deterministic mergeable summaries ([[Sketches]]): KMV distinct,
+    // Count-Min frequencies, Bloom membership — oracle-replayable
+    // sketch VALUES, O(1)-per-partition shuffle state
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("min_k_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinKHashes].getName, "min_k_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinKHashes(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("count_min"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CountMinSketch].getName, "count_min"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CountMinSketch(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomAgg(args(0), args(1), args(2))))
   }
 }

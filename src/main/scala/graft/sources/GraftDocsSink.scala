@@ -5,6 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -121,6 +122,13 @@ object GraftDocsSink {
     Option(new File(root).list()).getOrElse(Array.empty[String])
       .toSeq.collect { case ManifestRe(n) => n.toInt }.sorted
 
+  /** Raw manifest lines of a snapshot: data-file names plus `#`-prefixed
+    * metadata (the streaming path records `#epoch=<writeId>/<epochId>`
+    * markers there — see [[GraftSinkStreamingWrite]]). */
+  private[sources] def manifestLines(root: String, version: Int): Seq[String] =
+    new String(Files.readAllBytes(manifestPath(root, version)), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+
   /** Data files of a committed snapshot — the given version, or the
     * CURRENT (highest) one. Empty if the table was never committed;
     * an explicitly requested version that is not retained is an
@@ -130,10 +138,33 @@ object GraftDocsSink {
     version.foreach(v => require(have.contains(v),
       s"graft-docs-sink: versionAsOf $v not retained at $root " +
         s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})"))
-    version.orElse(have.lastOption).fold(Seq.empty[String]) { v =>
-      new String(Files.readAllBytes(manifestPath(root, v)), StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).toSeq
+    version.orElse(have.lastOption).fold(Seq.empty[String])(
+      manifestLines(root, _).filterNot(_.startsWith("#")))
+  }
+
+  /** Allocate-and-create the next manifest version atomically (the
+    * hard-link create-if-absent commit point). `lines` is recomputed
+    * on every attempt, so an APPENDING committer that loses the race
+    * rebuilds its manifest on the new current snapshot instead of
+    * resurrecting a stale base (the lost-update hazard two appenders
+    * otherwise have); a blind-overwrite committer just passes a
+    * constant. Returns the version that stuck. */
+  private[sources] def publishManifest(root: String, tmpTag: String)(
+      lines: () => Seq[String]): Int = {
+    var committed = -1
+    while (committed < 0) {
+      val tmp = Paths.get(root, s"MANIFEST.tmp-$tmpTag")
+      Files.write(tmp, lines().mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val v = versions(root).lastOption.getOrElse(0) + 1
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+      Files.delete(tmp)
     }
+    committed
   }
 
   /** Table maintenance: delete data files NOT referenced by ANY
@@ -183,7 +214,7 @@ private[sources] class GraftDocsSinkTable(options: Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
 
   // ---------------------------------------------------------------- write
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -196,6 +227,8 @@ private[sources] class GraftDocsSinkTable(options: Map[String, String])
         // staging namespace that isolates concurrent writers
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(root, info.queryId())
+        override def toStreaming: StreamingWrite =
+          new GraftSinkStreamingWrite(root, info.queryId())
       }
     }
 
@@ -264,57 +297,27 @@ private[sources] class GraftSinkBatchWrite(root: String, jobId: String)
     * snapshot or the complete new one. Orphan staging files (zombie
     * attempts of THIS job) are swept, not published. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dataDir = Paths.get(root, "data")
-    Files.createDirectories(dataDir)
-    val published = messages.map { m =>
-      val staged = Paths.get(m.asInstanceOf[GraftSinkCommitMessage].stagedFile)
-      val target = dataDir.resolve(staged.getFileName)
-      Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING)
-      staged.getFileName.toString
-    }
-    val tmp = Paths.get(root, s"MANIFEST.tmp-$jobId")
-    Files.write(tmp, published.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    var v = GraftDocsSink.versions(root).lastOption.getOrElse(0) + 1
-    var committed = false
-    while (!committed) {
-      try {
-        Files.createLink(GraftDocsSink.manifestPath(root, v), tmp)
-        committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-      }
-    }
-    Files.delete(tmp)
-    sweepStaging()
+    val published = GraftSinkWriters.publishStaged(root, messages)
+    GraftDocsSink.publishManifest(root, jobId)(() => published)
+    GraftSinkWriters.sweep(root, jobId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    sweepStaging() // failed job leaves no partial table
-
-  /** Sweep ONLY this job's staging namespace — a concurrent job's
-    * staged files are its own to commit or abort. The shared parent
-    * dir is removed when this was the last job in flight (delete on a
-    * non-empty dir is a no-op failure). */
-  private def sweepStaging(): Unit = {
-    val jobDir = new File(new File(root, "staging"), jobId)
-    val fs = jobDir.listFiles
-    if (fs != null) fs.foreach(_.delete())
-    jobDir.delete()
-    new File(root, "staging").delete(): Unit
-  }
+    GraftSinkWriters.sweep(root, jobId) // failed job leaves no partial table
 }
 
-private[sources] class GraftSinkWriterFactory(root: String, jobId: String)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    // staging/<jobId>/ namespace isolates concurrent jobs; the
-    // (partitionId, taskId)-unique file name isolates concurrent
-    // attempts within one job; the jobId prefix on the FILE name
-    // keeps published names collision-free in the shared data/ dir
-    // (taskIds restart per job)
-    val dir = Paths.get(root, "staging", jobId)
+private[sources] object GraftSinkWriters {
+  /** One staged TSV writer. `ns` is the staging namespace (jobId for
+    * batch, `<writeId>-e<epochId>` for a streaming epoch) — it
+    * isolates concurrent jobs AND prefixes the file name so published
+    * names stay collision-free in the shared data/ dir; the
+    * (partitionId, taskId)-unique suffix isolates concurrent attempts
+    * within one job (taskIds restart per job, and retries of a
+    * streaming epoch get fresh taskIds). */
+  def staged(root: String, ns: String, partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val dir = Paths.get(root, "staging", ns)
     Files.createDirectories(dir)
-    val path = dir.resolve(f"$jobId%s-part-$partitionId%05d-$taskId.tsv")
+    val path = dir.resolve(f"$ns%s-part-$partitionId%05d-$taskId.tsv")
     val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
     new DataWriter[InternalRow] {
       override def write(r: InternalRow): Unit = {
@@ -329,4 +332,93 @@ private[sources] class GraftSinkWriterFactory(root: String, jobId: String)
       override def close(): Unit = ()
     }
   }
+
+  /** Move the surviving attempts' staged files into data/ and return
+    * their published names. */
+  def publishStaged(root: String, messages: Array[WriterCommitMessage]): Seq[String] = {
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    messages.map { m =>
+      val staged = Paths.get(m.asInstanceOf[GraftSinkCommitMessage].stagedFile)
+      Files.move(staged, dataDir.resolve(staged.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      staged.getFileName.toString
+    }.toSeq
+  }
+
+  /** Sweep ONE staging namespace (a job, or a streaming epoch) — a
+    * concurrent writer's namespace is its own to commit or abort. The
+    * shared parent dir is removed when this was the last namespace in
+    * flight (delete on a non-empty dir is a no-op failure). */
+  def sweep(root: String, ns: String): Unit = {
+    val nsDir = new File(new File(root, "staging"), ns)
+    val fs = nsDir.listFiles
+    if (fs != null) fs.foreach(_.delete())
+    nsDir.delete()
+    new File(root, "staging").delete(): Unit
+  }
+}
+
+private[sources] class GraftSinkWriterFactory(root: String, jobId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    GraftSinkWriters.staged(root, jobId, partitionId, taskId)
+}
+
+/** Structured Streaming write path: one epoch = one micro-batch = one
+  * APPENDED manifest version, with exactly-once semantics across
+  * failure replays.
+  *
+  * The idempotence protocol (the part a real streaming sink must get
+  * right): after a crash BETWEEN a successful epoch commit and the
+  * checkpoint advance, Spark re-runs the micro-batch and re-delivers
+  * `commit(epochId)`. Each committed manifest therefore carries an
+  * `#epoch=<writeId>/<epochId>` marker line, and every append CARRIES
+  * FORWARD the current manifest's markers (the same mechanism as
+  * Delta's SetTransaction appId/version ledger) — a re-delivered
+  * commit finds its marker in the current snapshot, publishes
+  * NOTHING, and just sweeps its re-staged files. Partially-published
+  * files of a commit that crashed before its manifest create are
+  * invisible (manifest-gated readers) and reclaimed by vacuum.
+  *
+  * Appends rebuild on the CURRENT snapshot inside the allocation
+  * retry loop ([[GraftDocsSink.publishManifest]] recomputes lines per
+  * attempt), so a concurrent appender — another query, or a batch
+  * overwrite — can never be lost-updated away. */
+private[sources] class GraftSinkStreamingWrite(root: String, writeId: String)
+    extends StreamingWrite {
+  private def ns(epochId: Long) = s"$writeId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // a dedicated Serializable factory: a SAM lambda here would close
+    // over this (non-serializable) driver-side StreamingWrite
+    new GraftSinkStreamingWriterFactory(root, writeId)
+
+  private def currentLines(): Seq[String] =
+    GraftDocsSink.versions(root).lastOption
+      .fold(Seq.empty[String])(GraftDocsSink.manifestLines(root, _))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = s"#epoch=${ns(epochId)}"
+    if (!currentLines().contains(marker)) {
+      val published = GraftSinkWriters.publishStaged(root, messages)
+      GraftDocsSink.publishManifest(root, ns(epochId)) { () =>
+        val base = currentLines()
+        if (base.contains(marker)) base // raced our own crash-replay twin
+        else base ++ published :+ marker
+      }
+    }
+    GraftSinkWriters.sweep(root, ns(epochId))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkWriters.sweep(root, ns(epochId))
+}
+
+private[sources] class GraftSinkStreamingWriterFactory(root: String, writeId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    GraftSinkWriters.staged(root, s"$writeId-e$epochId", partitionId, taskId)
 }

@@ -1108,6 +1108,46 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming write THROUGH the DSv2 sink SPI
+    * ([[graft.sources.GraftSinkStreamingWrite]]) — not `foreachBatch`:
+    * the documents corpus replays in 4 micro-batches and each epoch
+    * commits as an APPENDED manifest snapshot with an
+    * `#epoch=<writeId>/<epochId>` idempotence marker (re-delivered
+    * epoch commits publish nothing — the exactly-once contract a
+    * production streaming sink must implement; the crash-replay
+    * scenarios are driven through the SPI in GraftSinkProtocolSpec).
+    * The result is read back through the sink's manifest-gated scan
+    * and emitted per-doc with an md5 of the round-tripped text — a
+    * byte-exact proof across the TSV escape/unescape, the epoch
+    * staging protocol, and the append chain; `multi_snapshots` pins
+    * that the table really accreted one retained snapshot per epoch
+    * rather than one bulk commit. */
+  def streamDsv2Sink(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-sinkstream-src")
+    graft.Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val tableDir = graft.Core.tempDir("graft-sinkstream-table")
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .format("graft.sources.GraftDocsSink")
+      .option("path", tableDir)
+      .option("checkpointLocation", graft.Core.tempDir("graft-sinkstream-ckpt"))
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndLog(q, "streamDsv2Sink")
+    val nVersions = graft.sources.GraftDocsSink.versions(tableDir).size
+    s.read.format("graft.sources.GraftDocsSink").option("path", tableDir).load()
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("rt_md5"),
+        lit(nVersions >= 4).as("multi_snapshots"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
@@ -1126,6 +1166,10 @@ object Streams {
     Q("stream_binaryfile_ingest", streamBinaryIngest, Some(
       """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
         |  md5(text || chr(10)) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = false),
+    Q("stream_dsv2_sink", streamDsv2Sink, Some(
+      """SELECT doc_id, md5(text) AS rt_md5, TRUE AS multi_snapshots
         |FROM documents ORDER BY doc_id""".stripMargin),
       headline = false),
     Q("stream_tumbling", streamTumbling, Some(

@@ -107,6 +107,74 @@ class GraftSinkProtocolSpec extends SparkSpec {
     assert(e.getMessage.contains("versionAsOf 7"))
   }
 
+  // --------------------------------------------------- streaming epochs
+
+  private def stageEpoch(root: String, writeId: String, epochId: Long,
+      rows: Seq[(Long, String)]): WriterCommitMessage = {
+    val w = new GraftSinkStreamingWriterFactory(root, writeId)
+      .createWriter(0, System.nanoTime(), epochId)
+    rows.foreach { case (i, t) => w.write(row(i, t)) }
+    w.commit()
+  }
+
+  test("streaming epochs append: one snapshot per epoch, markers carried forward") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sw = new GraftSinkStreamingWrite(root, "q1")
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "e0")))))
+    sw.commit(1L, Array(stageEpoch(root, "q1", 1L, Seq((2L, "e1")))))
+    sw.commit(2L, Array(stageEpoch(root, "q1", 2L, Seq((3L, "e2")))))
+    assert(GraftDocsSink.versions(root) == Seq(1, 2, 3), "one snapshot per epoch")
+    assert(readBack(root) == Set((1L, "e0"), (2L, "e1"), (3L, "e2")), "appends accrete")
+    assert(readBack(root, Some(2)) == Set((1L, "e0"), (2L, "e1")),
+      "epoch history is time-travelable")
+    assert(!Files.exists(Paths.get(root, "staging")))
+  }
+
+  test("streaming epoch re-commit is idempotent (crash between commit and checkpoint)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sw = new GraftSinkStreamingWrite(root, "q1")
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "once")))))
+    // Spark re-runs the micro-batch after recovery: fresh staged files
+    // (new taskId), SAME epoch — the marker in the current manifest
+    // must make this publish nothing
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "once")))))
+    assert(GraftDocsSink.versions(root) == Seq(1), "re-delivered epoch adds no snapshot")
+    assert(readBack(root) == Set((1L, "once")), "no duplicate rows")
+    assert(!Files.exists(Paths.get(root, "staging")), "re-staged files swept")
+    // a LATER epoch still commits normally after the replayed one
+    sw.commit(1L, Array(stageEpoch(root, "q1", 1L, Seq((2L, "next")))))
+    assert(readBack(root) == Set((1L, "once"), (2L, "next")))
+    // ...and markers survive the append chain: replaying epoch 0 AFTER
+    // epoch 1 committed is still a no-op (carried-forward ledger)
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "once")))))
+    assert(GraftDocsSink.versions(root) == Seq(1, 2) &&
+      readBack(root) == Set((1L, "once"), (2L, "next")))
+  }
+
+  test("streaming epoch abort sweeps only its own staging; committed state intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sw = new GraftSinkStreamingWrite(root, "q1")
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "keep")))))
+    val doomed = stageEpoch(root, "q1", 1L, Seq((2L, "discard")))
+    sw.abort(1L, Array(doomed))
+    assert(GraftDocsSink.versions(root) == Seq(1))
+    assert(readBack(root) == Set((1L, "keep")))
+    assert(!Files.exists(Paths.get(root, "staging")))
+  }
+
+  test("streaming append interleaved with a batch overwrite rebuilds on the new base") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sw = new GraftSinkStreamingWrite(root, "q1")
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "stream0")))))
+    // a batch job overwrites the table between two epochs
+    val mb = writeRows(root, "jobB", 0, 1L, Seq((9L, "batch")))
+    new GraftSinkBatchWrite(root, "jobB").commit(Array(mb))
+    // the next epoch appends to the OVERWRITTEN snapshot, not the
+    // stale pre-overwrite one
+    sw.commit(1L, Array(stageEpoch(root, "q1", 1L, Seq((2L, "stream1")))))
+    assert(readBack(root) == Set((9L, "batch"), (2L, "stream1")))
+  }
+
   test("overwrite flips atomically; vacuum honors retained snapshots; expire reclaims") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     def writeDf(rows: Seq[(Long, String)]): Unit =
