@@ -96,6 +96,9 @@ object SparkEntry {
     // O(N·L) radius-1 sibling makes the per-query map itself show the
     // neighborhood-size multiple.
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    // bloom-gated incremental: the broadcast-bitset probe + gated
+    // semi-join plan family (r13)
+    "dedup_bloom_incremental",
     "dedup_clusters", "dedup_containment",
     // repeated-span (ExactSubstr) family: the detector carries the
     // gram shuffle + span folds; clean/keepfirst are its shape twins
@@ -112,8 +115,12 @@ object SparkEntry {
     "dedup_semantic", "search_hybrid_rrf",
     // temporal joins
     "asof_click_purchase", "range_clicks_purchase",
-    // sketches / UDAF
+    // sketches / UDAF — sketch_join_size times the two-full-scan
+    // Count-Min build + cell-product composition (r13); the KMV /
+    // CMS point-query twins share its aggregate family and stay
+    // correctness-only
     "udaf_weighted_disc", "sketch_approx_quantiles", "sketch_hll_union",
+    "sketch_join_size",
     // connectors / maintenance
     "maint_zorder_stats", "maint_table_diff",
     // multimodal

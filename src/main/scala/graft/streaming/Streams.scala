@@ -1108,6 +1108,58 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming KMV distinct-sketch maintenance — the bounded-state
+    * counterpart of `stream_hll_users` that stays INTERSECTION-capable
+    * ([[graft.plans.MinKHashes]]): per event type, state is the k=64
+    * smallest user-id hashes, stored EXPLODED as (type, h) rows
+    * (≤ k·|types| rows total). Each micro-batch unions its own min-k
+    * sketch with the stored rows and re-folds — KMV is a set property,
+    * so the stream-merged sketch equals the batch sketch EXACTLY under
+    * any batch split or redelivery, and the oracle replays the final
+    * sketch values (kth minimum pinned as an integer) plus the
+    * estimator arithmetic bit-for-bit. At 100 TB: state per key group
+    * is k longs, batches shuffle only their own sketch partials. */
+  def streamKmvUsers(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val srcDir = graft.Core.tempDir("graft-kmv-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-kmv-state")
+    @volatile var curState: Option[String] = None
+    val skc = graft.plans.Sketches
+    val h = (lit(skc.seedA(40)) * col("user_id") + lit(skc.seedB(40))) % skc.P
+    def fold(pairs: DataFrame): DataFrame = pairs
+      .groupBy("event_type")
+      .agg(skc.minKHashes(col("h"), k).as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("h"))
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = batch.select(col("event_type"), h.as("h"))
+        val merged = curState match {
+          case None => fold(bp)
+          case Some(p) => fold(s.read.parquet(p).unionByName(bp))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamKmvUsers")
+    s.read.parquet(curState.get)
+      .groupBy("event_type")
+      .agg(skc.minKHashes(col("h"), k).as("sk"))
+      .select(col("event_type"), size(col("sk")).as("n_sketch"),
+        // ANSI element_at ERRORS out of bounds; below-k sketches (tiny
+        // corpora) must yield NULL like the oracle's l[64]
+        when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_min"),
+        skc.kmvEstimate(col("sk"), k).as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Streaming write THROUGH the DSv2 sink SPI
     * ([[graft.sources.GraftSinkStreamingWrite]]) — not `foreachBatch`:
     * the documents corpus replays in 4 micro-batches and each epoch
@@ -1172,6 +1224,20 @@ object Streams {
       """SELECT doc_id, md5(text) AS rt_md5, TRUE AS multi_snapshots
         |FROM documents ORDER BY doc_id""".stripMargin),
       headline = false),
+    Q("stream_kmv_users", streamKmvUsers, Some {
+      val skc = graft.plans.Sketches
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (${skc.seedA(40)} * user_id + ${skc.seedB(40)}) % ${skc.P} AS h
+         |  FROM events),
+         |sk AS (
+         |  SELECT event_type, COALESCE(list_slice(list_sort(list(h)), 1, 64), []) AS l
+         |  FROM h GROUP BY event_type)
+         |SELECT event_type, CAST(len(l) AS INTEGER) AS n_sketch, l[64] AS kth_min,
+         |  CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+         |       ELSE CAST(${63L * skc.P} AS DOUBLE) / CAST(l[64] AS DOUBLE) END AS est_users
+         |FROM sk ORDER BY event_type""".stripMargin
+    }),
     Q("stream_tumbling", streamTumbling, Some(
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value

@@ -35,8 +35,11 @@ class DeterminismSpec extends SparkSpec {
     // admits q9_shape_profit — the one TPC-H plan shape (5-table
     // two-fact rollup over a computed measure) the partsupp
     // exclusions left unexercised — measured 1.82 s min-of-2 at
-    // sf0.1.
-    assert(SparkEntry.benchSet.size <= 74)
+    // sf0.1. +2 (r13) admit dedup_bloom_incremental (broadcast
+    // bitset probe + gated semi-join, measured 1.24 s min-of-2 at
+    // sf0.1) and sketch_join_size (two-scan Count-Min build +
+    // cell-product composition, measured 0.85 s min-of-2 at sf0.1).
+    assert(SparkEntry.benchSet.size <= 76)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }
