@@ -812,6 +812,68 @@ object Dedup {
   def fuzzyNames2(s: SparkSession, d: String): DataFrame =
     fuzzyCounts(s, d, graft.plans.TextHashes.deletionHashes2, 2)
 
+  /** Sorted-neighborhood ER blocking, audited against the complete
+    * FastSS truth — the OTHER classic blocking family next to the
+    * deletion-hash index: sort records by a normalized key, compare
+    * only records within a rank window w. One method audits the
+    * other: FastSS is provably complete for ed ≤ 1, so the window
+    * method's measured recall (here the window misses pairs whose
+    * cores sort > w apart — e.g. a typo in the FIRST core character)
+    * is an exact, deterministic number, not an estimate.
+    *
+    * Scale spelling (the part that usually goes wrong): NO
+    * single-partition global window. Global ranks come from the
+    * two-phase range-partition offsets (the `pipeline_global_ids`
+    * pattern — per-partition row_number + broadcast cumulative
+    * counts), and "within w ranks" pairs come from a BUCKET
+    * equi-join: bucket = rank div w, probe side replicated to
+    * (bucket, bucket−1), residual filter 0 < rb−ra < w. Candidates
+    * are O(N·w) rows through one shuffle — never a rank-range theta
+    * join. Sort key = the dataset-global affix-stripped core (the
+    * strip is what makes identifier-like keys discriminative AND is
+    * levenshtein-invariant, so both methods see the same edit
+    * space). */
+  def erSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val w = 10
+    val names = cached(
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
+    val strip = customerStrip(s, d)
+    val keyed = names.select(
+      col("c_custkey").as("k"), applyStrip(col("c_name"), strip).as("core"))
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = cached(keyed.repartitionByRange(32, col("core"), col("k"))
+      .withColumn("pid", spark_partition_id()))
+    val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val ranked = cached(parts
+      .withColumn("local",
+        row_number().over(W.partitionBy("pid").orderBy("core", "k")))
+      .join(broadcast(offsets), "pid")
+      .select(col("k"), col("core"), (col("off") + col("local") - 1).as("r")))
+    val aSide = ranked.select(col("k").as("ka"), col("core").as("core_a"),
+      col("r").as("ra"), expr(s"r div $w").as("bk"))
+    val bSide = ranked.select(col("k").as("kb"), col("core").as("core_b"),
+      col("r").as("rb"), expr(s"r div $w").as("b0"))
+      .select(col("kb"), col("core_b"), col("rb"),
+        explode(array(col("b0"), col("b0") - 1)).as("bk"))
+    val cand = cached(aSide.join(bSide, "bk")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") < w))
+    val snPairs = cand.filter(levenshtein(col("core_a"), col("core_b"), 1) =!= -1)
+    val truth =
+      fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1, strip)
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(snPairs.agg(count(lit(1)).as("n_sn_pairs")))
+      .select(col("n_true_pairs"), col("n_candidates"), col("n_sn_pairs"),
+        (col("n_true_pairs") - col("n_sn_pairs")).as("n_missed"),
+        when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(col("n_sn_pairs").cast("double") /
+            col("n_true_pairs").cast("double")).as("recall"))
+  }
+
   /** Batch membership predicate for the incremental fuzzy-match
     * fixture: every 20th customer is "tonight's ingest batch", the
     * rest are the standing corpus. */
@@ -1482,6 +1544,40 @@ object Dedup {
         |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
         |  c_acctbal AS golden_acctbal
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    // oracle replays the strip constants (LCP of lexmin/lexmax, and
+    // of the reversed pair, capped to the shortest string), the
+    // global rank, the w=10 window, and the all-pairs truth
+    Q("er_sorted_neighborhood", erSortedNeighborhood, Some(
+      """WITH nm AS (SELECT c_custkey, c_name FROM customer),
+        |b AS (SELECT min(c_name) AS mn, max(c_name) AS mx,
+        |             min(reverse(c_name)) AS rn, max(reverse(c_name)) AS rx,
+        |             min(strlen(c_name)) AS ml FROM nm),
+        |pre AS (SELECT COALESCE(max(i), 0) AS p
+        |  FROM generate_series(1, 1000) g(i), b
+        |  WHERE i <= b.ml
+        |    AND substr(b.mn, 1, CAST(i AS INTEGER)) = substr(b.mx, 1, CAST(i AS INTEGER))),
+        |sufx AS (SELECT COALESCE(max(i), 0) AS sl
+        |  FROM generate_series(1, 1000) g(i), b
+        |  WHERE i <= b.ml
+        |    AND substr(b.rn, 1, CAST(i AS INTEGER)) = substr(b.rx, 1, CAST(i AS INTEGER))),
+        |bounds AS (SELECT pre.p AS pre,
+        |  least(sufx.sl, greatest(0, b.ml - pre.p)) AS suf FROM pre, sufx, b),
+        |cores AS (SELECT c_custkey AS k,
+        |  substr(c_name, CAST(pre + 1 AS INTEGER),
+        |         CAST(strlen(c_name) - pre - suf AS INTEGER)) AS core
+        |  FROM nm, bounds),
+        |rk AS (SELECT k, core, ROW_NUMBER() OVER (ORDER BY core, k) - 1 AS r FROM cores),
+        |cand AS (SELECT a.core AS ca, b.core AS cb
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r - a.r < 10),
+        |truth AS (SELECT 1 AS x FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT t.n AS n_true_pairs, c.n AS n_candidates, sp.n AS n_sn_pairs,
+        |  t.n - sp.n AS n_missed,
+        |  CASE WHEN t.n = 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE CAST(sp.n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS recall
+        |FROM (SELECT COUNT(*) AS n FROM truth) t,
+        |     (SELECT COUNT(*) AS n FROM cand) c,
+        |     (SELECT COUNT(*) AS n FROM cand WHERE levenshtein(ca, cb) <= 1) sp""".stripMargin)),
     Q("dedup_cluster_sizes", clusterSizeHistogram, Some(
       s"""WITH RECURSIVE $oClusterChain,
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size

@@ -663,6 +663,47 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental aggregate maintenance under RETRACTIONS — the CDC
+    * half [[incrementalRollup]] doesn't cover: the change feed
+    * carries DELETEs as well as inserts, and the materialized rollup
+    * is repaired, never recomputed. Signed-weight folding is the
+    * whole trick: each change row carries op = ±1 and contributes
+    * (op, op·measure) to the same re-aggregatable (count, sum)
+    * state, so a delete is just a negative partial and the merge is
+    * the identical full-outer + coalesced combine. Works for any
+    * group the deletes can empty (a count repaired to 0 simply
+    * stays as a zero row — distinguishable, and prunable downstream).
+    * Feed fixture: base = even event_ids, deletes retract the
+    * multiples of 4, inserts add the odd ids — so the maintained
+    * state must land exactly on the direct aggregate of
+    * `event_id % 4 <> 0`. Exactness: the measure folds in integer
+    * CENTS (the `stream_user_stats` scheme), so negative partials
+    * cancel bit-for-bit. */
+  def retractRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables(s, d, "events")
+    val cents =
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    def rollup(df: DataFrame, n: String, t: String) = df
+      .groupBy("event_type")
+      .agg(sum(col("op")).as(n), sum(col("op") * cents).as(t))
+    val base = rollup(
+      ev.filter(col("event_id") % 2 === 0).withColumn("op", lit(1L)),
+      "n0", "t0")
+    val changes =
+      ev.filter(col("event_id") % 4 === 0).withColumn("op", lit(-1L))
+        .unionByName(
+          ev.filter(col("event_id") % 2 === 1).withColumn("op", lit(1L)))
+    val delta = rollup(changes, "n1", "t1")
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_events"),
+        (coalesce(col("t0"), lit(0L)) + coalesce(col("t1"), lit(0L))).as("sum_cents"))
+      // groups the retractions emptied are pruned, matching the
+      // direct aggregate (which never sees them)
+      .filter(col("n_events") > 0)
+      .orderBy("event_type")
+  }
+
   /** Explicit GROUPING SETS through the SQL surface: per-flag,
     * per-status, and grand-total rows in one pass. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
@@ -1071,6 +1112,13 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    // oracle = the direct aggregate of the post-change set (base
+    // minus deletes plus inserts collapses to event_id % 4 <> 0)
+    Q("agg_incremental_retract", retractRollup, Some(
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id % 4 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q18_large_orders", largeOrders, Some(
       s"""WITH big AS (
          |  SELECT l_orderkey, ${oDsum("l_quantity")} AS total_qty
