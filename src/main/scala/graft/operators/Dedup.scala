@@ -1094,6 +1094,88 @@ object Dedup {
       .orderBy("c_nationkey")
   }
 
+  /** Number of peel rounds the `graph_kcore` ORACLE unrolls; the
+    * engine stops early at the fixpoint (peeling a converged state is
+    * the identity, so parity holds round-for-round), and DedupSpec
+    * pins that the peel CONVERGES within this budget on the driver
+    * graph — upgrading the replayed state to the true k-core rather
+    * than a prefix of the peeling. */
+  private[graft] val KcoreRounds = 6
+
+  /** One k-core peel to fixpoint (or `maxRounds`). Every round's
+    * surviving edge set is CHECKPOINTED to a parquet leaf before the
+    * next round plans against it — same load-bearing lineage cut as
+    * [[connectedComponents]]: each round references the live edges
+    * three times (two degree projections + the semi-join base), so
+    * under plain caching the analyzed tree grows ~3× per round and
+    * Catalyst analysis diverges (measured this round: 6 lazily-nested
+    * peels on the sf0.01 ER graph did not finish in 7 minutes;
+    * checkpointed rounds run in seconds). The per-round `count`
+    * doubles as the convergence test and the driver never holds rows.
+    *
+    * @return (surviving edges as a parquet-leaf frame, rounds run —
+    *          counting the final no-op round that proved the fixpoint) */
+  private[operators] def kcorePeel(
+      edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    val s = edges.sparkSession
+    val ckpt = graft.Core.tempDir("graft-kcore")
+    edges.write.mode("overwrite").parquet(s"$ckpt/r0")
+    var live = s.read.parquet(s"$ckpt/r0")
+    var n = live.count()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      r += 1
+      val deg = live.select(col("a").as("v"))
+        .unionAll(live.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("v")
+      live.join(keep.toDF("a"), Seq("a"), "left_semi")
+        .join(keep.toDF("b"), Seq("b"), "left_semi")
+        .write.mode("overwrite").parquet(s"$ckpt/r$r")
+      live = s.read.parquet(s"$ckpt/r$r")
+      val n2 = live.count()
+      converged = n2 == n
+      n = n2
+    }
+    // diagnostic parity with the [cc] log: separates more-rounds from
+    // slower-rounds when bench numbers drift
+    System.err.println(s"[kcore] peel rounds=$r edges=$n")
+    (live, r)
+  }
+
+  /** k-core decomposition (k = 3) of the ER match graph — the third
+    * structural diagnostic after [[triangles]] and the CC family: the
+    * maximal subgraph where every member has ≥ k verified fuzzy
+    * twins. A record inside the 3-core is a near-certain duplicate
+    * (mutually corroborated by three neighbors that corroborate each
+    * other); a degree-1 bridge that peeling removes is exactly the
+    * suspect link transitive closure would have merged anyway.
+    *
+    * Execution: iterative PEELING ([[kcorePeel]]) — per round one
+    * symmetrized degree aggregate over the live edges and two
+    * semi-joins dropping edges with a sub-k endpoint, each round
+    * planning against the previous round's parquet leaf. The oracle
+    * replays exactly [[KcoreRounds]] unrolled rounds; the engine's
+    * early fixpoint stop is semantics-identical because peeling a
+    * converged state removes nothing. Scale: each round shuffles
+    * vertex degrees (≤ |V| rows) and semi-join keys — never
+    * neighborhoods; rounds needed = peel depth, typically O(log) on
+    * near-dup graphs whose cores are cliques. */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val (live, _) =
+      kcorePeel(erEdges(cust, customerStrip(s, d)), 3, KcoreRounds)
+    val coreV = live.select(col("a").as("v"), col("nation"))
+      .unionAll(live.select(col("b").as("v"), col("nation"))).distinct()
+    coreV.groupBy("nation").agg(count(lit(1)).as("n_core_vertices"))
+      .join(live.groupBy("nation").agg(count(lit(1)).as("n_core_edges")), "nation")
+      .select(col("nation").as("c_nationkey"),
+        col("n_core_vertices"), col("n_core_edges"))
+      .orderBy("c_nationkey")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -1591,6 +1673,38 @@ object Dedup {
          |UNION ALL
          |SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
          |ORDER BY cluster_size""".stripMargin)),
+    // oracle: the same KcoreRounds peel rounds unrolled as CTEs over
+    // the all-pairs edge set; DedupSpec pins convergence by round
+    // KcoreRounds so the replayed state is the true 3-core. Every
+    // round CTE is MATERIALIZED — each references its predecessor ~5
+    // times, and DuckDB's default inlining makes the expanded tree
+    // (hence parquet file-handle count) grow 5^rounds, the exact
+    // exponential the engine's per-round parquet checkpoint cuts
+    Q("graph_kcore", kcore, Some {
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (
+           |  SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) q$r
+           |  GROUP BY v),
+           |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE dg >= 3),
+           |e$r AS MATERIALIZED (SELECT e.* FROM e${r - 1} e
+           |  JOIN k$r x ON e.a = x.v JOIN k$r y ON e.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b, a.c_nationkey AS nation
+         |  FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |    AND a.c_nationkey = b.c_nationkey
+         |    AND levenshtein(a.c_name, b.c_name) <= 1),
+         |$rounds,
+         |cv AS (SELECT DISTINCT v, nation FROM (
+         |  SELECT a AS v, nation FROM e$KcoreRounds
+         |  UNION ALL SELECT b, nation FROM e$KcoreRounds) qv)
+         |SELECT v.nation AS c_nationkey, v.n AS n_core_vertices, e.n AS n_core_edges
+         |FROM (SELECT nation, COUNT(*) AS n FROM cv GROUP BY nation) v
+         |JOIN (SELECT nation, COUNT(*) AS n FROM e$KcoreRounds GROUP BY nation) e
+         |  USING (nation)
+         |ORDER BY c_nationkey""".stripMargin
+    }),
     // oracle: the naive a<b<c triple self-join (correct at oracle
     // size; the engine's degree orientation exists for the celebrity
     // -vertex fan-out the naive join cannot survive)

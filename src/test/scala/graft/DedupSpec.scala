@@ -222,6 +222,57 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.sum > 0) // the corpus actually has triangles
   }
 
+  test("3-core matches the brute-force peel and converges within the round budget") {
+    import org.apache.spark.sql.functions._
+    // sf0.01, not the usual sf0.001: the tiny graph's 3-core is EMPTY
+    // (every vertex peels away), which would pass vacuously
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Dedup.kcore(spark, sf01)
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val cust = spark.read.parquet(s"$sf01/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .as[(Long, String, Int)].collect().toSeq
+    def lev1(a: String, b: String): Boolean =
+      if (a == b) true
+      else if (a.length == b.length) a.zip(b).count { case (x, y) => x != y } == 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        if (l.length - s.length != 1) false
+        else {
+          var i = 0
+          while (i < s.length && s(i) == l(i)) i += 1
+          s.substring(i) == l.substring(i + 1)
+        }
+      }
+    val nationOf = cust.map(c => c._1 -> c._3).toMap
+    var edges = (for {
+      a <- cust; b <- cust
+      if a._1 < b._1 && a._3 == b._3 && lev1(a._2, b._2)
+    } yield (a._1, b._1)).toSet
+    // local peel to fixpoint, counting rounds that removed something
+    var peels = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+      val next = edges.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      changed = next != edges
+      if (changed) peels += 1
+      edges = next
+    }
+    // the oracle's fixed unroll must cover the peel depth PLUS the
+    // engine's fixpoint-proving no-op round, else the replayed state
+    // is a prefix of the peeling, not the core
+    assert(peels + 1 <= Dedup.KcoreRounds,
+      s"peel depth $peels outgrew the KcoreRounds=${Dedup.KcoreRounds} budget")
+    val expected = edges.groupBy(e => nationOf(e._1)).map { case (n, es) =>
+      n -> ((es.flatMap(e => Seq(e._1, e._2)).size.toLong, es.size.toLong))
+    }
+    assert(rows == expected)
+    assert(rows.nonEmpty) // the corpus actually has a 3-core
+  }
+
   test("duplicate clusters: pairs collapse transitively, label = min member") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
