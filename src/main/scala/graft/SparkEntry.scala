@@ -123,6 +123,10 @@ object SparkEntry {
     "sketch_join_size",
     // connectors / maintenance
     "maint_zorder_stats", "maint_table_diff",
+    // data-quality: the wide exact-decimal moment aggregate (r13) —
+    // one scan, 15 decimal(38,0) sums, correlations derived in the
+    // final projection; no other benched query times this family
+    "quality_corr_matrix",
     // multimodal
     "multimodal_features",
     // pipeline

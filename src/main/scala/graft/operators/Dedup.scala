@@ -76,6 +76,43 @@ object Dedup {
       .select("content_md5", "canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** Unicode-robust dedup keys: byte-level hashing splits logically
+    * identical texts spelled with precomposed (U+00E9) vs decomposed
+    * (e + combining U+0301) sequences — scraped corpora mix both, and
+    * every tokenizer pipeline NFC-normalizes before hashing for
+    * exactly this reason — the same page fetched through two pipelines
+    * that encode differently must collapse to one key. The driver
+    * corpus is ASCII with no cross-encoding twins, so the query
+    * MODELS the two-pipeline ingest: each document emits BOTH
+    * spellings of a "café"-suffixed text — byte-distinct,
+    * NFC-identical, both engines construct them identically. The
+    * per-source gap between raw keys (2 per doc) and NFC keys (1 per
+    * doc) is the measured value of normalizing, and the char sums
+    * show composition shortening the decomposed rows.
+    *
+    * Normalization runs in the codegen'd [[graft.plans.NfcNormalize]]
+    * expression (named after DuckDB's identical built-in, UAX #15 on
+    * both sides); `isNormalized` fast-paths already-NFC rows, so at
+    * 100 TB the overwhelmingly-ASCII common row pays one scan and
+    * zero copies. The shuffle carries only (source) — per-doc keys
+    * collapse in the partial aggregate. */
+  def unicodeNfcDedup(s: SparkSession, d: String): DataFrame = {
+    val two = array(
+      concat(col("text"), lit(" caf\u00e9")),  // precomposed
+      concat(col("text"), lit(" cafe\u0301"))) // e + combining acute
+    docs(s, d)
+      .select(col("source"), explode(two).as("t"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("t")).as("n_raw_keys"),
+        countDistinct(graft.plans.TextHashes.nfcNormalize(col("t")))
+          .as("n_nfc_keys"),
+        sum(length(col("t"))).as("chars_raw"),
+        sum(length(graft.plans.TextHashes.nfcNormalize(col("t"))))
+          .as("chars_nfc"))
+      .orderBy("source")
+  }
+
   /** Incremental (batch-vs-corpus) dedup: the nightly-ingest shape —
     * an existing corpus (here `source = 'src0'`) is already deduped;
     * a new batch (every other source) must admit only content that is
@@ -1425,6 +1462,20 @@ object Dedup {
     Q("dedup_exact", exactDedup, Some(
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)),
+    // oracle: identical construction + DuckDB's own nfc_normalize —
+    // same UAX #15 algorithm both sides; sums cast (DuckDB integer
+    // SUM widens to HUGEINT, the driver hash is dtype-sensitive)
+    Q("dedup_unicode_nfc", unicodeNfcDedup, Some(
+      """WITH m AS (
+        |  SELECT source, unnest([text || ' caf' || chr(233),
+        |                         text || ' cafe' || chr(769)]) AS t
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT t) AS n_raw_keys,
+        |  COUNT(DISTINCT nfc_normalize(t)) AS n_nfc_keys,
+        |  CAST(SUM(length(t)) AS BIGINT) AS chars_raw,
+        |  CAST(SUM(length(nfc_normalize(t))) AS BIGINT) AS chars_nfc
+        |FROM m GROUP BY source ORDER BY source""".stripMargin)),
     Q("dedup_incremental", incrementalDedup, Some(
       """WITH corpus AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'),

@@ -97,7 +97,82 @@ object Quality {
       .orderBy("key_name")
   }
 
+  /** Numeric-measure columns [[corrMatrix]] profiles; all have ≤ 2
+    * decimal places in the driver data, so cents-quantization is
+    * exact. */
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation MATRIX over lineitem's numeric measures —
+    * the numeric half of a data profile (the column profiler sees
+    * per-column stats; correlation is the cheapest cross-column
+    * signal a feature-selection / anomaly pass reads). Spark's
+    * `corr()` aggregates doubles in partition order, so its result is
+    * not reproducible across partitionings, let alone engines; here
+    * every moment is EXACT: measures quantize to integer cents
+    * (`round(x*100)` — both engines round the identical IEEE
+    * product, and all four columns carry ≤ 2 decimals), per-row
+    * products fit in long, and sums accumulate in decimal(38,0)
+    * (HUGEINT in the oracle). The r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)
+    * · √(n·Σy²−(Σy)²)) formula then runs on exact integers with ONE
+    * cast-to-double + sqrt per term, spelled identically in both
+    * engines — bit-for-bit reproducible.
+    *
+    * Scale: ONE scan, one map-side-partial 1-row aggregate carrying
+    * n + k sums + k(k+1)/2 product sums (15 longs/decimals for k=4);
+    * the k(k−1)/2 correlations derive from shared moments in the
+    * final projection. At 100 TB (6e11 rows) the largest moment
+    * n·Σprice² ≈ 4e37 still fits decimal(38,0) — headroom quantified,
+    * not assumed. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val k = CorrCols.length
+    val dec = DecimalType(38, 0)
+    val q = Tables(s, d, "lineitem")
+      .select(CorrCols.map(c => round(col(c) * 100).cast("long").as(c)): _*)
+    val aggs = count(lit(1)).cast(dec).as("n") +:
+      (CorrCols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+        (for { i <- 0 until k; j <- i until k } yield
+          sum((col(CorrCols(i)) * col(CorrCols(j))).cast(dec)).as(s"p_${i}_$j")))
+    val m = q.agg(aggs.head, aggs.tail: _*)
+    def varTerm(i: Int) =
+      (col("n") * col(s"p_${i}_$i") -
+        col(s"s_${CorrCols(i)}") * col(s"s_${CorrCols(i)}")).cast("double")
+    def corrOf(i: Int, j: Int) =
+      (col("n") * col(s"p_${i}_$j") -
+        col(s"s_${CorrCols(i)}") * col(s"s_${CorrCols(j)}")).cast("double") /
+        (sqrt(varTerm(i)) * sqrt(varTerm(j)))
+    val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield
+      struct(lit(CorrCols(i)).as("col_a"), lit(CorrCols(j)).as("col_b"),
+        corrOf(i, j).as("pearson_r"))
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+      .orderBy("col_a", "col_b")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: identical cents-quantization + HUGEINT moments + the
+    // same double-cast/sqrt spelling, so r matches bit-for-bit
+    Q("quality_corr_matrix", corrMatrix, Some {
+      val k = CorrCols.length
+      val qCols = CorrCols.zipWithIndex
+        .map { case (c, i) => s"CAST(round($c*100) AS BIGINT) AS c$i" }
+        .mkString(", ")
+      val sums = (0 until k)
+        .map(i => s"SUM(CAST(c$i AS HUGEINT)) AS s$i").mkString(", ")
+      val prods = (for { i <- 0 until k; j <- i until k }
+        yield s"SUM(CAST(c$i AS HUGEINT)*c$j) AS p${i}_$j").mkString(", ")
+      val rows = (for { i <- 0 until k; j <- (i + 1) until k } yield
+        s"SELECT '${CorrCols(i)}' AS col_a, '${CorrCols(j)}' AS col_b, " +
+          s"CAST(n*p${i}_$j - s$i*s$j AS DOUBLE) / " +
+          s"(sqrt(CAST(n*p${i}_$i - s$i*s$i AS DOUBLE)) * " +
+          s"sqrt(CAST(n*p${j}_$j - s$j*s$j AS DOUBLE))) AS pearson_r FROM m")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT $qCols FROM lineitem),
+         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, $sums, $prods FROM q)
+         |$rows
+         |ORDER BY col_a, col_b""".stripMargin
+    }),
     Q("quality_key_skew", keySkew, Some(
       """WITH stats AS (
         |  SELECT 'events.user_id' AS key_name, user_id AS k, COUNT(*) AS m

@@ -880,10 +880,63 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Market-basket pair mining with lift — the frequent-itemset
+    * report (parts bought together more often than chance) behind
+    * recommendation and assortment analytics. Support counting is
+    * the A-priori level-2 pass: distinct (order, part) items
+    * self-join ON THE ORDER KEY with `pa < pb`, so fan-out per order
+    * is C(basket, 2) — bounded by basket size (≤ 7 lineitems in
+    * TPC-H-shaped data), never by item popularity: a part in a
+    * million orders contributes a million×(basket−1) pairs, not a
+    * million², because pairing is within-order only. Lift =
+    * P(ab)/(P(a)P(b)) = n_ab·N / (n_a·n_b): exact longs until ONE
+    * double division, so the oracle matches bit-for-bit. Shuffles
+    * carry (order) then (pa, pb) keys; per-part supports join back
+    * onto the pair table as plain equi-joins (part-cardinality — AQE
+    * broadcasts them at small SF, shuffles at catalog scale; only
+    * the 1-row order total is an explicit broadcast). Support
+    * threshold ≥ 3 keeps the report the size a human reads. */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val items = cached(li(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct())
+    val nOrders = items.select(countDistinct(col("o")).as("n_total"))
+    val partN = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val pairs = items.toDF("o", "pa").join(items.toDF("o", "pb"), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(partN.toDF("pa", "n_a"), "pa")
+      .join(partN.toDF("pb", "n_b"), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val queries: Seq[Q] = Seq(
+    // oracle: the same within-order self-join + exact-integer lift
+    Q("basket_lift", basketLift, Some(
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT o) AS n_total FROM items),
+        |pn AS (SELECT p, COUNT(*) AS np FROM items GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
+        |SELECT part_a, part_b, n_ab, na.np AS n_a, nb.np AS n_b,
+        |  CAST(n_ab * n_total AS DOUBLE) / CAST(na.np * nb.np AS DOUBLE) AS lift
+        |FROM pairs
+        |  JOIN pn na ON na.p = part_a
+        |  JOIN pn nb ON nb.p = part_b
+        |  CROSS JOIN tot
+        |ORDER BY part_a, part_b""".stripMargin)),
     Q("q1_pricing", pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
          |  ${oDsum("l_quantity")} AS sum_qty,

@@ -163,6 +163,58 @@ object TrainingFilters {
   }
 
   // -------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme)
+  // -------------------------------------------------------------------
+
+  private val WinK = 4 // winnowing gram width in tokens
+  private val WinW = 5 // winnowing window: grams per selection window
+
+  /** Winnowing fingerprint report — the MOSS document-fingerprint
+    * scheme: hash every [[WinK]]-token gram, slide a [[WinW]]-gram
+    * window, keep each window's MINIMUM gram hash. The selection
+    * GUARANTEE (the reason winnowing beats "every j-th gram"
+    * sampling): any token run of ≥ WinK+WinW−1 tokens shared by two
+    * documents spans a full window in both, and the window's minimum
+    * is a property of the shared content alone — so the two documents
+    * MUST share that fingerprint. Density is ~2/(WinW+1) of grams
+    * instead of all of them; the guarantee is spec-pinned on planted
+    * near-dup docs and the report carries the measured density.
+    *
+    * Per doc: n_grams, selected fingerprints (distinct), and how many
+    * of them occur in ≥ 2 documents (the cross-doc overlap signal a
+    * plagiarism/boilerplate pass reads). Scale: gram hashing and
+    * window minima are map-side array folds (no string building —
+    * token hashes fold in integers exactly like [[tokenShingles]]);
+    * the only shuffles carry (fingerprint) and (doc_id) keys. Ties in
+    * a window pick the same hash VALUE regardless of position, so the
+    * distinct fingerprint set is position-independent — no
+    * rightmost-tie bookkeeping is needed for set semantics. */
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    val minTok = WinK + WinW - 1
+    val f = cached(docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= minTok)
+      .withColumn("th", transform(col("t"), tk => polyHash(tk)))
+      .withColumn("g",
+        transform(sequence(lit(1), size(col("th")) - (WinK - 1)), i =>
+          aggregate(slice(col("th"), i, lit(WinK)), lit(0L),
+            (acc, x) => (acc * M + x) % P)))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        array_distinct(
+          transform(sequence(lit(1), size(col("g")) - (WinW - 1)), j =>
+            array_min(slice(col("g"), j, lit(WinW))))).as("fps")))
+    val e = f.select(col("doc_id"), col("n_grams"), explode(col("fps")).as("h"))
+    val nd = e.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    e.join(nd, "h")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fps"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"), col("n_shared"),
+        (col("n_fps").cast("double") / col("n_grams")).as("fp_density"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // Unigram-model frequency scoring (perplexity stand-in)
   // -------------------------------------------------------------------
 
@@ -324,6 +376,25 @@ object TrainingFilters {
          |SELECT doc_id, COUNT(*) AS n_shingles,
          |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
          |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+         |FROM e JOIN nd USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // oracle: same token-hash fold, gram fold, window list_min and
+    // cross-doc join — integer-exact end to end
+    Q("filter_winnowing", winnowing, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+         |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |       FROM t WHERE len(tok) >= ${WinK + WinW - 1}),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, len(th) - ${WinK - 1}),
+         |       i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${WinK - 1}]),
+         |            (a, b) -> (a * $M + b) % $P)) AS g FROM th),
+         |f AS (SELECT doc_id, len(g) AS n_grams,
+         |       list_distinct(list_transform(generate_series(1, len(g) - ${WinW - 1}),
+         |        j -> list_min(g[j:j+${WinW - 1}]))) AS fps FROM g),
+         |e AS (SELECT doc_id, n_grams, unnest(fps) AS h FROM f),
+         |nd AS (SELECT h, COUNT(*) AS ndocs FROM e GROUP BY h)
+         |SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(*) AS n_fps,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(COUNT(*) AS DOUBLE) / MAX(n_grams) AS fp_density
          |FROM e JOIN nd USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("filter_unigram_score", unigramScore, Some(

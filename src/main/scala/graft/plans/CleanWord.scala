@@ -180,6 +180,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[JaccardLong].getName, "jaccard_long"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaccardLong(args(0), args(1))))
+    // Unicode NFC canonical composition, named after DuckDB's
+    // identical built-in so oracles replay it verbatim
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(args(0))))
     // binary-column media hash ([[MediaHashes]])
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("ppm_dhash"),

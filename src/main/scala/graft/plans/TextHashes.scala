@@ -52,6 +52,49 @@ object TextHashes {
   def deletionHashes(c: Column): Column = call_function("deletion_hashes", c)
 
   def deletionHashes2(c: Column): Column = call_function("deletion_hashes2", c)
+
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+}
+
+/** Worker for [[NfcNormalize]]. `Normalizer.isNormalized` first: real
+  * corpora are overwhelmingly ASCII/already-NFC, and the check is a
+  * forward scan with no allocation, so the common row pays one pass
+  * and zero copies; only rows with decomposed sequences pay the
+  * normalize + re-encode. */
+object NfcNormalizeUtil {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(string) -> string`: Unicode NFC canonical
+  * composition — the corpus-prep normalization every tokenizer
+  * pipeline applies before hashing/dedup, because byte-level keys
+  * split logically-identical texts spelled with precomposed
+  * (U+00E9) vs decomposed (e + U+0301) sequences. Named after
+  * DuckDB's identical built-in so the oracle replays it verbatim;
+  * both sides implement the same Unicode UAX #15 algorithm. Stays
+  * inside whole-stage codegen (one static call). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalizeUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalizeUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 /** Worker for [[DeletionHashes]]: the distinct [[PolyHashUtil]]

@@ -39,7 +39,10 @@ class DeterminismSpec extends SparkSpec {
     // bitset probe + gated semi-join, measured 1.24 s min-of-2 at
     // sf0.1) and sketch_join_size (two-scan Count-Min build +
     // cell-product composition, measured 0.85 s min-of-2 at sf0.1).
-    assert(SparkEntry.benchSet.size <= 76)
+    // +1 (r13) admits quality_corr_matrix — the wide exact-decimal
+    // moment aggregate (15 decimal(38,0) sums in one scan), a plan
+    // family nothing else times — measured 1.28 s min-of-2 at sf0.1.
+    assert(SparkEntry.benchSet.size <= 77)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

@@ -241,4 +241,23 @@ class TextHashesSpec extends SparkSpec {
       .filter(col("b") < 0 || col("b") >= (1L << Vectors.BitsPerTable))
     assert(bad.count() === 0)
   }
+
+  test("nfc_normalize composes decomposed sequences and fast-paths NFC text") {
+    // the decomposed sequence rides a Scala-level \u escape straight
+    // into the SQL text (Spark SQL's chr() is ASCII-modulo, unusable
+    // for a combining mark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('caf' || 'e\u0301') AS composed, " +
+        "nfc_normalize('plain ascii') AS ascii, " +
+        "nfc_normalize('') AS empty, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) === "caf\u00e9") // e + U+0301 -> U+00E9
+    assert(r.getString(0).length === 4)          // genuinely composed
+    assert(r.getString(1) === "plain ascii")     // identity on NFC input
+    assert(r.getString(2) === "")
+    assert(r.isNullAt(3))                        // null propagates
+    // idempotence: already-composed input is untouched
+    val again = spark.sql("SELECT nfc_normalize(nfc_normalize('e\u0301'))").head()
+    assert(again.getString(0) === "\u00e9")
+  }
 }

@@ -58,6 +58,26 @@ class TrainingFiltersSpec extends SparkSpec {
     assert(rows(2L)._2 == 0L && rows(3L)._2 == 0L && rows(4L)._2 == 0L)
   }
 
+  test("winnowing guarantee: an 8-token shared run forces a shared fingerprint") {
+    val rows = TrainingFilters.winnowing(spark, dir)
+      .select("doc_id", "n_grams", "n_fps", "n_shared")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 0 (8 tokens) appears verbatim inside doc 1; 8 tokens is
+    // exactly WinK+WinW-1 — the winnowing guarantee threshold — so a
+    // full selection window lies inside the shared run in BOTH docs
+    // and its minimum is content-determined: they MUST share it
+    assert(rows(0L)._3 >= 1L, s"doc 0 shares no fingerprint: $rows")
+    assert(rows(1L)._3 >= 1L, s"doc 1 shares no fingerprint: $rows")
+    // doc 2's vocabulary is disjoint from every other doc
+    assert(rows(2L)._3 === 0L)
+    // selection actually thins: the long doc keeps fewer
+    // fingerprints than grams (density ~ 2/(WinW+1), never 1)
+    assert(rows(1L)._2 < rows(1L)._1.toLong)
+    // the degenerate one-word loop collapses to a single fingerprint
+    assert(rows(3L)._2 === 1L)
+  }
+
   test("unigram score ranks the common-token loop above the distinct doc") {
     val rows = TrainingFilters.unigramScore(spark, dir)
       .select("doc_id", "mean_freq").as[(Long, Double)].collect().toMap
