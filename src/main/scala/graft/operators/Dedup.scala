@@ -1131,6 +1131,35 @@ object Dedup {
       .orderBy("c_nationkey")
   }
 
+  /** Jaro-Winkler blocked matcher — the OTHER classic name-similarity
+    * measure next to edit distance (prefix-weighted Jaro; the
+    * standard choice for person/company name linkage, where leading
+    * characters are the reliable ones). Runs the codegen'd
+    * [[graft.plans.JaroWinklerSim]] expression, pinned bit-for-bit to
+    * DuckDB's built-in, over candidate pairs BLOCKED on
+    * (nation, name chars 10–11): blocking is part of the operator's
+    * declared semantics — record-linkage practice, and the oracle
+    * replays the identical blocking — because JW admits no exact
+    * LSH-style index (unlike the FastSS deletion neighborhoods the
+    * levenshtein path uses); block granularity is the recall/cost
+    * knob, refined as the corpus grows so block sizes stay bounded.
+    * Emitting the raw similarity per pair makes the gate compare
+    * thousands of IEEE doubles — the strongest parity evidence the
+    * port can produce. */
+  def jwBlocked(s: SparkSession, d: String): DataFrame = {
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        substring(col("c_name"), 10, 2).as("blk"))
+    c.toDF("a", "na", "nat", "blk")
+      .join(c.toDF("b", "nb", "nat", "blk"), Seq("nat", "blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("jw", graft.plans.TextHashes.jaroWinkler(col("na"), col("nb")))
+      .filter(col("jw") >= 0.97)
+      .select(col("a").as("cust_a"), col("b").as("cust_b"),
+        col("nat").as("c_nationkey"), col("jw"))
+      .orderBy("cust_a", "cust_b")
+  }
+
   /** Number of peel rounds the `graph_kcore` ORACLE unrolls; the
     * engine stops early at the fixpoint (peeling a converged state is
     * the identity, so parity holds round-for-round), and DedupSpec
@@ -1724,6 +1753,18 @@ object Dedup {
          |UNION ALL
          |SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
          |ORDER BY cluster_size""".stripMargin)),
+    // oracle: identical blocking + DuckDB's own jaro_winkler built-in
+    // (the engine expression is a bit-exact port; see JaroWinklerUtil)
+    Q("er_jw_blocked", jwBlocked, Some(
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  a.c_nationkey AS c_nationkey,
+        |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND a.c_nationkey = b.c_nationkey
+        |  AND substr(a.c_name, 10, 2) = substr(b.c_name, 10, 2)
+        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+        |ORDER BY cust_a, cust_b""".stripMargin)),
     // oracle: the same KcoreRounds peel rounds unrolled as CTEs over
     // the all-pairs edge set; DedupSpec pins convergence by round
     // KcoreRounds so the replayed state is the true 3-core. Every

@@ -188,6 +188,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(args(0))))
+    // Jaro-Winkler name similarity, pinned to DuckDB's built-in
+    // semantics ([[JaroWinklerUtil]])
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinklerSim].getName, "jaro_winkler_similarity"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinklerSim(args(0), args(1))))
     // binary-column media hash ([[MediaHashes]])
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("ppm_dhash"),

@@ -91,6 +91,40 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler matches textbook values and holds range/symmetry/identity") {
+    // the canonical literature examples, exact to the last ulp (the
+    // same doubles DuckDB's built-in returns)
+    val r = spark.sql(
+      """SELECT jaro_winkler_similarity('martha', 'marhta') AS a,
+        |  jaro_winkler_similarity('DWAYNE', 'DUANE') AS b,
+        |  jaro_winkler_similarity('abc', 'abc') AS c,
+        |  jaro_winkler_similarity('', 'abc') AS d,
+        |  jaro_winkler_similarity('', '') AS e,
+        |  jaro_winkler_similarity('xy', 'ab') AS f""".stripMargin).head()
+    assert(r.getDouble(0) === 0.9611111111111111)
+    assert(r.getDouble(1) === 0.8400000000000001)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0) // DuckDB: empty/empty is 0, not 1
+    assert(r.getDouble(5) === 0.0)
+    // properties over generated pairs: range, symmetry, identity
+    val strGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+    val pairs = samples(Gen.zip(strGen, strGen), 300, seed = 0x3A40)
+    val got = pairs.toDF("a", "b")
+      .select(
+        graft.plans.TextHashes.jaroWinkler(col("a"), col("b")).as("ab"),
+        graft.plans.TextHashes.jaroWinkler(col("b"), col("a")).as("ba"),
+        graft.plans.TextHashes.jaroWinkler(col("a"), col("a")).as("aa"),
+        length(col("a")).as("la"))
+      .as[(Double, Double, Double, Int)].collect()
+    got.foreach { case (ab, ba, aa, la) =>
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(ab === ba, "jaro_winkler must be symmetric")
+      assert(aa === (if (la == 0) 0.0 else 1.0))
+    }
+  }
+
   test("poly_hash stays in [0, HashMod) and collides only on equal strings (sampled)") {
     val in = samples(uniString, 400, seed = 0x90175).distinct
     val got = in.toDF("s")

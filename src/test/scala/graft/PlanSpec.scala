@@ -724,6 +724,32 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(900))
   }
 
+  test("correlation matrix scans lineitem once; moments aggregate map-side") {
+    val s = executed(graft.operators.Quality.corrMatrix(spark, sf))
+    // all 15 decimal moments ride ONE scan + one partial/final agg
+    val scans = s.linesIterator.count(l =>
+      l.contains("lineitem.parquet") && l.contains("Scan"))
+    assert(scans == 1, s.take(1200))
+    assert(s.contains("partial"), s.take(900)) // map-side combine
+  }
+
+  test("basket pair mining joins within order keys — no cartesian anywhere") {
+    val s = executed(graft.operators.Relational.basketLift(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // the 1-row order total is the only nested-loop (broadcast) join
+    val bnl = s.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s.take(1200))
+  }
+
+  test("jaro-winkler matcher equi-joins on the block key inside codegen") {
+    val s = executed(graft.operators.Dedup.jwBlocked(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // a HASH join keyed on (nation, block) — candidates never
+    // all-pair; the similarity expression evaluates inside the join
+    assert(s.contains("HashJoin [nat"), s.take(1200))
+    assert(s.contains("jaro_winkler_similarity"), s.take(900))
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
