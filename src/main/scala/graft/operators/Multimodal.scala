@@ -297,6 +297,107 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  private val BmpW = 5 // 15 pixel bytes/row → padded to 16: pad is REAL
+  private val BmpH = 4
+  private val BmpRowSize = (BmpW * 3 + 3) / 4 * 4 // 4-byte aligned
+  private val BmpDataBytes = BmpRowSize * BmpH
+
+  /** Decoded bitmap features, integer-exact: dimensions from the
+    * PARSED header (pins the header walk), per-channel sums (pins
+    * BGR order + pad skipping), and the sum over the logical TOP row
+    * — which a decoder that forgets BMP's bottom-up row order reads
+    * from the wrong end of the buffer. */
+  final case class BmpStats(
+      doc_id: Long, width: Long, height: Long,
+      b_sum: Long, g_sum: Long, r_sum: Long, top_row_sum: Long)
+
+  /** Real Windows BMP (BITMAPINFOHEADER, 24 bpp uncompressed) codec,
+    * pure JVM — the third genuine container decoder next to
+    * [[PpmCodec]] and [[WavCodec]], chosen because its quirks are
+    * DIFFERENT from both: little-endian multi-byte header fields,
+    * pixel rows padded to 4-byte boundaries, rows stored BOTTOM-UP,
+    * and BGR (not RGB) channel order. Each quirk is observable in the
+    * output: mis-skipped padding corrupts the channel sums, ignored
+    * bottom-up flips `top_row_sum`, swapped channel order swaps
+    * b_sum/r_sum — and the oracle indexes the raw bytes
+    * independently, so the gate catches any of them. */
+  object BmpCodec {
+    /** Canonical 54-byte header for the fixture's fixed geometry. */
+    private[Multimodal] def header: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+        .putInt(54 + BmpDataBytes).putInt(0).putInt(54) // size, rsvd, offset
+        .putInt(40).putInt(BmpW).putInt(BmpH) // info size, w, h
+        .putShort(1).putShort(24) // planes, bpp
+        .putInt(0).putInt(BmpDataBytes) // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+      b.array()
+    }
+
+    def decode(id: Long, bmp: Array[Byte]): BmpStats = {
+      val bb = java.nio.ByteBuffer.wrap(bmp)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte,
+        s"doc $id: not BMP")
+      bb.getInt(); bb.getInt()
+      val offset = bb.getInt()
+      val infoSize = bb.getInt()
+      val w = bb.getInt(); val h = bb.getInt()
+      bb.getShort()
+      val bpp = bb.getShort()
+      val compression = bb.getInt()
+      require(infoSize >= 40 && bpp == 24 && compression == 0,
+        s"doc $id: unsupported bmp layout ($infoSize/$bpp/$compression)")
+      // negative height would mean top-down; the fixture is bottom-up
+      require(h > 0, s"doc $id: top-down bmp not expected")
+      val rowSize = (w * 3 + 3) / 4 * 4
+      var bs = 0L; var gs = 0L; var rs = 0L; var top = 0L
+      var sr = 0 // stored row index; logical row y = h - 1 - sr
+      while (sr < h) {
+        var x = 0
+        var p = offset + sr * rowSize
+        while (x < w) {
+          val bv = bmp(p) & 0xff
+          val gv = bmp(p + 1) & 0xff
+          val rv = bmp(p + 2) & 0xff
+          bs += bv; gs += gv; rs += rv
+          if (sr == h - 1) top += bv + gv + rv // stored last = logical top
+          x += 1; p += 3
+        } // pad bytes p .. rowStart+rowSize-1 are skipped by construction
+        sr += 1
+      }
+      BmpStats(id, w, h, bs, gs, rs, top)
+    }
+  }
+
+  /** documents → REAL binary BMP files: canonical 54-byte header plus
+    * the document's own bytes cycled to fill the pixel area
+    * INCLUDING the row padding — so a decoder that fails to skip pads
+    * produces different sums than the oracle, which indexes only the
+    * pixel positions. Byte-exact on both engines (same construction
+    * as [[wavTable]]). */
+  def bmpTable(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit(BmpCodec.header),
+          expr(s"CAST(substring(repeat(text, CAST($BmpDataBytes div length(text) AS INT) + 1), " +
+            s"1, $BmpDataBytes) AS BINARY)")).as("media"))
+
+  /** Registered query: real bitmap decode — header parse + padded
+    * bottom-up BGR raster fold, batched partition-local like
+    * [[wavDecode]]. */
+  def bmpDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bmpTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => BmpCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   private val PpmW = 8
   private val PpmH = 6
   private val PpmBytes = PpmW * PpmH * 3 // 144-byte raster
@@ -495,6 +596,32 @@ object Multimodal {
          |  CAST(COALESCE(MAX(zc.z), 0) AS BIGINT) AS zero_crossings
          |FROM s LEFT JOIN zc ON s.doc_id = zc.doc_id
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+    // oracle: indexes the cycled payload's PIXEL byte positions
+    // directly (stored row sr, pixel x, channel c at
+    // sr*rowSize + 3x + c), skipping the pad bytes and reading the
+    // logical top row at stored row H-1 — every BMP quirk the engine
+    // decoder must honor is independently recomputed
+    Q("multimodal_bmp_decode", bmpDecode, Some(
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $BmpDataBytes // length(text) + 1), 1, $BmpDataBytes) AS p
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, sr,
+         |    ascii(substring(p, sr*$BmpRowSize + 3*x + 1, 1)) AS bv,
+         |    ascii(substring(p, sr*$BmpRowSize + 3*x + 2, 1)) AS gv,
+         |    ascii(substring(p, sr*$BmpRowSize + 3*x + 3, 1)) AS rv
+         |  FROM pay,
+         |    LATERAL (SELECT unnest(range(0, $BmpH)) AS sr) t1,
+         |    LATERAL (SELECT unnest(range(0, $BmpW)) AS x) t2)
+         |SELECT doc_id,
+         |  CAST($BmpW AS BIGINT) AS width, CAST($BmpH AS BIGINT) AS height,
+         |  CAST(SUM(bv) AS BIGINT) AS b_sum,
+         |  CAST(SUM(gv) AS BIGINT) AS g_sum,
+         |  CAST(SUM(rv) AS BIGINT) AS r_sum,
+         |  CAST(SUM(CASE WHEN sr = ${BmpH - 1} THEN bv + gv + rv ELSE 0 END) AS BIGINT)
+         |    AS top_row_sum
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("multimodal_features", features, Some(
       s"""SELECT doc_id, $oType AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

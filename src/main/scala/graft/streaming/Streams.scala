@@ -224,6 +224,37 @@ object Streams {
     runToMemory(agg, OutputMode.Complete()).orderBy("win_start", "event_type")
   }
 
+  /** Watermarked BUILT-IN session windows — the streaming spelling of
+    * the batch `events_session_window` query, completing the
+    * sessionization matrix (batch built-in / batch custom operator /
+    * streaming flatMapGroupsWithState / streaming custom per-batch /
+    * streaming built-in). `session_window` merges overlapping
+    * per-event candidate windows in the aggregation state itself —
+    * dynamic gap sessions with NO user code — and replay-parity
+    * against the batch window/cumsum oracle proves the merge
+    * converges to the same sessions regardless of micro-batch
+    * boundaries. To actually EXERCISE cross-batch merging, the
+    * events replay as 4 ts-range slices (one file per trigger), so
+    * every session that spans a range cut arrives split across two
+    * micro-batches and must merge in state. Complete mode, no
+    * watermark: state = open session windows per user, never event
+    * history, and nothing may be dropped when the oracle replays the
+    * full corpus. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-ssw-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    val agg = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ets"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    runToMemory(agg, OutputMode.Complete()).orderBy("user_id", "session_start")
+  }
+
   /** Watermarked sliding windows (1 h length / 30 min slide); matches
     * the batch `events_sliding` oracle. */
   def streamSliding(s: SparkSession, d: String): DataFrame = {
@@ -1242,6 +1273,11 @@ object Streams {
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n, ${oDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+    // oracle: reuses the batch events_session_window oracle verbatim
+    // (same sessions must emerge from the replay, by construction)
+    Q("stream_session_window", streamSessionWindow,
+      graft.operators.Events.queries
+        .find(_.name == "events_session_window").get.oracle),
     Q("stream_sliding", streamSliding, Some(
       s"""WITH buckets AS (
          |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start, value FROM events

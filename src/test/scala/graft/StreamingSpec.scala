@@ -197,4 +197,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("built-in session_window merges split sessions across 4 micro-batches exactly") {
+    // ts-range slices cut sessions mid-gap; the built-in session
+    // window aggregation must merge the halves in state and land on
+    // the batch built-in's exact session set
+    val streamed = Streams.streamSessionWindow(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(Streams.lastBatches._1 == 4, s"batches=${Streams.lastBatches}")
+    val batch = Events.sessionWindow(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
