@@ -267,6 +267,41 @@ object Connectors {
     * exchange each at worst, and a nightly-sized change feed
     * broadcasts (the production MERGE fast path); output is the full
     * post-image, exactly what a Delta/Iceberg writer would commit. */
+  /** DYNAMIC partition overwrite — the standard backfill idiom at
+    * catalog scale: a corrected batch replaces ONLY the partitions it
+    * contains, while every untouched partition survives byte-for-byte
+    * (static overwrite mode would truncate the whole table — at
+    * 100 TB the difference between rewriting one day and rewriting
+    * the lake). Here the base `events` table partitioned by
+    * event_type gets a click-only backfill (rows deduped by
+    * `event_id % 10 != 0`, values corrected ×2) written with
+    * `partitionOverwriteMode=dynamic` as a per-WRITE option (no
+    * session-level conf mutation); the read-back per-type report can
+    * only match the oracle if clicks show the backfilled data AND
+    * the other types still show the originals. SourceSpec pins the
+    * stronger physical claim: the untouched partitions' files are
+    * literally the same files afterwards. */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame =
+    dynamicOverwriteWithDir(s, d)._1
+
+  private[graft] def dynamicOverwriteWithDir(
+      s: SparkSession, d: String): (DataFrame, String) = {
+    val dir = tmp("graft-dynover")
+    val ev = Tables(s, d, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/t")
+    ev.filter(col("event_type") === "click" && col("event_id") % 10 =!= 0)
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(s"$dir/t")
+    val report = s.read.parquet(s"$dir/t")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+    (report, s"$dir/t")
+  }
+
   def mergeApply(s: SparkSession, d: String): DataFrame = {
     val src = Tables(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -459,6 +494,18 @@ object Connectors {
         |SELECT c_custkey, c_name, c_acctbal FROM kept
         |UNION ALL SELECT c_custkey, c_name, c_acctbal FROM ins
         |ORDER BY c_custkey""".stripMargin)),
+    // oracle: the analytic final state — originals for every type
+    // except click, which carries the deduped ×2-corrected backfill;
+    // only a true dynamic (partition-scoped) overwrite produces it
+    Q("connector_dynamic_overwrite", dynamicOverwrite, Some(
+      """WITH fin AS (
+        |  SELECT event_type, value FROM events WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value * 2 AS value FROM events
+        |  WHERE event_type = 'click' AND event_id % 10 <> 0)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("connector_schema_evolution", schemaEvolution, Some(
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING' ELSE o_orderstatus END AS status,
         |  COUNT(*) AS n,

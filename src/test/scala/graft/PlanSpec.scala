@@ -724,6 +724,25 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(900))
   }
 
+  test("dynamic partition overwrite leaves untouched partitions' files in place") {
+    val (report, dir) =
+      graft.operators.Connectors.dynamicOverwriteWithDir(spark, sf)
+    report.collect() // drive both writes + the read-back
+    def newestMtime(part: String): Long = {
+      val files = new java.io.File(s"$dir/event_type=$part")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"no files for $part")
+      files.map(_.lastModified()).max
+    }
+    // the backfill (second, later write) must have rewritten ONLY the
+    // click partition: every other partition's newest file predates it
+    val clickT = newestMtime("click")
+    Seq("view", "purchase", "signup", "error").foreach { p =>
+      assert(newestMtime(p) < clickT,
+        s"partition $p was rewritten by the click backfill")
+    }
+  }
+
   test("correlation matrix scans lineitem once; moments aggregate map-side") {
     val s = executed(graft.operators.Quality.corrMatrix(spark, sf))
     // all 15 decimal moments ride ONE scan + one partial/final agg
