@@ -97,6 +97,62 @@ object Quality {
       .orderBy("key_name")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the
+    * classic distribution-equality test between a deterministic
+    * 80/20 train/holdout split of event values (the validation-drift
+    * alarm `pipeline_token_drift` runs for TOKENS, here for a numeric
+    * measure: KS = max CDF gap catches shape changes rate-difference
+    * monitors miss). Everything is exact integers until ONE double
+    * division: per distinct value the two sample counts, cumulative
+    * counts by value order, and the gap |F1·n2 − F2·n1| maximized as
+    * a decimal — so the oracle matches bit-for-bit.
+    *
+    * The ordered cumsum is the scale-correct TWO-PHASE spelling (same
+    * idiom as `pipeline_global_ids`): range-repartition on value,
+    * per-partition running sums under a partitioned window, then
+    * broadcast per-partition offsets — never a single-partition
+    * global window. Cumulative products ride decimal(38,0): at
+    * catalog scale F·n is ~1e22, past long. Shuffles carry (value)
+    * then (pid) keys; the heavy table never sorts globally. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tr = when(
+      pmod(col("user_id") * lit(2654435761L), lit(HashMod)) % 100 < 80, 1L)
+      .otherwise(0L)
+    val perVal = Tables(s, d, "events")
+      .select(col("value"), tr.as("tr"))
+      .groupBy("value")
+      .agg(sum(col("tr")).as("c1"), sum(lit(1L) - col("tr")).as("c2"))
+    val parts = cached(perVal.repartitionByRange(32, col("value"))
+      .withColumn("pid", spark_partition_id()))
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // |partitions| rows: the deliberate tiny single-partition window
+    val offs = parts.groupBy("pid")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"))
+      .select(col("pid"),
+        coalesce(sum("s1").over(prior), lit(0L)).as("o1"),
+        coalesce(sum("s2").over(prior), lit(0L)).as("o2"))
+    val w = Window.partitionBy("pid").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = parts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    parts
+      .withColumn("l1", sum("c1").over(w))
+      .withColumn("l2", sum("c2").over(w))
+      .join(broadcast(offs), "pid")
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs((col("o1") + col("l1")).cast(dec) * col("n2") -
+          (col("o2") + col("l2")).cast(dec) * col("n1")).as("gap"))
+      .groupBy("n1", "n2")
+      .agg(max("gap").as("max_gap"))
+      .select(col("n1"), col("n2"), col("max_gap").cast("long").as("max_gap"),
+        (col("max_gap").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+  }
+
   /** Numeric-measure columns [[corrMatrix]] profiles; all have ≤ 2
     * decimal places in the driver data, so cents-quantization is
     * exact. */
@@ -151,6 +207,27 @@ object Quality {
   }
 
   val queries: Seq[Q] = Seq(
+    // oracle: one global ordered cumsum (fine at oracle size; the
+    // engine's two-phase spelling exists for the 100 TB case) over
+    // the same integer counts and the same exact gap arithmetic
+    Q("quality_ks_drift", ksDrift, Some(
+      s"""WITH e AS (
+         |  SELECT value,
+         |    CASE WHEN (user_id * 2654435761) % ${graft.Core.HashMod} % 100 < 80
+         |         THEN 1 ELSE 0 END AS tr
+         |  FROM events),
+         |v AS (SELECT value, CAST(SUM(tr) AS BIGINT) AS c1,
+         |        CAST(SUM(1 - tr) AS BIGINT) AS c2 FROM e GROUP BY value),
+         |c AS (SELECT SUM(c1) OVER win AS f1, SUM(c2) OVER win AS f2 FROM v
+         |      WINDOW win AS (ORDER BY value
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |        CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+         |SELECT n1, n2,
+         |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS max_gap,
+         |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+         |    / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+         |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin)),
     // oracle: identical cents-quantization + HUGEINT moments + the
     // same double-cast/sqrt spelling, so r matches bit-for-bit
     Q("quality_corr_matrix", corrMatrix, Some {

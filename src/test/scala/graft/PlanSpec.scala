@@ -743,6 +743,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("KS drift cumsums within range partitions, not one global window") {
+    val s = executed(graft.operators.Quality.ksDrift(spark, sf))
+    // the per-value CDF window is partitioned by pid (full
+    // parallelism); the only ORDER-BY-without-PARTITION window is
+    // the |partitions|-row offsets cumsum
+    assert(s.matches("(?s).*windowspecdefinition\\(pid#.*"), s.take(1200))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+  }
+
   test("correlation matrix scans lineitem once; moments aggregate map-side") {
     val s = executed(graft.operators.Quality.corrMatrix(spark, sf))
     // all 15 decimal moments ride ONE scan + one partial/final agg
