@@ -189,11 +189,13 @@ object TrainingFilters {
     * a window pick the same hash VALUE regardless of position, so the
     * distinct fingerprint set is position-independent — no
     * rightmost-tie bookkeeping is needed for set semantics. */
-  def winnowing(s: SparkSession, d: String): DataFrame = {
-    val minTok = WinK + WinW - 1
-    val f = cached(docs(s, d)
+  /** (doc_id, n_grams, fps): each doc's winnowing-selected distinct
+    * fingerprint set — shared by the per-doc report and the pair
+    * report. */
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .withColumn("t", TextAnalysis.tokens(col("text")))
-      .filter(size(col("t")) >= minTok)
+      .filter(size(col("t")) >= WinK + WinW - 1)
       .withColumn("th", transform(col("t"), tk => polyHash(tk)))
       .withColumn("g",
         transform(sequence(lit(1), size(col("th")) - (WinK - 1)), i =>
@@ -202,7 +204,10 @@ object TrainingFilters {
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         array_distinct(
           transform(sequence(lit(1), size(col("g")) - (WinW - 1)), j =>
-            array_min(slice(col("g"), j, lit(WinW))))).as("fps")))
+            array_min(slice(col("g"), j, lit(WinW))))).as("fps"))
+
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    val f = cached(winnowFps(s, d))
     val e = f.select(col("doc_id"), col("n_grams"), explode(col("fps")).as("h"))
     val nd = e.groupBy("h").agg(count(lit(1)).as("ndocs"))
     e.join(nd, "h")
@@ -212,6 +217,44 @@ object TrainingFilters {
       .select(col("doc_id"), col("n_grams"), col("n_fps"), col("n_shared"),
         (col("n_fps").cast("double") / col("n_grams")).as("fp_density"))
       .orderBy("doc_id")
+  }
+
+  /** Fingerprints occurring in more documents than this are
+    * boilerplate, not plagiarism signal — they are dropped BEFORE
+    * pairing (MOSS's standard guard, and the scale guard: a
+    * fingerprint shared by a million documents would otherwise fan
+    * out into 10¹² pairs). */
+  private val WinMaxDf = 50
+
+  /** The winnowing PAIR report — what a MOSS-style overlap pass
+    * actually outputs: document pairs ranked by shared selected
+    * fingerprints, with `overlap` = shared / min(|fps_a|, |fps_b|)
+    * (the containment-style score that still fires when a small doc
+    * is quoted inside a large one). Pairs form ONLY through the
+    * fingerprint equi-join on docs sharing a selected hash — never
+    * all-pairs — and ultra-common fingerprints are excluded by
+    * [[WinMaxDf]] before the join, so per-fingerprint fan-out is
+    * bounded. Shuffles carry (fingerprint) then (pair) keys; the
+    * score is exact integers + one double division. */
+  def winnowingPairs(s: SparkSession, d: String): DataFrame = {
+    val f = cached(winnowFps(s, d))
+    val e = cached(f.select(col("doc_id"), explode(col("fps")).as("h")))
+    val rare = e.groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= WinMaxDf).select("h")
+    // select explicitly: the semi join reorders columns key-first
+    val ee = e.join(rare, Seq("h"), "left_semi").select("doc_id", "h")
+    val pairs = ee.toDF("a", "h").join(ee.toDF("b", "h"), "h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    val sizes = f.select(col("doc_id"), size(col("fps")).as("nf"))
+    pairs
+      .join(sizes.toDF("a", "nfa"), "a")
+      .join(sizes.toDF("b", "nfb"), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("nfa"), col("nfb"))).as("overlap"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------------------------
@@ -397,6 +440,29 @@ object TrainingFilters {
          |  CAST(COUNT(*) AS DOUBLE) / MAX(n_grams) AS fp_density
          |FROM e JOIN nd USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // oracle: same selected-fingerprint sets, same df guard, same
+    // equi-join pairing and containment-style score
+    Q("filter_winnowing_pairs", winnowingPairs, Some(
+      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+         |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+         |       FROM t WHERE len(tok) >= ${WinK + WinW - 1}),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, len(th) - ${WinK - 1}),
+         |       i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${WinK - 1}]),
+         |            (a, b) -> (a * $M + b) % $P)) AS g FROM th),
+         |f AS (SELECT doc_id,
+         |       list_distinct(list_transform(generate_series(1, len(g) - ${WinW - 1}),
+         |        j -> list_min(g[j:j+${WinW - 1}]))) AS fps FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS h FROM f),
+         |rare AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= $WinMaxDf),
+         |ee AS (SELECT doc_id, h FROM e JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+         |      FROM ee x JOIN ee y ON x.h = y.h AND x.doc_id < y.doc_id
+         |      GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= 2),
+         |sz AS (SELECT doc_id, len(fps) AS nf FROM f)
+         |SELECT doc_a, doc_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) AS overlap
+         |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)),
     Q("filter_unigram_score", unigramScore, Some(
       s"""WITH t AS (SELECT doc_id, unnest($oTok) AS word FROM documents),
          |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY doc_id, word),

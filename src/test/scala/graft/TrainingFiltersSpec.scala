@@ -78,6 +78,31 @@ class TrainingFiltersSpec extends SparkSpec {
     assert(rows(3L)._2 === 1L)
   }
 
+  test("winnowing pairs rank the long verbatim quote at containment 1.0") {
+    // fresh corpus: doc 0 is a 16-token text quoted whole inside
+    // doc 1; doc 2 is unrelated. 16 tokens ≥ 2 guarantee windows →
+    // the pair clears the n_shared ≥ 2 reporting floor
+    val d = java.nio.file.Files.createTempDirectory("graft-winpair").toString
+    val quote = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    Seq(
+      (0L, quote, "en", "s0", quote.length.toLong),
+      (1L, s"intro words here $quote closing remarks", "en", "s1", 90L),
+      (2L, "one two three four five six seven eight nine ten eleven twelve",
+        "en", "s2", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TrainingFilters.winnowingPairs(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 1, rows.mkString(";")) // exactly the quote pair
+    val (a, b, shared, overlap) = rows.head
+    assert((a, b) === ((0L, 1L)))
+    assert(shared >= 2L)
+    // every fingerprint of the quoted doc reappears in the quoting
+    // doc, so containment against the smaller side is exactly 1.0
+    assert(overlap === 1.0)
+  }
+
   test("unigram score ranks the common-token loop above the distinct doc") {
     val rows = TrainingFilters.unigramScore(spark, dir)
       .select("doc_id", "mean_freq").as[(Long, Double)].collect().toMap
