@@ -870,15 +870,20 @@ object Dedup {
     * strip is what makes identifier-like keys discriminative AND is
     * levenshtein-invariant, so both methods see the same edit
     * space). */
-  def erSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
-    val w = 10
-    val names = cached(
-      Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
-    val strip = customerStrip(s, d)
-    val keyed = names.select(
-      col("c_custkey").as("k"), applyStrip(col("c_name"), strip).as("core"))
+  /** The sorted-neighborhood candidate generator shared by the
+    * single-pass audit and the multi-pass variant: two-phase global
+    * ranks over `sk` (per-partition row_number + broadcast cumulative
+    * offsets — no single-partition window), then the rank-bucket
+    * equi-join (bucket = rank div w, probe replicated to bucket and
+    * bucket−1, residual 0 < rb−ra < w). Input columns (k, sk, core);
+    * output one row per candidate pair (ka, kb, core_a, core_b) with
+    * ka ranked below kb — O(N·w) rows through one shuffle. The sort
+    * key `sk` is separate from the verification `core` so a pass can
+    * sort by a transform (e.g. the reversed core) while levenshtein
+    * still verifies the real strings. */
+  private def snCandidates(keyed: DataFrame, w: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val parts = cached(keyed.repartitionByRange(32, col("core"), col("k"))
+    val parts = cached(keyed.repartitionByRange(32, col("sk"), col("k"))
       .withColumn("pid", spark_partition_id()))
     val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
@@ -887,7 +892,7 @@ object Dedup {
       .select("pid", "off")
     val ranked = cached(parts
       .withColumn("local",
-        row_number().over(W.partitionBy("pid").orderBy("core", "k")))
+        row_number().over(W.partitionBy("pid").orderBy("sk", "k")))
       .join(broadcast(offsets), "pid")
       .select(col("k"), col("core"), (col("off") + col("local") - 1).as("r")))
     val aSide = ranked.select(col("k").as("ka"), col("core").as("core_a"),
@@ -896,8 +901,18 @@ object Dedup {
       col("r").as("rb"), expr(s"r div $w").as("b0"))
       .select(col("kb"), col("core_b"), col("rb"),
         explode(array(col("b0"), col("b0") - 1)).as("bk"))
-    val cand = cached(aSide.join(bSide, "bk")
+    cached(aSide.join(bSide, "bk")
       .filter(col("rb") > col("ra") && col("rb") - col("ra") < w))
+  }
+
+  def erSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val w = 10
+    val names = cached(
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
+    val strip = customerStrip(s, d)
+    val keyed = names.select(
+      col("c_custkey").as("k"), applyStrip(col("c_name"), strip).as("core"))
+    val cand = snCandidates(keyed.withColumn("sk", col("core")), w)
     val snPairs = cand.filter(levenshtein(col("core_a"), col("core_b"), 1) =!= -1)
     val truth =
       fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1, strip)
@@ -909,6 +924,52 @@ object Dedup {
         when(col("n_true_pairs") === 0, lit(1.0))
           .otherwise(col("n_sn_pairs").cast("double") /
             col("n_true_pairs").cast("double")).as("recall"))
+  }
+
+  /** Multi-pass sorted neighborhood — the standard-practice remedy
+    * for the single pass's known failure mode. One sort key misses
+    * exactly the pairs whose difference lands in the key's leading
+    * characters (a typo in the FIRST core character moves the record
+    * arbitrarily far in rank); the classic fix is a SECOND pass over
+    * the REVERSED core, which sorts those same pairs adjacently
+    * (their difference is now in the trailing characters). Each pass
+    * is the identical O(N·w) rank-bucket pipeline; matched pairs are
+    * normalized to (least, greatest) and UNIONed, so the combined
+    * method stays two linear passes — never all-pairs — while the
+    * audit reports each pass's recall next to the combined number
+    * against the provably-complete FastSS truth (single-key measured
+    * 0.346 on these identifier-like keys; the reversed-core pass
+    * recovers the leading-character edits that dominate that miss
+    * set). */
+  def erSnMultipass(s: SparkSession, d: String): DataFrame = {
+    val w = 10
+    val names = cached(
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_name")))
+    val strip = customerStrip(s, d)
+    val keyed = cached(names.select(
+      col("c_custkey").as("k"), applyStrip(col("c_name"), strip).as("core")))
+    def matched(cand: DataFrame): DataFrame =
+      cand.filter(levenshtein(col("core_a"), col("core_b"), 1) =!= -1)
+        .select(least(col("ka"), col("kb")).as("pa"),
+          greatest(col("ka"), col("kb")).as("pb"))
+    val m1 = cached(matched(snCandidates(keyed.withColumn("sk", col("core")), w)))
+    val m2 = cached(matched(
+      snCandidates(keyed.withColumn("sk", reverse(col("core"))), w)))
+    val mu = m1.unionAll(m2).distinct()
+    val truth =
+      fuzzyVerified(names, graft.plans.TextHashes.deletionHashes, 1, strip)
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(m1.agg(count(lit(1)).as("n_pass1")))
+      .crossJoin(m2.agg(count(lit(1)).as("n_pass2")))
+      .crossJoin(mu.agg(count(lit(1)).as("n_combined")))
+      .select(col("n_true_pairs"), col("n_pass1"), col("n_pass2"),
+        col("n_combined"),
+        when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(col("n_pass1").cast("double") /
+            col("n_true_pairs").cast("double")).as("recall_pass1"),
+        when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(col("n_combined").cast("double") /
+            col("n_true_pairs").cast("double")).as("recall_combined"))
   }
 
   /** Batch membership predicate for the incremental fuzzy-match
@@ -1146,10 +1207,40 @@ object Dedup {
     * Emitting the raw similarity per pair makes the gate compare
     * thousands of IEEE doubles — the strongest parity evidence the
     * port can produce. */
+  /** Corpus-size-adaptive JW block-key width: the smallest w in
+    * [1, 8] with n ≤ 16000·10^(w−1), i.e. the narrowest digit key
+    * whose EXPECTED block population (n over ~25 nations × 10^w key
+    * values on the zero-padded name digits) stays ≤ 64. Within-block
+    * comparison is quadratic, so a FIXED substring key grows blocks
+    * linearly with the corpus; stepping the width by corpus decade
+    * caps the expected block — at 100× the rows the key widens by 2
+    * digits and the per-block cost is back where it started. The
+    * thresholds are plain integer comparisons so the DuckDB oracle
+    * replays the identical decision as a CASE. */
+  private[graft] def jwBlockWidth(n: Long): Int = {
+    var w = 1
+    var cap = 16000L
+    while (w < 8 && n > cap) { w += 1; cap *= 10 }
+    w
+  }
+
+  /** Oracle CTEs `nn(n)` / `ww(w)` replaying [[jwBlockWidth]]. */
+  private val oJwWidth: String = {
+    val cases = (1 to 7)
+      .map(w => s"WHEN n <= ${16000L * math.pow(10, w - 1).toLong} THEN $w")
+      .mkString(" ")
+    s"""nn AS (SELECT COUNT(*) AS n FROM customer),
+       |ww AS (SELECT CAST(CASE $cases ELSE 8 END AS INTEGER) AS w FROM nn)""".stripMargin
+  }
+
   def jwBlocked(s: SparkSession, d: String): DataFrame = {
-    val c = Tables(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        substring(col("c_name"), 10, 2).as("blk"))
+    val cust = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    // 1-row control decision (same class as the CC convergence
+    // probe): the block-key width is a plan PARAMETER, fixed before
+    // the candidate join is declared
+    val w = jwBlockWidth(cust.count())
+    val c = cust.withColumn("blk", substring(col("c_name"), 10, w))
     c.toDF("a", "na", "nat", "blk")
       .join(c.toDF("b", "nb", "nat", "blk"), Seq("nat", "blk"))
       .filter(col("a") < col("b"))
@@ -1158,6 +1249,29 @@ object Dedup {
       .select(col("a").as("cust_a"), col("b").as("cust_b"),
         col("nat").as("c_nationkey"), col("jw"))
       .orderBy("cust_a", "cust_b")
+  }
+
+  /** Block-population accounting for [[jwBlocked]] — the
+    * `quality_key_skew` idiom applied to the blocking key: one row
+    * per observed block size with the block count and the quadratic
+    * candidate mass Σ s·(s−1)/2 it contributes, plus the adaptive
+    * width that produced it. This is the guard that keeps the
+    * declared "granularity refined as the corpus grows" honest: the
+    * histogram's tail IS the within-block quadratic cost, and
+    * DedupSpec pins total candidates ≤ N·max_block. Shuffles carry
+    * (nation, key) then (size) — never pairs. */
+  def jwBlockStats(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables(s, d, "customer")
+      .select(col("c_name"), col("c_nationkey"))
+    val w = jwBlockWidth(cust.count())
+    cust
+      .groupBy(col("c_nationkey"), substring(col("c_name"), 10, w).as("blk"))
+      .agg(count(lit(1)).as("block_size"))
+      .groupBy("block_size")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("block_size * (block_size - 1) div 2")).as("n_candidate_pairs"))
+      .withColumn("blk_width", lit(w))
+      .orderBy("block_size")
   }
 
   /** Number of peel rounds the `graph_kcore` ORACLE unrolls; the
@@ -1411,25 +1525,43 @@ object Dedup {
 
   private val oTok = TextAnalysis.oTokens
 
+  /** Intersection-size CTE chain over a shingle-set CTE `s(doc_id,
+    * sh)` ending in `p(doc_a, doc_b, i, la, lb)` — EXACT, but spelled
+    * as the classic set-similarity equi-join (explode → join on
+    * shingle value → count per pair) instead of all-pairs
+    * `list_intersect`: DuckDB's list_intersect costs ~220 µs/pair, so
+    * the 125k-pair sf0.01 corpus took ~10 s; the equi-join spelling
+    * returns the identical rows in 0.4 s (measured A/B, `identical=
+    * True`). Lossless for any threshold > 0: the GROUP BY join emits
+    * exactly the pairs with i ≥ 1, and J ≥ t > 0 (or containment > 0)
+    * implies i ≥ 1. `sh` is list_distinct'd upstream, so COUNT(*)
+    * counts each shared shingle once. */
+  private def oPairIntersect(setsCte: String): String =
+    s"""$setsCte,
+       |sl AS MATERIALIZED (SELECT doc_id, len(sh) AS l FROM s),
+       |x AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+       |pi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |       FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b, i, la.l AS la, lb.l AS lb
+       |      FROM pi JOIN sl la ON la.doc_id = doc_a JOIN sl lb ON lb.doc_id = doc_b)""".stripMargin
+
   /** Exact ground-truth near-dup pairs over a shingle-set CTE `s`
     * with columns (doc_id, sh). */
   private def oJaccardPairs(setsCte: String): String =
-    s"""WITH $setsCte,
-       |p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS i,
-       |    len(a.sh) AS la, len(b.sh) AS lb
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    s"""WITH ${oPairIntersect(setsCte)}
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // `s` is referenced twice by every all-pairs self-join downstream —
+  // materialized so the shingle construction runs once, not per branch.
   private[graft] val oWordSets =
     s"""t AS (SELECT doc_id, $oTok AS tok FROM documents),
        |th AS (
        |  SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
        |  FROM t WHERE len(tok) >= 3),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
        |    i -> ((th[i] * $ShingleMix + th[i+1]) % $P * $ShingleMix + th[i+2]) % $P)) AS sh
        |  FROM th)""".stripMargin
@@ -1440,7 +1572,7 @@ object Dedup {
        |  SELECT doc_id, length(ctext) AS n,
        |    list_transform(string_split(ctext, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
        |  FROM c WHERE length(ctext) >= 5),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, n - 4),
        |    i -> codes[i] * 923521 + codes[i+1] * 29791 + codes[i+2] * 961
        |         + codes[i+3] * 31 + codes[i+4])) AS sh
@@ -1453,15 +1585,10 @@ object Dedup {
     * `WITH RECURSIVE`. Shared with the leakage-aware split oracle in
     * [[Pipeline]]. */
   private[graft] val oClusterChain: String =
-    s"""$oWordSets,
-       |p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS i,
-       |    len(a.sh) AS la, len(b.sh) AS lb
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
-       |pr AS (SELECT doc_a, doc_b FROM p
+    s"""${oPairIntersect(oWordSets)},
+       |pr AS MATERIALIZED (SELECT doc_a, doc_b FROM p
        |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pr
        |  UNION SELECT doc_b, doc_a FROM pr),
        |reach(src, dst) AS (
        |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
@@ -1740,6 +1867,51 @@ object Dedup {
         |FROM (SELECT COUNT(*) AS n FROM truth) t,
         |     (SELECT COUNT(*) AS n FROM cand) c,
         |     (SELECT COUNT(*) AS n FROM cand WHERE levenshtein(ca, cb) <= 1) sp""".stripMargin)),
+    // oracle: the same strip/rank replay twice — pass 1 sorts by the
+    // core, pass 2 by the reversed core — matched pairs normalized to
+    // (least, greatest) and UNIONed, vs the same all-pairs truth
+    Q("er_sn_multipass", erSnMultipass, Some(
+      """WITH nm AS (SELECT c_custkey, c_name FROM customer),
+        |b AS (SELECT min(c_name) AS mn, max(c_name) AS mx,
+        |             min(reverse(c_name)) AS rn, max(reverse(c_name)) AS rx,
+        |             min(strlen(c_name)) AS ml FROM nm),
+        |pre AS (SELECT COALESCE(max(i), 0) AS p
+        |  FROM generate_series(1, 1000) g(i), b
+        |  WHERE i <= b.ml
+        |    AND substr(b.mn, 1, CAST(i AS INTEGER)) = substr(b.mx, 1, CAST(i AS INTEGER))),
+        |sufx AS (SELECT COALESCE(max(i), 0) AS sl
+        |  FROM generate_series(1, 1000) g(i), b
+        |  WHERE i <= b.ml
+        |    AND substr(b.rn, 1, CAST(i AS INTEGER)) = substr(b.rx, 1, CAST(i AS INTEGER))),
+        |bounds AS (SELECT pre.p AS pre,
+        |  least(sufx.sl, greatest(0, b.ml - pre.p)) AS suf FROM pre, sufx, b),
+        |cores AS MATERIALIZED (SELECT c_custkey AS k,
+        |  substr(c_name, CAST(pre + 1 AS INTEGER),
+        |         CAST(strlen(c_name) - pre - suf AS INTEGER)) AS core
+        |  FROM nm, bounds),
+        |rk1 AS (SELECT k, core, ROW_NUMBER() OVER (ORDER BY core, k) - 1 AS r FROM cores),
+        |m1 AS MATERIALIZED (
+        |  SELECT least(a.k, b.k) AS pa, greatest(a.k, b.k) AS pb
+        |  FROM rk1 a JOIN rk1 b ON b.r > a.r AND b.r - a.r < 10
+        |  WHERE levenshtein(a.core, b.core) <= 1),
+        |rk2 AS (SELECT k, core, ROW_NUMBER() OVER (ORDER BY reverse(core), k) - 1 AS r FROM cores),
+        |m2 AS MATERIALIZED (
+        |  SELECT least(a.k, b.k) AS pa, greatest(a.k, b.k) AS pb
+        |  FROM rk2 a JOIN rk2 b ON b.r > a.r AND b.r - a.r < 10
+        |  WHERE levenshtein(a.core, b.core) <= 1),
+        |mu AS (SELECT pa, pb FROM m1 UNION SELECT pa, pb FROM m2),
+        |truth AS (SELECT 1 AS x FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT t.n AS n_true_pairs, p1.n AS n_pass1, p2.n AS n_pass2,
+        |  cu.n AS n_combined,
+        |  CASE WHEN t.n = 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE CAST(p1.n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS recall_pass1,
+        |  CASE WHEN t.n = 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE CAST(cu.n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS recall_combined
+        |FROM (SELECT COUNT(*) AS n FROM truth) t,
+        |     (SELECT COUNT(*) AS n FROM m1) p1,
+        |     (SELECT COUNT(*) AS n FROM m2) p2,
+        |     (SELECT COUNT(*) AS n FROM mu) cu""".stripMargin)),
     Q("dedup_cluster_sizes", clusterSizeHistogram, Some(
       s"""WITH RECURSIVE $oClusterChain,
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
@@ -1753,18 +1925,31 @@ object Dedup {
          |UNION ALL
          |SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
          |ORDER BY cluster_size""".stripMargin)),
-    // oracle: identical blocking + DuckDB's own jaro_winkler built-in
-    // (the engine expression is a bit-exact port; see JaroWinklerUtil)
+    // oracle: identical blocking (adaptive width replayed by the same
+    // integer CASE) + DuckDB's own jaro_winkler built-in (the engine
+    // expression is a bit-exact port; see JaroWinklerUtil)
     Q("er_jw_blocked", jwBlocked, Some(
-      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-        |  a.c_nationkey AS c_nationkey,
-        |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
-        |FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        |  AND a.c_nationkey = b.c_nationkey
-        |  AND substr(a.c_name, 10, 2) = substr(b.c_name, 10, 2)
-        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
-        |ORDER BY cust_a, cust_b""".stripMargin)),
+      s"""WITH $oJwWidth
+         |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         |  a.c_nationkey AS c_nationkey,
+         |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+         |FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |  AND a.c_nationkey = b.c_nationkey
+         |  AND substr(a.c_name, 10, (SELECT w FROM ww))
+         |    = substr(b.c_name, 10, (SELECT w FROM ww))
+         |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+         |ORDER BY cust_a, cust_b""".stripMargin)),
+    Q("er_jw_block_stats", jwBlockStats, Some(
+      s"""WITH $oJwWidth,
+         |blocks AS (
+         |  SELECT c_nationkey, substr(c_name, 10, (SELECT w FROM ww)) AS blk,
+         |    COUNT(*) AS block_size
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT block_size, COUNT(*) AS n_blocks,
+         |  CAST(SUM(block_size * (block_size - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+         |  (SELECT w FROM ww) AS blk_width
+         |FROM blocks GROUP BY block_size ORDER BY block_size""".stripMargin)),
     // oracle: the same KcoreRounds peel rounds unrolled as CTEs over
     // the all-pairs edge set; DedupSpec pins convergence by round
     // KcoreRounds so the replayed state is the true 3-core. Every

@@ -615,21 +615,21 @@ object Similarity {
     * centroid update, mirroring [[kmeansFull]]'s `assign`/`update`
     * with identical arithmetic shape. */
   private def oKmeansRound(i: Int): String =
-    s"""scored$i AS (
+    s"""scored$i AS MATERIALIZED (
        |  SELECT vec_id, embedding, clab,
        |    (xx - 2.0 * ${oFold("CAST(embedding[k] AS DOUBLE) * cv[k]")}) + cc AS dist
        |  FROM vx CROSS JOIN cw$i),
-       |assigned$i AS (
+       |assigned$i AS MATERIALIZED (
        |  SELECT vec_id, embedding, clab, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clab) AS rn
        |  FROM scored$i),
-       |cent${i + 1} AS (
+       |cent${i + 1} AS MATERIALIZED (
        |  SELECT clab, dim,
        |    CAST(SUM(CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
        |      / COUNT(*) / 10000000.0 AS c
        |  FROM assigned$i CROSS JOIN dims WHERE rn = 1 GROUP BY clab, dim),
-       |carr${i + 1} AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY clab),
-       |cw${i + 1} AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
+       |carr${i + 1} AS MATERIALIZED (SELECT clab, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY clab),
+       |cw${i + 1} AS MATERIALIZED (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
 
   /** The full oracle replay parameterized by the `cent0` seed CTE —
     * shared by the label-mean and hash-seeded variants. */
@@ -637,13 +637,13 @@ object Similarity {
     val rounds = (0 until KmeansRounds).map(oKmeansRound).mkString(",\n")
     val last = KmeansRounds - 1
     s"""WITH dims AS (SELECT unnest(generate_series(0, ${Vectors.Dim - 1})) AS dim),
-       |vx AS (
+       |vx AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
        |  FROM embeddings),
        |$cent0Cte,
-       |carr0 AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY clab),
-       |cw0 AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr0),
+       |carr0 AS MATERIALIZED (SELECT clab, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY clab),
+       |cw0 AS MATERIALIZED (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr0),
        |$rounds,
        |stats AS (
        |  SELECT clab AS cluster, COUNT(*) AS n_vectors,
@@ -685,20 +685,20 @@ object Similarity {
     * to its nearest `cw$i` codeword, recompute quantized means →
     * `cw${i+1}`. */
   private def oPqRound(i: Int): String =
-    s"""a$i AS (
+    s"""a$i AS MATERIALIZED (
        |  SELECT vec_id, sub, sv, code,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
        |  FROM (
        |    SELECT s.vec_id, s.sub, s.sv, c.code,
        |      (s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc AS dist
        |    FROM sv s JOIN cw$i c ON s.sub = c.sub)),
-       |cent${i + 1} AS (
+       |cent${i + 1} AS MATERIALIZED (
        |  SELECT sub, code, dim,
        |    CAST(SUM(CAST(floor(sv[dim + 1] * 10000000.0) AS BIGINT)) AS DOUBLE)
        |      / COUNT(*) / 10000000.0 AS c
        |  FROM a$i CROSS JOIN sdims WHERE rn = 1 GROUP BY sub, code, dim),
-       |carr${i + 1} AS (SELECT sub, code, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY sub, code),
-       |cw${i + 1} AS (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
+       |carr${i + 1} AS MATERIALIZED (SELECT sub, code, list(c ORDER BY dim) AS cv FROM cent${i + 1} GROUP BY sub, code),
+       |cw${i + 1} AS MATERIALIZED (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM carr${i + 1})""".stripMargin
 
   /** The shared PQ replay prefix: subvectors → hash seeds →
     * [[PqRounds]] Lloyd updates → final codebook → codes + query LUT
@@ -707,32 +707,32 @@ object Similarity {
     val rounds = (0 until PqRounds).map(oPqRound).mkString(",\n")
     s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
        |sdims AS (SELECT unnest(generate_series(0, ${PqSubDim - 1})) AS dim),
-       |svx AS (
+       |svx AS MATERIALIZED (
        |  SELECT vec_id, sub,
        |    list_transform(generate_series(1, $PqSubDim),
        |      k -> CAST(embedding[sub * $PqSubDim + k] AS DOUBLE)) AS sv
        |  FROM embeddings CROSS JOIN subs),
-       |sv AS (SELECT vec_id, sub, sv, ${oFoldSub("sv[k] * sv[k]")} AS xx FROM svx),
+       |sv AS MATERIALIZED (SELECT vec_id, sub, sv, ${oFoldSub("sv[k] * sv[k]")} AS xx FROM svx),
        |seeds AS (
        |  SELECT embedding,
        |    row_number() OVER (ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id) - 1 AS code
        |  FROM embeddings
        |  ORDER BY (vec_id * 2654435761) % ${graft.Core.HashMod}, vec_id
        |  LIMIT $PqK),
-       |cw0arr AS (
+       |cw0arr AS MATERIALIZED (
        |  SELECT sub, code,
        |    list_transform(generate_series(1, $PqSubDim),
        |      k -> CAST(embedding[sub * $PqSubDim + k] AS DOUBLE)) AS cv
        |  FROM seeds CROSS JOIN subs),
-       |cw0 AS (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM cw0arr),
+       |cw0 AS MATERIALIZED (SELECT sub, code, cv, ${oFoldSub("cv[k] * cv[k]")} AS cc FROM cw0arr),
        |$rounds,
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT s.vec_id, s.sub, c.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
        |        (s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc, c.code) AS rn
        |    FROM sv s JOIN cw$PqRounds c ON s.sub = c.sub) WHERE rn = 1),
-       |lut AS (
+       |lut AS MATERIALIZED (
        |  SELECT s.vec_id AS q_id, s.sub, c.code,
        |    CAST(floor(((s.xx - 2.0 * ${oFoldSub("s.sv[k] * c.cv[k]")}) + c.cc)
        |      * 10000000.0) AS BIGINT) AS lq
@@ -974,7 +974,7 @@ object Similarity {
       s"""WITH $oCentCte,
          |carr AS (SELECT clab, list(c ORDER BY dim) AS cv FROM cent GROUP BY clab),
          |cw AS (SELECT clab, cv, ${oFold("cv[k] * cv[k]")} AS cc FROM carr),
-         |vx AS (
+         |vx AS MATERIALIZED (
          |  SELECT vec_id, label, embedding,
          |    ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS xx
          |  FROM embeddings),

@@ -433,26 +433,34 @@ object TextAnalysis {
 
   /** The oracle replay of [[bpeLoop]]: d0..dN rewrite states (doc_id
     * and pre-merge count carried through) and m1..mN round winners —
-    * shared by the train and apply oracles. */
+    * shared by the train and apply oracles.
+    *
+    * Every CTE is `AS MATERIALIZED`: each round references the
+    * previous round's state twice (the pair scan and the rewrite's
+    * FROM), so DuckDB's default CTE *inlining* expands the chain as
+    * a tree — 2^rounds plan nodes. At 12 rounds the inlined oracle
+    * never finishes PLANNING (>10 min, killed); materialized it runs
+    * in under a second. Same failure mode, same fix as the k-core
+    * peel oracle. */
   private def oBpeChain(bpeRounds: Int): String = {
     // ␟tok␟␟tok␟ wrapped state + boundary-anchored literal patterns —
     // byte-for-byte the [[bpeLoop]] spellings
     val retok = "string_split(trim(s, chr(1)), chr(1) || chr(1))"
     val rounds = (1 to bpeRounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pair, COUNT(*) AS cnt FROM (
          |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
          |      k -> t[k] || chr(1) || t[k + 1])) AS pair
          |    FROM (SELECT $retok AS t FROM d${r - 1}))
          |  GROUP BY pair),
-         |m$r AS (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |d$r AS (
+         |m$r AS MATERIALIZED (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |d$r AS MATERIALIZED (
          |  SELECT doc_id, n0, replace(s,
          |      COALESCE(chr(1) || replace(m$r.pair, chr(1), chr(1) || chr(1)) || chr(1), chr(2)),
          |      COALESCE(chr(1) || replace(m$r.pair, chr(1), '') || chr(1), '')) AS s
          |  FROM d${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""d0 AS (
+    s"""d0 AS MATERIALIZED (
        |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n0,
        |    chr(1) || array_to_string(t, chr(1) || chr(1)) || chr(1) AS s
        |  FROM (SELECT doc_id, $oTokens AS t FROM documents) WHERE len(t) > 0),
@@ -545,25 +553,25 @@ object TextAnalysis {
     Q("text_pagerank", pagerank, Some {
       // the same integer rounds [[pagerank]] runs, unrolled as CTEs
       val rounds = (0 until PrIters).map { i =>
-        s"""c$i AS (
+        s"""c$i AS MATERIALIZED (
            |  SELECT dst, (pr * c) // ow AS contrib
            |  FROM edges JOIN outw USING (src) JOIN pr$i ON pr$i.word = edges.src),
-           |s$i AS (SELECT dst AS word, CAST(SUM(contrib) AS BIGINT) AS s FROM c$i GROUP BY dst),
-           |pr${i + 1} AS (
+           |s$i AS MATERIALIZED (SELECT dst AS word, CAST(SUM(contrib) AS BIGINT) AS s FROM c$i GROUP BY dst),
+           |pr${i + 1} AS MATERIALIZED (
            |  SELECT word, CAST((15 * CAST($PrScale AS BIGINT)) // (100 * n_nodes)
            |    + ($PrDampPct * COALESCE(s, 0)) // 100 AS BIGINT) AS pr
            |  FROM nodes CROSS JOIN n LEFT JOIN s$i USING (word))""".stripMargin
       }.mkString(",\n")
-      s"""WITH tok AS (SELECT $oTokens AS t FROM documents),
+      s"""WITH tok AS MATERIALIZED (SELECT $oTokens AS t FROM documents),
          |e0 AS (
          |  SELECT t[g] AS src, t[g+1] AS dst
          |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
          |        FROM tok WHERE len(t) >= 2)),
-         |edges AS (SELECT src, dst, COUNT(*) AS c FROM e0 GROUP BY src, dst),
-         |outw AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ow FROM edges GROUP BY src),
-         |nodes AS (SELECT src AS word FROM edges UNION SELECT dst AS word FROM edges),
+         |edges AS MATERIALIZED (SELECT src, dst, COUNT(*) AS c FROM e0 GROUP BY src, dst),
+         |outw AS MATERIALIZED (SELECT src, CAST(SUM(c) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT src AS word FROM edges UNION SELECT dst AS word FROM edges),
          |n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
-         |pr0 AS (SELECT word, CAST($PrScale AS BIGINT) // n_nodes AS pr FROM nodes CROSS JOIN n),
+         |pr0 AS MATERIALIZED (SELECT word, CAST($PrScale AS BIGINT) // n_nodes AS pr FROM nodes CROSS JOIN n),
          |$rounds
          |SELECT word, pr FROM pr$PrIters ORDER BY pr DESC, word LIMIT 20""".stripMargin
     }),

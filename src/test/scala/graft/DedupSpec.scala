@@ -365,6 +365,56 @@ class DedupSpec extends SparkSpec {
     assert(i3 <= i2, s"round 3 raised inertia: $i2 -> $i3")
   }
 
+  test("jw block width steps with the corpus decade and caps expected block size") {
+    // the smallest w with n ≤ 16000·10^(w−1): expected block
+    // n/(25·10^w) ≤ 64 whenever the width is not at its cap
+    assert(Dedup.jwBlockWidth(500) == 1)
+    assert(Dedup.jwBlockWidth(16000) == 1)
+    assert(Dedup.jwBlockWidth(16001) == 2)
+    assert(Dedup.jwBlockWidth(160000) == 2)
+    assert(Dedup.jwBlockWidth(5000000) == 4)
+    assert(Dedup.jwBlockWidth(Long.MaxValue) == 8)
+    for (n <- Seq(1L, 999L, 20000L, 123456789L, 16000000000L)) {
+      val w = Dedup.jwBlockWidth(n)
+      assert(w >= 1 && w <= 8)
+      if (w < 8)
+        assert(n <= 64L * 25 * math.pow(10, w).toLong,
+          s"n=$n w=$w violates the expected-block cap")
+      if (w > 1) // one decade narrower would blow the cap — width is minimal
+        assert(n > 16000L * math.pow(10, w - 2).toLong)
+    }
+  }
+
+  test("jw block accounting: candidates stay O(N·max_block), widths agree") {
+    val sf001 = "/root/testdata/sf0.001"
+    val stats = Dedup.jwBlockStats(spark, sf001).collect()
+    assert(stats.nonEmpty)
+    val n = spark.read.parquet(s"$sf001/customer.parquet").count()
+    val maxBlock = stats.map(_.getAs[Long]("block_size")).max
+    val totalCand = stats.map(_.getAs[Long]("n_candidate_pairs")).sum
+    val width = stats.map(_.getAs[Int]("blk_width")).distinct
+    assert(width.sameElements(Array(Dedup.jwBlockWidth(n))))
+    // the within-block quadratic mass is bounded by N·max_block —
+    // the histogram makes the declared granularity promise checkable
+    assert(totalCand <= n * maxBlock,
+      s"candidates $totalCand exceed N·maxblock = ${n * maxBlock}")
+    // histogram masses cover the whole keyed corpus
+    assert(stats.map(r => r.getAs[Long]("block_size") * r.getAs[Long]("n_blocks")).sum == n)
+  }
+
+  test("multi-pass sorted neighborhood: reversed-core pass only adds recall") {
+    val row = Dedup.erSnMultipass(spark, sf).collect().head
+    val r1 = row.getAs[Double]("recall_pass1")
+    val rc = row.getAs[Double]("recall_combined")
+    val nc = row.getAs[Long]("n_combined")
+    assert(rc >= r1, s"combined $rc below single-pass $r1")
+    assert(rc <= 1.0 + 1e-12)
+    // union is a real union: no bigger than the passes' sum, no
+    // smaller than the larger pass
+    assert(nc <= row.getAs[Long]("n_pass1") + row.getAs[Long]("n_pass2"))
+    assert(nc >= math.max(row.getAs[Long]("n_pass1"), row.getAs[Long]("n_pass2")))
+  }
+
   test("hyperplane buckets are deterministic and within range") {
     val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
