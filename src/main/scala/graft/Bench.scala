@@ -23,7 +23,9 @@ object Bench {
     // or killed run must leave NO file (read as "run failed"), never
     // a stale summary that parses as this run's numbers.
     val summaryPath = java.nio.file.Paths.get("target", "bench_summary.json")
+    val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.deleteIfExists(summaryPath)
+    java.nio.file.Files.deleteIfExists(detailPath)
     // Optional comma-separated name filter for profiling a subset
     // (e.g. SPARK_GRAFT_BENCH_ONLY=scalar_dates,pipeline_corpus_prep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -140,7 +142,16 @@ object Bench {
     // for humans and logs; the summary's "queries" carries just the 10
     // slowest by min-of-passes — the entries a regression hunt reads
     // first — and stays well under the tail window.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${qjson(results)},"queries_p1":${qjson(p1)},"queries_p2":${qjson(p2)}}""")
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${qjson(results)},"queries_p1":${qjson(p1)},"queries_p2":${qjson(p2)},"queries_p3":${qjson(p3)},"errors":$errJson,"sf":"$sfDir"}"""
+    println(detail)
+    // The stdout copy of the detail line routinely falls off the
+    // driver's ~2 KB stdout tail (r13 kept ~62 of ~75 entries);
+    // cross-round per-query comparison needs the WHOLE map durably,
+    // so the detail ships as its own artifact file alongside the
+    // summary.
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2+adaptive-3rd-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}"""
     println(summary)

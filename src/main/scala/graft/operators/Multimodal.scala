@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Core._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star): media as opaque `binary`
@@ -269,6 +269,25 @@ object Multimodal {
     }
   }
 
+  /** The document's text cycled to fill exactly `n` payload bytes —
+    * the shared media-fixture construction ([[wavTable]],
+    * [[bmpTable]], [[ppmOf]]).
+    *
+    * GUARDED: the repeat/substring here is CHARACTER-indexed while
+    * the JVM codecs and the DuckDB oracles index BYTES — they agree
+    * only when the text is pure ASCII (octet length == char length)
+    * and non-empty (an empty text would divide by zero into a NULL
+    * payload that NPEs the decoder). The driver corpus satisfies
+    * both, but silently DEPENDING on that would desynchronize the
+    * engines on the first non-ASCII document; the guard turns the
+    * shared assumption into an enforced per-row invariant that fails
+    * loudly instead. */
+  private def cycledText(n: Int): Column = expr(
+    s"""CASE WHEN octet_length(text) = char_length(text) AND length(text) >= 1
+       |THEN CAST(substring(repeat(text, CAST($n div length(text) AS INT) + 1), 1, $n) AS BINARY)
+       |ELSE CAST(raise_error('media fixture requires non-empty ASCII text; got doc_id=' || doc_id) AS BINARY)
+       |END""".stripMargin)
+
   /** documents → REAL binary WAV files: canonical RIFF/fmt/data
     * header plus PCM16LE samples drawn from the document's own bytes
     * cycled to fill the payload (the audio analogue of [[ppmTable]];
@@ -279,10 +298,7 @@ object Multimodal {
   def wavTable(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"),
-        concat(
-          lit(WavCodec.header),
-          expr(s"CAST(substring(repeat(text, CAST($WavDataBytes div length(text) AS INT) + 1), " +
-            s"1, $WavDataBytes) AS BINARY)")).as("media"))
+        concat(lit(WavCodec.header), cycledText(WavDataBytes)).as("media"))
 
   /** Registered query: real audio decode — chunk-walk every RIFF
     * container and fold PCM sample statistics, in the same batched
@@ -380,10 +396,7 @@ object Multimodal {
   def bmpTable(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"),
-        concat(
-          lit(BmpCodec.header),
-          expr(s"CAST(substring(repeat(text, CAST($BmpDataBytes div length(text) AS INT) + 1), " +
-            s"1, $BmpDataBytes) AS BINARY)")).as("media"))
+        concat(lit(BmpCodec.header), cycledText(BmpDataBytes)).as("media"))
 
   /** Registered query: real bitmap decode — header parse + padded
     * bottom-up BGR raster fold, batched partition-local like
@@ -418,8 +431,7 @@ object Multimodal {
       .select(col("doc_id"),
         concat(
           lit(s"P6\n$PpmW $PpmH\n255\n").cast("binary"),
-          expr(s"CAST(substring(repeat(text, CAST($PpmBytes div length(text) AS INT) + 1), " +
-            s"1, $PpmBytes) AS BINARY)")).as("media"))
+          cycledText(PpmBytes)).as("media"))
 
   /** (doc_id, dhash) of any (doc_id, text) frame — decode + hash as
     * ONE codegen'd expression ([[graft.plans.PpmDhash]]), so the

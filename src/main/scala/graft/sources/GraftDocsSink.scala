@@ -399,9 +399,27 @@ private[sources] class GraftSinkStreamingWrite(root: String, writeId: String)
     GraftDocsSink.versions(root).lastOption
       .fold(Seq.empty[String])(GraftDocsSink.manifestLines(root, _))
 
+  /** Durable epoch ledger entry OUTSIDE the snapshot line list: the
+    * in-manifest `#epoch=` markers are carried forward by appends but
+    * ERASED by a batch overwrite's fresh manifest, so a commit
+    * re-delivered after an interleaved overwrite (crash between
+    * commit and checkpoint advance, then a batch overwrite) would no
+    * longer find its marker and republish the epoch's rows into the
+    * post-overwrite snapshot. A `_txn/<writeId>-e<epochId>` file is
+    * the overwrite-proof record (Delta's SetTransaction idea, as a
+    * file). Written AFTER the manifest publish — a crash in between
+    * is healed because the replay that finds the marker backfills the
+    * ledger below; only a crash in that window followed by an
+    * overwrite BEFORE the stream restarts can still double-publish,
+    * and that requires a second writer inside the recovery window. */
+  private def txnPath(epochId: Long) =
+    Paths.get(root, "_txn", ns(epochId))
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"#epoch=${ns(epochId)}"
-    if (!currentLines().contains(marker)) {
+    val committed = Files.exists(txnPath(epochId)) ||
+      currentLines().contains(marker)
+    if (!committed) {
       val published = GraftSinkWriters.publishStaged(root, messages)
       GraftDocsSink.publishManifest(root, ns(epochId)) { () =>
         val base = currentLines()
@@ -409,6 +427,11 @@ private[sources] class GraftSinkStreamingWrite(root: String, writeId: String)
         else base ++ published :+ marker
       }
     }
+    // ledger backfill is idempotent and also covers the replay that
+    // found a marker published by a pre-crash twin
+    Files.createDirectories(txnPath(epochId).getParent)
+    try Files.createFile(txnPath(epochId))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     GraftSinkWriters.sweep(root, ns(epochId))
   }
 

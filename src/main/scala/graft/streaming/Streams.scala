@@ -1224,10 +1224,17 @@ object Streams {
       .start()
     awaitAndLog(q, "streamDsv2Sink")
     val nVersions = graft.sources.GraftDocsSink.versions(tableDir).size
+    // the expected epoch count is the ACTUAL source file count, not
+    // the requested partition count: repartitionByRange(4) on a
+    // small/skewed corpus may write fewer non-empty files, and with
+    // maxFilesPerTrigger=1 each file is exactly one epoch/snapshot
+    val nSrcFiles = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
     s.read.format("graft.sources.GraftDocsSink").option("path", tableDir).load()
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("rt_md5"),
-        lit(nVersions >= 4).as("multi_snapshots"))
+        lit(nVersions >= math.max(1, nSrcFiles)).as("multi_snapshots"))
       .orderBy("doc_id")
   }
 

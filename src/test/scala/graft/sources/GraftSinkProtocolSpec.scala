@@ -175,6 +175,25 @@ class GraftSinkProtocolSpec extends SparkSpec {
     assert(readBack(root) == Set((9L, "batch"), (2L, "stream1")))
   }
 
+  test("epoch re-delivery after a batch overwrite publishes nothing (_txn ledger)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sw = new GraftSinkStreamingWrite(root, "q1")
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "stream0")))))
+    // crash between the commit and the checkpoint advance... then a
+    // batch overwrite lands: its fresh manifest carries NO #epoch
+    // markers, so the in-snapshot ledger alone would forget epoch 0
+    val mb = writeRows(root, "jobB", 0, 1L, Seq((9L, "batch")))
+    new GraftSinkBatchWrite(root, "jobB").commit(Array(mb))
+    // stream restarts and re-delivers epoch 0: the _txn file is the
+    // overwrite-proof record — nothing republishes
+    sw.commit(0L, Array(stageEpoch(root, "q1", 0L, Seq((1L, "stream0")))))
+    assert(readBack(root) == Set((9L, "batch")),
+      "re-delivered epoch republished into the overwritten snapshot")
+    assert(GraftDocsSink.versions(root).size == 2,
+      "re-delivery must not add a snapshot")
+    assert(!Files.exists(Paths.get(root, "staging")), "re-staged files swept")
+  }
+
   test("overwrite flips atomically; vacuum honors retained snapshots; expire reclaims") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
     def writeDf(rows: Seq[(Long, String)]): Unit =
