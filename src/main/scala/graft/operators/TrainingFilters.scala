@@ -190,10 +190,12 @@ object TrainingFilters {
     * distinct fingerprint set is position-independent — no
     * rightmost-tie bookkeeping is needed for set semantics. */
   /** (doc_id, n_grams, fps): each doc's winnowing-selected distinct
-    * fingerprint set — shared by the per-doc report and the pair
-    * report. */
-  private def winnowFps(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    * fingerprint set — shared by the per-doc report, the pair report,
+    * and the streaming index maintainer (which computes it per
+    * micro-batch; the selection is a pure per-row function, so the
+    * per-batch sets equal the batch-computed ones row for row). */
+  private[graft] def winnowFpsOf(docFrame: DataFrame): DataFrame =
+    docFrame
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= WinK + WinW - 1)
       .withColumn("th", transform(col("t"), tk => polyHash(tk)))
@@ -205,6 +207,9 @@ object TrainingFilters {
         array_distinct(
           transform(sequence(lit(1), size(col("g")) - (WinW - 1)), j =>
             array_min(slice(col("g"), j, lit(WinW))))).as("fps"))
+
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    winnowFpsOf(docs(s, d))
 
   def winnowing(s: SparkSession, d: String): DataFrame = {
     val f = cached(winnowFps(s, d))
@@ -236,9 +241,16 @@ object TrainingFilters {
     * [[WinMaxDf]] before the join, so per-fingerprint fan-out is
     * bounded. Shuffles carry (fingerprint) then (pair) keys; the
     * score is exact integers + one double division. */
-  def winnowingPairs(s: SparkSession, d: String): DataFrame = {
-    val f = cached(winnowFps(s, d))
-    val e = cached(f.select(col("doc_id"), explode(col("fps")).as("h")))
+  /** The pair derivation over ANY (doc_id, h) fingerprint index plus
+    * a (doc_id, nf) size table — shared by the batch report and the
+    * streaming index maintainer, so "pairs from the maintained index"
+    * and "pairs from a batch scan" are literally the same plan. The
+    * df-cap is applied HERE, at pairing time, because a fingerprint's
+    * document frequency is a corpus-level property that an
+    * append-only per-doc index cannot finalize early. */
+  private[graft] def winnowPairReport(
+      index: DataFrame, sizes: DataFrame): DataFrame = {
+    val e = cached(index)
     val rare = e.groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= WinMaxDf).select("h")
     // select explicitly: the semi join reorders columns key-first
@@ -247,7 +259,6 @@ object TrainingFilters {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-    val sizes = f.select(col("doc_id"), size(col("fps")).as("nf"))
     pairs
       .join(sizes.toDF("a", "nfa"), "a")
       .join(sizes.toDF("b", "nfb"), "b")
@@ -256,6 +267,39 @@ object TrainingFilters {
           least(col("nfa"), col("nfb"))).as("overlap"))
       .orderBy("doc_a", "doc_b")
   }
+
+  def winnowingPairs(s: SparkSession, d: String): DataFrame = {
+    val f = cached(winnowFps(s, d))
+    winnowPairReport(
+      f.select(col("doc_id"), explode(col("fps")).as("h")),
+      f.select(col("doc_id"), size(col("fps")).as("nf")))
+  }
+
+  /** The pair-report oracle — shared verbatim by the batch query and
+    * the streaming index maintainer (`stream_winnowing_pairs`): the
+    * maintained index is row-for-row the batch-scanned one, so one
+    * SQL is the truth for both. */
+  private[graft] lazy val oWinnowPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
+       |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
+       |       FROM t WHERE len(tok) >= ${WinK + WinW - 1}),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, len(th) - ${WinK - 1}),
+       |       i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${WinK - 1}]),
+       |            (a, b) -> (a * $M + b) % $P)) AS g FROM th),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |       list_distinct(list_transform(generate_series(1, len(g) - ${WinW - 1}),
+       |        j -> list_min(g[j:j+${WinW - 1}]))) AS fps FROM g),
+       |e AS (SELECT doc_id, unnest(fps) AS h FROM f),
+       |rare AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= $WinMaxDf),
+       |ee AS MATERIALIZED (SELECT doc_id, h FROM e JOIN rare USING (h)),
+       |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+       |      FROM ee x JOIN ee y ON x.h = y.h AND x.doc_id < y.doc_id
+       |      GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= 2),
+       |sz AS (SELECT doc_id, len(fps) AS nf FROM f)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) AS overlap
+       |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
   // Unigram-model frequency scoring (perplexity stand-in)
@@ -442,27 +486,7 @@ object TrainingFilters {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     // oracle: same selected-fingerprint sets, same df guard, same
     // equi-join pairing and containment-style score
-    Q("filter_winnowing_pairs", winnowingPairs, Some(
-      s"""WITH t AS (SELECT doc_id, $oTok AS tok FROM documents),
-         |th AS (SELECT doc_id, list_transform(tok, s -> ${oPolyHash("s")}) AS th
-         |       FROM t WHERE len(tok) >= ${WinK + WinW - 1}),
-         |g AS (SELECT doc_id, list_transform(generate_series(1, len(th) - ${WinK - 1}),
-         |       i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${WinK - 1}]),
-         |            (a, b) -> (a * $M + b) % $P)) AS g FROM th),
-         |f AS (SELECT doc_id,
-         |       list_distinct(list_transform(generate_series(1, len(g) - ${WinW - 1}),
-         |        j -> list_min(g[j:j+${WinW - 1}]))) AS fps FROM g),
-         |e AS (SELECT doc_id, unnest(fps) AS h FROM f),
-         |rare AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= $WinMaxDf),
-         |ee AS (SELECT doc_id, h FROM e JOIN rare USING (h)),
-         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
-         |      FROM ee x JOIN ee y ON x.h = y.h AND x.doc_id < y.doc_id
-         |      GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= 2),
-         |sz AS (SELECT doc_id, len(fps) AS nf FROM f)
-         |SELECT doc_a, doc_b, n_shared,
-         |  CAST(n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) AS overlap
-         |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin)),
+    Q("filter_winnowing_pairs", winnowingPairs, Some(oWinnowPairsSql)),
     Q("filter_unigram_score", unigramScore, Some(
       s"""WITH t AS (SELECT doc_id, unnest($oTok) AS word FROM documents),
          |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY doc_id, word),

@@ -772,6 +772,57 @@ object Streams {
     s.read.parquet(curState.get).orderBy("vec_id", "tbl")
   }
 
+  /** Streaming winnowing-index maintenance — the hygiene-family
+    * analogue of [[streamAnnUpsert]], closing the last batch-only gap
+    * in the MOSS overlap family: documents ARRIVE (file replay, 4
+    * micro-batches) and `foreachBatch` incrementally upserts the
+    * (fingerprint → doc) index (plus each doc's fingerprint count).
+    * Winnowing selection is a pure per-row function, so each batch
+    * contributes exactly its own docs' rows, and redelivery dedup on
+    * (doc_id, h) is lossless — a duplicate row is bit-identical. The
+    * df-cap and the pair join run at READ time over the maintained
+    * index through literally the same
+    * [[graft.operators.TrainingFilters.winnowPairReport]] plan as the
+    * batch report: a fingerprint's document frequency is corpus-level
+    * state only the final index knows, so capping early would change
+    * semantics (a hash can cross the boilerplate threshold in a later
+    * batch). Replay parity is structural — the maintained index
+    * equals the batch-scanned one row for row. Scale: per batch only
+    * that batch's (doc_id, nf, h) rows are computed map-side; the
+    * standing index is unioned in as a parquet leaf, never
+    * recomputed, and stores 24 bytes/fingerprint. */
+  def streamWinnowingPairs(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-win-src")
+    graft.Tables(s, d, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-win-state")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val f = graft.operators.TrainingFilters.winnowFpsOf(batch)
+        val entries = f.select(col("doc_id"), size(col("fps")).as("nf"),
+          explode(col("fps")).as("h"))
+        val merged = curState match {
+          case None => entries
+          case Some(p) => s.read.parquet(p).unionByName(entries)
+            .dropDuplicates("doc_id", "h")
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamWinnowingPairs")
+    val idx = s.read.parquet(curState.get)
+    graft.operators.TrainingFilters.winnowPairReport(
+      idx.select("doc_id", "h"),
+      idx.groupBy("doc_id").agg(max("nf").as("nf")))
+  }
+
   /** Streaming NEAR-dup ingest filter — the fuzzy sibling of
     * [[streamDedupExact]]: documents ARRIVE (file replay, 4
     * micro-batches) and only band-bucket canonicals survive. The
@@ -1372,6 +1423,10 @@ object Streams {
       s"""WITH b AS (${graft.functions.Vectors.oBucketCte()})
          |SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, bucket
          |FROM b ORDER BY vec_id, tbl""".stripMargin)),
+    // the incrementally-maintained index equals the batch scan row for
+    // row, so the batch pair-report oracle is the streaming truth too
+    Q("stream_winnowing_pairs", streamWinnowingPairs,
+      Some(graft.operators.TrainingFilters.oWinnowPairsSql)),
     Q("stream_hll_users", streamHllUsers, Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound

@@ -210,4 +210,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("incrementally maintained winnowing index yields the batch pair report") {
+    val streamed = Streams.streamWinnowingPairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // the index really accretes over 4 micro-batches (one per source
+    // file) — a single-batch replay would never exercise the merge
+    assert(Streams.lastBatches._1 == 4, s"batches=${Streams.lastBatches}")
+    val batch = graft.operators.TrainingFilters.winnowingPairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
