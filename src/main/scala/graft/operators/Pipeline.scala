@@ -349,6 +349,73 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  private val BinCap = 64 // whole-doc packing capacity in tokens
+
+  /** Whole-document bin packing (next-fit-decreasing) — the OTHER
+    * packing discipline next to [[packSequences]]'s concat-and-chunk:
+    * instruction-tuning and boundary-respecting pretraining must NOT
+    * split a document across training sequences, so docs pack WHOLE
+    * into [[BinCap]]-token bins and the cost metric is bin count +
+    * fill fraction, not split count. Exact first-fit-decreasing is
+    * inherently sequential (every placement consults every open
+    * bin), so the scalable spelling is per-shard NEXT-fit-decreasing:
+    * hash-shard the corpus (16 ways here; thousands at 100 TB — the
+    * greedy runs independently per shard), sort each shard by
+    * (n_tokens DESC, doc_id), and fold left to right, opening a new
+    * bin whenever the next doc no longer fits. The fold's running
+    * fill RESETS on overflow — a non-associative scan no
+    * window/cumsum can express — so this is the one operator class
+    * where a sortWithinPartitions + mapPartitions fold IS the right
+    * Spark tool (per-partition imperative state, zero extra shuffle
+    * beyond the shard exchange). Decreasing order is the classic
+    * variance reducer (big items first, small items fill the tails).
+    * Docs longer than the capacity cannot pack whole and are counted
+    * out per shard instead of silently truncated. The oracle replays
+    * the identical fold as a rank-recursive CTE, and
+    * `assign_checksum` = Σ doc_id·(bin+1) pins every per-doc bin
+    * assignment, not just the aggregate counts. */
+  def binPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = BinCap
+    val base = cached(Tables(s, d, "documents")
+      .withColumn("n", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("n") > 0)
+      .withColumn("shard",
+        pmod(polyHash(concat(col("text"), lit("19"))), lit(16)).cast("int")))
+    val oversize = base.filter(col("n") > L)
+      .groupBy("shard").agg(count(lit(1)).as("n_oversize"))
+    val packed = base.filter(col("n") <= L)
+      .select(col("shard"), col("doc_id"), col("n"))
+      .repartition(16, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n").desc, col("doc_id"))
+      .as[(Int, Long, Int)]
+      .mapPartitions { it =>
+        // a partition may hold several whole shards; state resets on
+        // the shard boundary (rows arrive shard-grouped by the sort)
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (sh, id, n) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+          if (fill + n > L) { bin += 1; fill = n.toLong } else fill += n
+          (sh, id, n, bin)
+        }
+      }
+      .toDF("shard", "doc_id", "n", "bin")
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max("bin") + 1).as("n_bins"),
+        sum("n").as("total_tokens"),
+        sum(col("doc_id") * (col("bin") + 1)).as("assign_checksum"))
+      .join(oversize, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        col("n_bins"), col("total_tokens"), col("assign_checksum"),
+        (col("total_tokens").cast("double") /
+          (col("n_bins") * L).cast("double")).as("fill_frac"))
+      .orderBy("shard")
+  }
+
   /** Systematic (fixed-interval) WEIGHTED sampling — the exact-count
     * complement to [[sampleMix]]'s Bernoulli hash thresholding. Docs
     * are laid on a per-(source, shard) axis of cumulative character
@@ -700,6 +767,39 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin)),
+    // oracle: the identical next-fit-decreasing fold, replayed as a
+    // rank-recursive CTE (one rank per shard per step — the
+    // non-associative fill reset is exactly what recursion expresses
+    // and windows cannot); base/t MATERIALIZED per the round-chain rule
+    Q("pipeline_bin_pack", binPack, Some(
+      s"""WITH RECURSIVE t AS MATERIALIZED (
+         |  SELECT doc_id, len($oTok) AS n,
+         |    CAST(${oPolyHash("text || '19'")} % 16 AS INTEGER) AS shard
+         |  FROM documents WHERE len($oTok) > 0),
+         |base AS MATERIALIZED (
+         |  SELECT shard, doc_id, n,
+         |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rk
+         |  FROM t WHERE n <= $BinCap),
+         |pack(shard, rk, doc_id, n, bin, fill) AS (
+         |  SELECT shard, rk, doc_id, n, CAST(0 AS BIGINT), CAST(n AS BIGINT)
+         |  FROM base WHERE rk = 1
+         |  UNION ALL
+         |  SELECT b.shard, b.rk, b.doc_id, b.n,
+         |    CASE WHEN p.fill + b.n > $BinCap THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.fill + b.n > $BinCap THEN CAST(b.n AS BIGINT)
+         |         ELSE p.fill + b.n END
+         |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1),
+         |agg AS (SELECT shard, COUNT(*) AS n_docs, MAX(bin) + 1 AS n_bins,
+         |        CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |        CAST(SUM(doc_id * (bin + 1)) AS BIGINT) AS assign_checksum
+         |        FROM pack GROUP BY shard),
+         |ov AS (SELECT shard, COUNT(*) AS n_oversize FROM t
+         |       WHERE n > $BinCap GROUP BY shard)
+         |SELECT a.shard, a.n_docs, COALESCE(ov.n_oversize, 0) AS n_oversize,
+         |  a.n_bins, a.total_tokens, a.assign_checksum,
+         |  CAST(a.total_tokens AS DOUBLE) / CAST(a.n_bins * $BinCap AS DOUBLE) AS fill_frac
+         |FROM agg a LEFT JOIN ov ON a.shard = ov.shard
+         |ORDER BY a.shard""".stripMargin)),
     Q("pipeline_token_chunks", tokenChunks, Some(
       s"""WITH t AS (
          |  SELECT source, len($oTok) AS n_tokens FROM documents),
