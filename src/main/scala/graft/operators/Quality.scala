@@ -211,6 +211,94 @@ object Quality {
       .orderBy("col_a", "col_b")
   }
 
+  private val HistBuckets = 8
+
+  /** Exact equi-depth histogram over the event values — the
+    * distribution profile a pipeline stores next to a table so later
+    * scans can range-prune and joins can pick salt factors (the
+    * equi-WIDTH histogram is `events_histogram`; equi-DEPTH is the
+    * one that stays informative under skew because every bucket
+    * holds the same row count by construction). Exact, not sketched:
+    * each value's GLOBAL rank comes from the same two-phase
+    * range-partition spelling as `pipeline_global_ids` (per-partition
+    * row_number + broadcast cumulative offsets — never a
+    * single-partition global window), and bucket = rank·B div N is
+    * pure integer arithmetic, so boundaries are reproducible
+    * bit-for-bit where an approx-quantile sketch is
+    * parameter-dependent. Values quantize to cents first (the
+    * `stream_user_stats` spelling), making the total order and the
+    * per-bucket min/max integer-exact. Shuffles: one range exchange
+    * of (cents, event_id); the rest is |partitions|- and B-row
+    * frames. */
+  def equidepthHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = HistBuckets
+    val ev = Tables(s, d, "events")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        col("event_id"))
+    val parts = cached(ev.repartitionByRange(32, col("v"), col("event_id"))
+      .withColumn("pid", spark_partition_id()))
+    // |partitions| rows: the deliberate tiny single-partition window
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"),
+        coalesce(sum("cnt").over(prior), lit(0L)).as("off"))
+    val local = Window.partitionBy("pid").orderBy("v", "event_id")
+    val tot = parts.agg(count(lit(1)).as("n"))
+    parts
+      .withColumn("lrk", row_number().over(local).cast("long"))
+      .join(broadcast(offs), "pid")
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        expr(s"((off + lrk - 1) * $B) div n").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("min_cents"), max("v").as("max_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Robust outlier gate: per event type the exact MEDIAN of the
+    * cents-quantized values, the MAD (median absolute deviation),
+    * and the count of values beyond 3σ-equivalent (|v − med| >
+    * 4.4478·MAD, the Gaussian-consistency constant 3·1.4826 written
+    * as ONE literal so both engines parse the identical double) —
+    * the data-quality alarm that, unlike mean/stddev z-scores, a few
+    * corrupt rows cannot drag along with them. Medians are the exact
+    * interpolated percentile (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the same (n−1)·p lower+frac·(upper−lower)
+    * formula) over integer cents, so every intermediate is an exact
+    * IEEE double and the comparison is bit-reproducible. Scale: two
+    * scans of a cached (type, cents) projection, per-type exact
+    * percentiles (each type's values shuffle to its own aggregation
+    * state — at 100 TB swap in the rank-band spelling
+    * `events_value_deciles` already demonstrates if a single type
+    * outgrows an executor), and one broadcast of the |types|-row
+    * median table back onto the deviation pass. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val K = 4.4478 // 3 * 1.4826, one literal on both engines
+    val ev = cached(Tables(s, d, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v")))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("v"), lit(0.5)).as("median_cents"))
+    val dev = cached(ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v").cast("double") - col("median_cents"))))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("median_cents")).as("median_cents"), // constant per type
+        percentile(col("adev"), lit(0.5)).as("mad_cents"),
+        max(col("adev")).as("max_abs_dev"))
+    dev.join(broadcast(stats.select("event_type", "mad_cents")), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("adev") > col("mad_cents") * K, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .join(stats, "event_type")
+      .select(col("event_type"), col("n_events"), col("median_cents"),
+        col("mad_cents"), col("max_abs_dev"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[Q] = Seq(
     // oracle: one global ordered cumsum (fine at oracle size; the
     // engine's two-phase spelling exists for the 100 TB case) over
@@ -255,6 +343,41 @@ object Quality {
          |$rows
          |ORDER BY col_a, col_b""".stripMargin
     }),
+    // oracle: one global ordered row_number (fine at oracle size; the
+    // engine's two-phase rank exists for the 100 TB case) over the
+    // same cents quantization and the same integer bucket formula
+    Q("quality_equidepth_hist", equidepthHist, Some(
+      s"""WITH q AS (
+         |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+         |  FROM events),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) - 1 AS rk FROM q),
+         |t AS (SELECT COUNT(*) AS n FROM q)
+         |SELECT CAST((rk * $HistBuckets) // n AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_rows, MIN(v) AS min_cents, MAX(v) AS max_cents
+         |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin)),
+    // oracle: quantile_cont IS Spark's percentile (same interpolated
+    // (n-1)p formula); the 4.4478 consistency constant is one shared
+    // literal so both engines compare against the identical double
+    Q("quality_mad_outliers", madOutliers, Some(
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS median_cents
+        |        FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, ABS(CAST(v AS DOUBLE) - median_cents) AS adev,
+        |               median_cents
+        |        FROM e JOIN med USING (event_type)),
+        |st AS (SELECT event_type, COUNT(*) AS n_events,
+        |         MAX(median_cents) AS median_cents,
+        |         quantile_cont(adev, 0.5) AS mad_cents,
+        |         MAX(adev) AS max_abs_dev
+        |       FROM dev GROUP BY event_type)
+        |SELECT st.event_type, st.n_events, st.median_cents, st.mad_cents,
+        |  st.max_abs_dev,
+        |  CAST(SUM(CASE WHEN dev.adev > st.mad_cents * 4.4478
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN st USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY st.event_type""".stripMargin)),
     Q("quality_key_skew", keySkew, Some(
       """WITH stats AS (
         |  SELECT 'events.user_id' AS key_name, user_id AS k, COUNT(*) AS m

@@ -752,6 +752,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(900))
   }
 
+  test("equi-depth histogram ranks through the partitioned two-phase window") {
+    val s = executed(graft.operators.Quality.equidepthHist(spark, sf))
+    // the per-row rank window is partitioned by pid (full
+    // parallelism); only the |partitions|-row offsets cumsum is an
+    // ORDER-BY-without-PARTITION window
+    assert(s.matches("(?s).*windowspecdefinition\\(pid#.*"), s.take(1200))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+  }
+
   test("correlation matrix scans lineitem once; moments aggregate map-side") {
     val s = executed(graft.operators.Quality.corrMatrix(spark, sf))
     // all 15 decimal moments ride ONE scan + one partial/final agg
