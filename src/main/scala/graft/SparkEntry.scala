@@ -127,11 +127,16 @@ object SparkEntry {
     // one scan, 15 decimal(38,0) sums, correlations derived in the
     // final projection; no other benched query times this family
     "quality_corr_matrix",
+    // the two-phase global-rank family on the big events table (r14):
+    // range exchange + pid-partitioned window + broadcast offsets —
+    // ks_drift/global_ids are its correctness-only shape twins
+    "quality_equidepth_hist",
     // multimodal
     "multimodal_features",
-    // pipeline
+    // pipeline — bin_pack is the one sortWithinPartitions +
+    // per-partition imperative fold family in the catalog (r14)
     "pipeline_corpus_prep", "pipeline_full", "pipeline_mix_weights",
-    "pipeline_pack_sequences",
+    "pipeline_pack_sequences", "pipeline_bin_pack",
     // streaming
     "stream_wordcount", "stream_heavy_hitters",
     "stream_dedup_watermarked", "stream_user_stats",

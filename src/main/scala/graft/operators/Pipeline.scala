@@ -349,6 +349,38 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Pairwise source-vocabulary overlap — the mixture-design
+    * diagnostic read before setting [[mixWeights]]: two sources whose
+    * vocabularies barely overlap contribute diversity; near-identical
+    * vocabularies mean the mixture is double-counting one
+    * distribution. Exact Jaccard between each source pair's DISTINCT
+    * token sets, spelled as the set-similarity equi-join (distinct
+    * (source, token) → self-join on token, a < b → shared count;
+    * never an all-pairs comparison of vocabularies as arrays). Scale:
+    * the distinct projection collapses the corpus to |vocab|·|sources|
+    * rows before anything wide; the token join's fan-out per token is
+    * ≤ |sources|² with |sources| small by construction — the shuffle
+    * carries (token) then (source-pair) keys. Integer counts, one
+    * double division. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = cached(Tables(s, d, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct())
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("nv"))
+    val shared = st.toDF("sa", "tok").join(st.toDF("sb", "tok"), "tok")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("sa", "nva"), "sa")
+      .join(sizes.toDF("sb", "nvb"), "sb")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("nva").as("vocab_a"), col("nvb").as("vocab_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("nva") + col("nvb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   private val BinCap = 64 // whole-doc packing capacity in tokens
 
   /** Whole-document bin packing (next-fit-decreasing) — the OTHER
@@ -767,6 +799,18 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin)),
+    Q("pipeline_source_overlap", sourceOverlap, Some(
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT DISTINCT source, unnest($oTok) AS tok FROM documents),
+         |sz AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+         |sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+         |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, za.nv AS vocab_a, zb.nv AS vocab_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / (za.nv + zb.nv - n_shared) AS jaccard
+         |FROM sh JOIN sz za ON za.source = source_a
+         |        JOIN sz zb ON zb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin)),
     // oracle: the identical next-fit-decreasing fold, replayed as a
     // rank-recursive CTE (one rank per shard per step — the
     // non-associative fill reset is exactly what recursion expresses

@@ -752,6 +752,27 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(900))
   }
 
+  test("bin packing shuffles once (the shard exchange) and never cartesians") {
+    val s = executed(graft.operators.Pipeline.binPack(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // one hash exchange for the shard partitioning feeds the fold; the
+    // report side adds only the B-row aggregate exchanges
+    val hashEx = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(shard"))
+    assert(hashEx >= 1, s.take(1200))
+    // the fold rides a per-partition sort, not a global one
+    assert(s.contains("Sort") && !s.matches("(?s).*Sort \\[shard.*global=true.*"),
+      s.take(1200))
+  }
+
+  test("source overlap joins distinct token sets — no cartesian, no array all-pairs") {
+    val s = executed(graft.operators.Pipeline.sourceOverlap(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // pairs form only through the token equi-join
+    assert(s.matches("(?s).*SortMergeJoin.*tok.*|(?s).*ShuffledHashJoin.*tok.*|(?s).*BroadcastHashJoin.*tok.*"),
+      s.take(1200))
+  }
+
   test("equi-depth histogram ranks through the partitioned two-phase window") {
     val s = executed(graft.operators.Quality.equidepthHist(spark, sf))
     // the per-row rank window is partitioned by pid (full
