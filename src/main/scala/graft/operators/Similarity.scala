@@ -64,6 +64,52 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  private val TripletNegK = 3
+
+  /** Hard-negative triplet mining — the pair/triple generator a
+    * contrastive embedding-training pipeline runs over its corpus:
+    * for each anchor, the single nearest SAME-label vector (the
+    * positive) and the [[TripletNegK]] nearest DIFFERENT-label
+    * vectors (the hard negatives — random negatives are too easy to
+    * teach a margin), with `margin` = pos_score − neg_score per
+    * triple. A negative margin flags the anchors whose hardest
+    * negative already outranks their positive — exactly the triples
+    * a training run must keep. Same execution posture as
+    * [[topkBrute]]: anchors broadcast, ONE corpus pass scores both
+    * roles, two bounded per-anchor windows pick positives and
+    * negatives. At 100 TB the anchor set is the (small) training
+    * batch — the corpus-side plan is a scan, never a self-shuffle;
+    * the LSH-bucketed candidate path ([[topkLsh]]) slots in when
+    * exactness is traded for probe cost. */
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embd").as("qv"), col("nrm").as("qn"))
+    val scored = cached(e.select(col("vec_id"), col("label"), col("embd"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("score", score)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("score")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= TripletNegK)
+      .select(col("q_id"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("score").as("neg_score"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"), col("neg_score"),
+        (col("pos_score") - col("neg_score")).as("margin"))
+      .orderBy("q_id", "neg_rank")
+  }
+
   /** Approximate top-k via hyperplane LSH: candidates share a bucket
     * with the query in ≥ 1 of the 8 tables; exact cosine re-ranks
     * the candidates only. */
@@ -990,6 +1036,28 @@ object Similarity {
          |FROM assigned WHERE rn = 1
          |GROUP BY label, clab ORDER BY label, cluster""".stripMargin)),
     Q("sim_topk_brute", topkBrute, Some(oBruteSql)),
+    // oracle: the same one-pass scoring with the same (score DESC,
+    // vec_id) tie order, positives and negatives ranked separately
+    Q("sim_triplet_mining", tripletMining, Some(
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label, e.vec_id AS vec_id,
+         |    e.label AS label, $oCosQ AS score
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |pos AS (
+         |  SELECT q_id, vec_id AS pos_id, score AS pos_score FROM (
+         |    SELECT q_id, vec_id, score,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored WHERE label = q_label) WHERE rn = 1),
+         |neg AS (
+         |  SELECT q_id, rn AS neg_rank, vec_id AS neg_id, score AS neg_score FROM (
+         |    SELECT q_id, vec_id, score,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored WHERE label <> q_label) WHERE rn <= $TripletNegK)
+         |SELECT pos.q_id, pos_id, pos_score, neg_rank, neg_id, neg_score,
+         |  pos_score - neg_score AS margin
+         |FROM pos JOIN neg ON pos.q_id = neg.q_id
+         |ORDER BY pos.q_id, neg_rank""".stripMargin)),
     Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
     Q("sim_lsh_recall", lshRecall, Some(oRecall(oLshSql))),
     Q("sim_ivf_recall", ivfRecall, Some(oRecall(oIvfSql))),

@@ -415,6 +415,27 @@ class DedupSpec extends SparkSpec {
     assert(nc >= math.max(row.getAs[Long]("n_pass1"), row.getAs[Long]("n_pass2")))
   }
 
+  test("triplet mining picks same-label positive and hardest different-label negatives") {
+    val sf001 = "/root/testdata/sf0.001"
+    val rows = Similarity.tripletMining(spark, sf001).collect()
+    assert(rows.length % 3 == 0 && rows.nonEmpty)
+    val labels = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(q), s"anchor $q positive label")
+      assert(labels(r.getAs[Long]("neg_id")) != labels(q), s"anchor $q negative label")
+      assert(math.abs(r.getAs[Double]("pos_score") - r.getAs[Double]("neg_score") -
+        r.getAs[Double]("margin")) < 1e-12)
+    }
+    // negatives rank hardest-first within each anchor
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("neg_rank")).map(_.getAs[Double]("neg_score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("hyperplane buckets are deterministic and within range") {
     val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
