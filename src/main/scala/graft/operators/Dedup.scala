@@ -1356,6 +1356,71 @@ object Dedup {
       .orderBy("c_nationkey")
   }
 
+  /** Round budget shared by the BFS engine loop and its unrolled
+    * oracle — both run AT MOST this many frontier expansions, so
+    * parity holds round-for-round whether or not the graph's
+    * seed-eccentricity fits (vertices further than this report −1 in
+    * BOTH engines: the result is the within-R landmark ball, the
+    * semantics a bounded-round distributed BFS actually ships). */
+  private[graft] val BfsRounds = 4
+
+  /** Multi-source BFS landmark distances over the ER match graph —
+    * the fourth classic iterative-graph shape next to connected
+    * components (reachability), k-core (density), and PageRank
+    * (mass): every vertex's hop distance to the NEAREST seed
+    * (landmark) vertex, the feature a graph-aware blocking/review
+    * pass reads ("how far is this record from an audited anchor").
+    * Seeds are the deterministic `c_custkey % 100 = 0` vertices.
+    *
+    * Execution: frontier expansion — per round one adjacency ⋈
+    * frontier semi-join minus the visited set (left anti on the
+    * distance table), with BOTH the adjacency list and each round's
+    * distance table as parquet leaves ([[kcorePeel]]'s lineage cut:
+    * the round-r plan references round r−1 twice — frontier and
+    * visited — so un-checkpointed lineage doubles per round). Early
+    * stop when a round adds nothing (an empty frontier stays empty,
+    * so stopping is semantics-identical to running the full budget).
+    * Shuffles carry (vertex) keys only — never neighborhoods; at
+    * 100 TB this is exactly Pregel's BFS as joins. */
+  def bfsLevels(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e0 = erEdges(cust, customerStrip(s, d)).select("a", "b")
+    val ckpt = graft.Core.tempDir("graft-bfs")
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .write.mode("overwrite").parquet(s"$ckpt/adj")
+    val adj = s.read.parquet(s"$ckpt/adj")
+    val verts = cached(adj.select(col("src").as("v")).distinct())
+    verts.filter(col("v") % 100 === 0)
+      .select(col("v"), lit(0L).as("dist"))
+      .write.mode("overwrite").parquet(s"$ckpt/d0")
+    var dist = s.read.parquet(s"$ckpt/d0")
+    var r = 0
+    var n = dist.count()
+    var growing = n > 0
+    while (r < BfsRounds && growing) {
+      r += 1
+      val frontier = dist.filter(col("dist") === (r - 1)).select("v")
+      val next = adj.join(frontier.toDF("src"), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select("v"), Seq("v"), "left_anti")
+        .select(col("v"), lit(r.toLong).as("dist"))
+      dist.unionAll(next).write.mode("overwrite").parquet(s"$ckpt/d$r")
+      dist = s.read.parquet(s"$ckpt/d$r")
+      val n2 = dist.count()
+      growing = n2 > n
+      n = n2
+    }
+    // diagnostic parity with the [cc]/[kcore] logs
+    System.err.println(s"[bfs] rounds=$r reached=$n")
+    verts.join(dist, Seq("v"), "left")
+      .select(col("v"), coalesce(col("dist"), lit(-1L)).as("distance"))
+      .groupBy("distance")
+      .agg(count(lit(1)).as("n_vertices"), sum("v").as("key_checksum"))
+      .orderBy("distance")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -1981,6 +2046,36 @@ object Dedup {
          |JOIN (SELECT nation, COUNT(*) AS n FROM e$KcoreRounds GROUP BY nation) e
          |  USING (nation)
          |ORDER BY c_nationkey""".stripMargin
+    }),
+    // oracle: the same BfsRounds frontier expansions unrolled as
+    // MATERIALIZED CTEs (each round references its predecessor twice
+    // — frontier and visited — the exact inlining explosion class)
+    Q("graph_bfs_levels", bfsLevels, Some {
+      val rounds = (1 to BfsRounds).map { r =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT q$r.v, CAST($r AS BIGINT) AS dist FROM (
+           |    SELECT DISTINCT adj.dst AS v
+           |    FROM adj JOIN d${r - 1} p ON adj.src = p.v AND p.dist = ${r - 1}) q$r
+           |  WHERE q$r.v NOT IN (SELECT v FROM d${r - 1})),
+           |d$r AS MATERIALIZED (
+           |  SELECT v, dist FROM d${r - 1} UNION ALL SELECT v, dist FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b
+         |  FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |    AND a.c_nationkey = b.c_nationkey
+         |    AND levenshtein(a.c_name, b.c_name) <= 1),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+         |d0 AS MATERIALIZED (
+         |  SELECT v, CAST(0 AS BIGINT) AS dist FROM verts WHERE v % 100 = 0),
+         |$rounds
+         |SELECT COALESCE(dd.dist, -1) AS distance, COUNT(*) AS n_vertices,
+         |  CAST(SUM(verts.v) AS BIGINT) AS key_checksum
+         |FROM verts LEFT JOIN d$BfsRounds dd ON verts.v = dd.v
+         |GROUP BY 1 ORDER BY distance""".stripMargin
     }),
     // oracle: the naive a<b<c triple self-join (correct at oracle
     // size; the engine's degree orientation exists for the celebrity

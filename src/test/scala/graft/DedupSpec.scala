@@ -415,6 +415,33 @@ class DedupSpec extends SparkSpec {
     assert(nc >= math.max(row.getAs[Long]("n_pass1"), row.getAs[Long]("n_pass2")))
   }
 
+  test("bfs landmark distances match a driver-side BFS within the round budget") {
+    val sf001 = "/root/testdata/sf0.001"
+    val rows = Dedup.bfsLevels(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // ground-truth edges straight from the match definition
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val edges = cust.toDF("a", "na", "nata")
+      .crossJoin(cust.toDF("b", "nb", "natb"))
+      .filter($"a" < $"b" && $"nata" === $"natb" &&
+        levenshtein($"na", $"nb") <= 1)
+      .select($"a".as[Long], $"b".as[Long]).collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val verts = adj.keySet
+    var dist = verts.filter(_ % 100 == 0).map(_ -> 0L).toMap
+    for (r <- 1 to 4) {
+      val frontier = dist.collect { case (v, dd) if dd == r - 1 => v }
+      val next = frontier.flatMap(adj(_)).toSet -- dist.keySet
+      dist = dist ++ next.map(_ -> r.toLong)
+    }
+    val expect = verts.groupBy(v => dist.getOrElse(v, -1L))
+      .map { case (dd, vs) => (dd, vs.size.toLong, vs.sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, s"got ${rows.toSeq} expected $expect")
+  }
+
   test("triplet mining picks same-label positive and hardest different-label negatives") {
     val sf001 = "/root/testdata/sf0.001"
     val rows = Similarity.tripletMining(spark, sf001).collect()
