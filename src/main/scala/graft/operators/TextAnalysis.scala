@@ -127,6 +127,52 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Lite suffix stemmer — a fixed, first-match-wins rule list
+    * (sses→ss, ies→y, -ing, -ed, keep -ss, strip -s) with minimum
+    * length guards, the normalization a vocabulary-compression pass
+    * runs before counting. Deliberately spelled with suffix tests +
+    * substring on BOTH engines (no regex at all), so there is no
+    * regex-dialect surface to diverge on; the rule list is the
+    * operator's declared semantics, not an attempt at full Porter. */
+  private def stemLite(t: Column): Column = {
+    def keep(k: Int) = t.substr(lit(1), length(t) - k)
+    when(length(t) > 4 && t.endsWith("sses"), keep(2))
+      .when(length(t) > 4 && t.endsWith("ies"), concat(keep(3), lit("y")))
+      .when(length(t) > 5 && t.endsWith("ing"), keep(3))
+      .when(length(t) > 4 && t.endsWith("ed"), keep(2))
+      .when(t.endsWith("ss"), t)
+      .when(length(t) > 3 && t.endsWith("s"), keep(1))
+      .otherwise(t)
+  }
+
+  /** Top stems by token mass, with the surface-form fan-in each stem
+    * absorbs — the report that quantifies what suffix normalization
+    * buys a vocabulary (n_forms > 1 rows are the compression). The
+    * driver corpus carries no inflected variants, so each document
+    * plants its first token's -s/-ing/-ed forms (the
+    * `filter_pii_scrub` fixture idiom, byte-identical on both
+    * engines) — the merge path is then measured, not vacuous. Pure
+    * map-side stemming; the only shuffle carries (stem, surface)
+    * then (stem) keys. */
+  def stemTop(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("tk", tokens(col("text")))
+      // ANSI element_at ERRORS out of bounds; token-free docs are
+      // skipped like the oracle's IS NOT NULL
+      .withColumn("w", when(size(col("tk")) > 0, element_at(col("tk"), 1)))
+      .filter(col("w").isNotNull)
+      .withColumn("m", concat(col("text"),
+        lit(" "), col("w"), lit("s"),
+        lit(" "), col("w"), lit("ing"),
+        lit(" "), col("w"), lit("ed")))
+      .select(explode(tokens(col("m"))).as("t"))
+      .select(stemLite(col("t")).as("stem"), col("t"))
+      .groupBy("stem", "t").agg(count(lit(1)).as("n"))
+      .groupBy("stem")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_forms"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(20)
+
   private val PrScale = 1000000000L // rank mass in integer micro-units
   private val PrIters = 5
   private val PrDampPct = 85 // damping 0.85 as an integer percentage
@@ -575,6 +621,26 @@ object TextAnalysis {
          |$rounds
          |SELECT word, pr FROM pr$PrIters ORDER BY pr DESC, word LIMIT 20""".stripMargin
     }),
+    // oracle: the identical first-match-wins suffix CASE — ends_with
+    // + substr on both engines, zero regex surface
+    Q("text_stem_top", stemTop, Some(
+      s"""WITH m AS (
+         |  SELECT text || ' ' || w || 's ' || w || 'ing ' || w || 'ed' AS text
+         |  FROM (SELECT text, ($oTokens)[1] AS w FROM documents)
+         |  WHERE w IS NOT NULL),
+         |t AS (SELECT unnest($oTokens) AS t FROM m),
+         |st AS (SELECT CASE
+         |    WHEN length(t) > 4 AND ends_with(t, 'sses') THEN substr(t, 1, length(t) - 2)
+         |    WHEN length(t) > 4 AND ends_with(t, 'ies') THEN substr(t, 1, length(t) - 3) || 'y'
+         |    WHEN length(t) > 5 AND ends_with(t, 'ing') THEN substr(t, 1, length(t) - 3)
+         |    WHEN length(t) > 4 AND ends_with(t, 'ed') THEN substr(t, 1, length(t) - 2)
+         |    WHEN ends_with(t, 'ss') THEN t
+         |    WHEN length(t) > 3 AND ends_with(t, 's') THEN substr(t, 1, length(t) - 1)
+         |    ELSE t END AS stem, t FROM t),
+         |pf AS (SELECT stem, t, COUNT(*) AS n FROM st GROUP BY stem, t)
+         |SELECT stem, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_forms
+         |FROM pf GROUP BY stem
+         |ORDER BY n_tokens DESC, stem LIMIT 20""".stripMargin)),
     Q("text_bigrams", topBigrams, Some(
       s"""SELECT bigram, COUNT(*) AS n FROM (
          |  SELECT t[g] || ' ' || t[g+1] AS bigram

@@ -42,7 +42,13 @@ class DeterminismSpec extends SparkSpec {
     // +1 (r13) admits quality_corr_matrix — the wide exact-decimal
     // moment aggregate (15 decimal(38,0) sums in one scan), a plan
     // family nothing else times — measured 1.28 s min-of-2 at sf0.1.
-    assert(SparkEntry.benchSet.size <= 77)
+    // +2 (r14) admit pipeline_bin_pack (the sortWithinPartitions +
+    // per-partition imperative fold family, measured 0.96 s min-of-2
+    // at sf0.1) and quality_equidepth_hist (the two-phase global-rank
+    // family on the 10^5-row events table, measured 1.31 s min-of-2
+    // at sf0.1) — the same r14 bench run came in at 85.7 s total vs
+    // r13's 90.1 s, so the suite budget still went DOWN net.
+    assert(SparkEntry.benchSet.size <= 79)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

@@ -116,4 +116,29 @@ class TrainingFiltersSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan.take(600))
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(600))
   }
+
+  test("lite stemming absorbs the planted inflections into one stem") {
+    val rows = graft.operators.TextAnalysis.stemTop(spark, sf).collect()
+    assert(rows.length == 20)
+    // the planted -s/-ing/-ed variants of each doc's first token must
+    // fold into the base stem — fan-in 4 (base + three inflections)
+    assert(rows.exists(_.getAs[Long]("n_forms") >= 4),
+      rows.map(r => (r.getString(0), r.getAs[Long]("n_forms"))).mkString(", "))
+    // first-match-wins rule table on hand inputs, evaluated through
+    // the public query path: one one-token doc per word, stem read back
+    val pairs = Seq("misses" -> "miss", "studies" -> "study",
+      "joining" -> "join", "joined" -> "join", "class" -> "class",
+      "rows" -> "row", "go" -> "go")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stem").toString
+    pairs.map(_._1).zipWithIndex
+      .map { case (w, i) => (i.toLong, w, "en", "s", w.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stems = graft.operators.TextAnalysis.stemTop(spark, dir)
+      .select("stem").as[String].collect().toSet
+    pairs.foreach { case (_, expect) =>
+      assert(stems.contains(expect), s"missing stem $expect in $stems")
+    }
+  }
 }
