@@ -131,6 +131,13 @@ object SparkEntry {
     // range exchange + pid-partitioned window + broadcast offsets —
     // ks_drift/global_ids are its correctness-only shape twins
     "quality_equidepth_hist",
+    // positional-index phrase probe: the broadcast-gated posting
+    // equi-join family (r14) — no other benched query times a
+    // posexplode index build + (doc, position) join
+    "text_phrase_search",
+    // interval-contribution rolling distinct: the explode-×7 +
+    // two-stage countDistinct family (r14)
+    "events_rolling_distinct",
     // multimodal
     "multimodal_features",
     // pipeline — bin_pack is the one sortWithinPartitions +

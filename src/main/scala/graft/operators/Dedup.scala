@@ -1421,6 +1421,63 @@ object Dedup {
       .orderBy("distance")
   }
 
+  /** Round budget shared by the LPA engine loop and its unrolled
+    * oracle — synchronous updates for a FIXED round count, so replay
+    * parity is exact (asynchronous/convergence-gated LPA is
+    * nondeterministic by construction and can never hash-match an
+    * oracle). */
+  private[graft] val LpaRounds = 3
+
+  /** Label-propagation communities over the ER match graph — the
+    * fifth classic iterative-graph shape next to connected components
+    * (reachability), k-core (density), PageRank (mass), and BFS
+    * (distance): every vertex adopts its neighborhood's MODE label
+    * each round (Raghavan et al. 2007), so dense near-clique regions
+    * agree on a label while thin bridges — which a pure
+    * reachability pass happily crosses — don't flip whole
+    * communities. The update rule is the distinguishing operator:
+    * a per-vertex weighted ARGMAX over neighbor labels (count desc,
+    * label asc tiebreak), not CC's plain min.
+    *
+    * Execution: per round, one adjacency ⋈ labels equi-join, a
+    * (vertex, label) partial+final tally, then the argmax as one
+    * struct-max aggregate (no window). Labels checkpoint to a
+    * parquet leaf every round ([[kcorePeel]]'s lineage-cut
+    * rationale). Shuffles carry (vertex) and (vertex, label) keys
+    * only — neighborhoods never materialize; at 100 TB this is
+    * Pregel LPA as joins. Output is the community-size histogram
+    * with a member checksum, the report a community pass ships. */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e0 = erEdges(cust, customerStrip(s, d)).select("a", "b")
+    val ckpt = graft.Core.tempDir("graft-lpa")
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .write.mode("overwrite").parquet(s"$ckpt/adj")
+    val adj = s.read.parquet(s"$ckpt/adj")
+    adj.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .write.mode("overwrite").parquet(s"$ckpt/l0")
+    var lbl = s.read.parquet(s"$ckpt/l0")
+    for (r <- 1 to LpaRounds) {
+      val next = adj.join(lbl.toDF("dst", "nl"), "dst")
+        .groupBy(col("src").as("v"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        // argmax(count desc, label asc) as ONE mergeable aggregate
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("nl")).as("mn"))).as("g"))
+        .select(col("v"), (-col("g.mn")).as("lbl"))
+      next.write.mode("overwrite").parquet(s"$ckpt/l$r")
+      lbl = s.read.parquet(s"$ckpt/l$r")
+    }
+    lbl.groupBy("lbl")
+      .agg(count(lit(1)).as("community_size"), sum("v").as("vsum"))
+      .groupBy("community_size")
+      .agg(count(lit(1)).as("n_communities"), sum("vsum").as("key_checksum"))
+      .orderBy("community_size")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -2076,6 +2133,40 @@ object Dedup {
          |  CAST(SUM(verts.v) AS BIGINT) AS key_checksum
          |FROM verts LEFT JOIN d$BfsRounds dd ON verts.v = dd.v
          |GROUP BY 1 ORDER BY distance""".stripMargin
+    }),
+    // oracle: the same LpaRounds synchronous mode-updates unrolled as
+    // MATERIALIZED CTEs (each round references its predecessor once
+    // per tally + once per argmax — the inlining explosion class);
+    // the per-vertex argmax is a row_number window, deterministic
+    // under the same (count desc, label asc) tiebreak
+    Q("graph_label_prop", labelProp, Some {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""t$r AS MATERIALIZED (
+           |  SELECT adj.src AS v, p.lbl AS nl, COUNT(*) AS c
+           |  FROM adj JOIN l${r - 1} p ON adj.dst = p.v GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (
+           |  SELECT v, nl AS lbl FROM (
+           |    SELECT v, nl, row_number() OVER (
+           |      PARTITION BY v ORDER BY c DESC, nl ASC) AS rn FROM t$r) q$r
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b
+         |  FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |    AND a.c_nationkey = b.c_nationkey
+         |    AND levenshtein(a.c_name, b.c_name) <= 1),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS v, src AS lbl FROM adj),
+         |$rounds,
+         |sz AS (SELECT lbl, COUNT(*) AS community_size,
+         |         CAST(SUM(v) AS BIGINT) AS vsum
+         |       FROM l$LpaRounds GROUP BY lbl)
+         |SELECT community_size, COUNT(*) AS n_communities,
+         |  CAST(SUM(vsum) AS BIGINT) AS key_checksum
+         |FROM sz GROUP BY community_size ORDER BY community_size""".stripMargin
     }),
     // oracle: the naive a<b<c triple self-join (correct at oracle
     // size; the engine's degree orientation exists for the celebrity

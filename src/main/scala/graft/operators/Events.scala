@@ -457,7 +457,56 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** EXACT trailing-7-day distinct active users per observed day —
+    * the rolling-retention headline metric. Sliding-window DISTINCT
+    * cannot ride a window frame (distinct doesn't decompose), and the
+    * naive per-day self-join rescans six days of raw events per day;
+    * instead each distinct (user, day) pair is exploded to the ≤ 7
+    * target days it can serve (the interval-contribution spelling —
+    * a fixed ×7 fan-out of the DEDUPLICATED pair table, not of raw
+    * events), then `countDistinct` per target day.
+    *
+    * Scale posture: the pre-explode `.distinct()` collapses raw
+    * events to |user × day| pairs first (partial+final agg), so the
+    * fan-out rides the small table. `countDistinct(day, user)`
+    * expands to a two-stage plan — dedupe shuffled on (day, user),
+    * THEN count shuffled on day — so low-cardinality day groups
+    * never serialize through single tasks. The inner join back to
+    * per-day counts drops phantom target days past the last observed
+    * day. */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    // integral `div`, not `/`: long/long is DOUBLE division in Spark
+    // and epoch-ns exceeds 2^53, so a midnight-exact timestamp could
+    // round across the day boundary
+    val NsPerDay = 86400L * 1000000000L
+    val ud = cached(load(s, d)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
+      .distinct())
+    val daily = ud.groupBy("day")
+      .agg(countDistinct("user_id").as("n_users_1d"))
+    val rolling = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("n_users_7d"))
+    daily.join(rolling, "day")
+      .select("day", "n_users_1d", "n_users_7d")
+      .orderBy("day")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: identical interval-contribution spelling; ts div is
+    // exact integer µs on both engines (positive epoch values)
+    Q("events_rolling_distinct", rollingDistinct, Some(
+      """WITH ud AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |roll AS (
+        |  SELECT day + g AS day, user_id
+        |  FROM (SELECT user_id, day, unnest(generate_series(0, 6)) AS g FROM ud)),
+        |r7 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_7d FROM roll GROUP BY day),
+        |r1 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_1d FROM ud GROUP BY day)
+        |SELECT r1.day, n_users_1d, n_users_7d
+        |FROM r1 JOIN r7 ON r1.day = r7.day ORDER BY r1.day""".stripMargin)),
     Q("events_winsorize", winsorize, Some(
       s"""WITH r AS (
          |  SELECT event_type, value,

@@ -920,7 +920,69 @@ object Relational {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** 2-D skyline (Pareto frontier) over parts: minimize price,
+    * maximize size — the "best trade-off" operator (classic skyline;
+    * Börzsönyi et al., ICDE'01). A point is on the frontier iff no
+    * other part is both cheaper-or-equal AND larger-or-equal with one
+    * strict. For two dimensions the frontier is a RUNNING MAX, not a
+    * quadratic dominance join: after collapsing to distinct
+    * (price, size) points and ordering by (price asc, size desc),
+    * point p is dominated exactly when some earlier point has
+    * size ≥ p.size — so `max(size) OVER (preceding rows) < size` is
+    * the whole test.
+    *
+    * Scale posture: the ordered running max is the TWO-PHASE
+    * range-partition spelling (same idiom as `quality_ks_drift` /
+    * `pipeline_global_ids`) — range-repartition the distinct points
+    * by the sort key, per-partition window, broadcast per-partition
+    * prefix maxima — never a single-partition global window. The
+    * distinct-point collapse is a partial+final agg, so the heavy
+    * table contributes |distinct (price,size)| rows to the sort, not
+    * |rows|. Price rides exact integer cents (`round(x*100)` — both
+    * engines round the identical IEEE product). */
+  def skylineParts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables(s, d, "part")
+      .select(round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size"), col("p_partkey"))
+      .groupBy("price_c", "p_size")
+      .agg(count(lit(1)).as("n_pts"), min("p_partkey").as("min_partkey"))
+    val parts = cached(
+      pts.repartitionByRange(32, col("price_c").asc, col("p_size").desc)
+        .withColumn("pid", spark_partition_id()))
+    // |partitions| rows: the deliberate tiny single-partition window
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy("pid").agg(max("p_size").as("pmax"))
+      .select(col("pid"), max("pmax").over(prior).as("omax"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("price_c").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("lmax", max("p_size").over(w))
+      .join(broadcast(offs), "pid")
+      // greatest() skips nulls; both null (global first row) → frontier
+      .filter(coalesce(greatest(col("lmax"), col("omax")),
+        lit(Int.MinValue)) < col("p_size"))
+      .select("price_c", "p_size", "n_pts", "min_partkey")
+      .orderBy("price_c")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: single global window (fine at sf0.01; the Spark side is
+    // the two-phase scale spelling of the same running max)
+    Q("skyline_parts", skylineParts, Some(
+      """WITH pts AS (
+        |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, p_size,
+        |    COUNT(*) AS n_pts, MIN(p_partkey) AS min_partkey
+        |  FROM part GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, MAX(p_size) OVER (ORDER BY price_c ASC, p_size DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM pts)
+        |SELECT price_c, p_size, n_pts, min_partkey FROM w
+        |WHERE prior_max IS NULL OR prior_max < p_size
+        |ORDER BY price_c""".stripMargin)),
     // oracle: the same within-order self-join + exact-integer lift
     Q("basket_lift", basketLift, Some(
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -127,6 +127,53 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Positional phrase search — build the positional inverted index
+    * (the retrieval structure `text_bm25` skips: postings carry the
+    * token's OFFSET, not just its document) and answer a two-word
+    * phrase query with the classic positional join: occurrences of
+    * word₁ at position p match occurrences of word₂ at p+1 in the
+    * same document. The probe phrase is the corpus's top bigram
+    * (deterministic count/lexical tiebreak), so the query always has
+    * hits without hardcoding corpus content.
+    *
+    * Scale posture: both posting lists are filtered to the probe
+    * words BEFORE the positional join — a broadcast of the 1-row
+    * phrase frame gates each side map-side, so the equi-join on
+    * (doc, position) shuffles only the two probe words' postings,
+    * never the full index. The index build itself is one explode
+    * (linear in corpus tokens); the bigram tally is a map-side
+    * zip_with explode + partial agg + TakeOrdered(1). */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("t", tokens(col("text")))
+    val top = base
+      .filter(size(col("t")) >= 2)
+      .select(explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(1)
+      .select(
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+    val pos = cached(base.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("p", "w"))))
+    val p1 = pos.join(broadcast(top), pos("w") === top("w1"))
+      .select(col("doc_id"), col("p"), col("w1"), col("w2"))
+    val p2 = pos
+      .join(broadcast(top.select(col("w2").as("w2b"))), pos("w") === col("w2b"))
+      .select(col("doc_id").as("d2"), col("p").as("p2"))
+    p1.join(p2, col("doc_id") === col("d2") && col("p2") === col("p") + 1)
+      .groupBy("w1", "w2")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        sum_distinct(col("doc_id")).as("id_checksum"))
+  }
+
   /** Lite suffix stemmer — a fixed, first-match-wins rule list
     * (sses→ss, ies→y, -ing, -ed, keep -ss, strip -s) with minimum
     * length guards, the normalization a vocabulary-compression pass
@@ -641,6 +688,29 @@ object TextAnalysis {
          |SELECT stem, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_forms
          |FROM pf GROUP BY stem
          |ORDER BY n_tokens DESC, stem LIMIT 20""".stripMargin)),
+    // oracle: same positional join; DuckDB lists are 1-based where
+    // posexplode is 0-based, but positions only ever meet positions
+    // from the SAME engine (p2 = p1 + 1), so the offset cancels.
+    Q("text_phrase_search", phraseSearch, Some(
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $oTokens AS t FROM documents),
+         |big AS MATERIALIZED (
+         |  SELECT t[g] || ' ' || t[g+1] AS bigram, COUNT(*) AS n
+         |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
+         |        FROM tok WHERE len(t) >= 2)
+         |  GROUP BY bigram ORDER BY n DESC, bigram LIMIT 1),
+         |tw AS MATERIALIZED (
+         |  SELECT string_split(bigram, ' ')[1] AS w1,
+         |         string_split(bigram, ' ')[2] AS w2 FROM big),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, g AS p, t[g] AS w
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS g FROM tok)),
+         |hits AS (
+         |  SELECT tw.w1, tw.w2, a.doc_id
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |  JOIN tw ON a.w = tw.w1 AND b.w = tw.w2)
+         |SELECT w1, w2, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  CAST(SUM(DISTINCT doc_id) AS BIGINT) AS id_checksum
+         |FROM hits GROUP BY w1, w2""".stripMargin)),
     Q("text_bigrams", topBigrams, Some(
       s"""SELECT bigram, COUNT(*) AS n FROM (
          |  SELECT t[g] || ' ' || t[g+1] AS bigram

@@ -442,6 +442,38 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSeq == expect, s"got ${rows.toSeq} expected $expect")
   }
 
+  test("label propagation matches a driver-side synchronous LPA") {
+    val sf001 = "/root/testdata/sf0.001"
+    val rows = Dedup.labelProp(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val edges = cust.toDF("a", "na", "nata")
+      .crossJoin(cust.toDF("b", "nb", "natb"))
+      .filter($"a" < $"b" && $"nata" === $"natb" &&
+        levenshtein($"na", $"nb") <= 1)
+      .select($"a".as[Long], $"b".as[Long]).collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val verts = adj.keySet
+    var lbl = verts.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val prev = lbl
+      // synchronous mode update, (count desc, label asc) tiebreak
+      lbl = verts.map { v =>
+        val counts = adj(v).map(prev).groupBy(identity)
+          .map { case (l, g) => (l, g.length) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val expect = lbl.groupBy(_._2).values.map(_.keys)
+      .groupBy(_.size)
+      .map { case (sz, comms) =>
+        (sz.toLong, comms.size.toLong, comms.flatten.sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, s"got ${rows.toSeq} expected $expect")
+  }
+
   test("triplet mining picks same-label positive and hardest different-label negatives") {
     val sf001 = "/root/testdata/sf0.001"
     val rows = Similarity.tripletMining(spark, sf001).collect()

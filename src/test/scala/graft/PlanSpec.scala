@@ -752,6 +752,50 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(900))
   }
 
+  test("skyline cummaxes within range partitions, not one global window") {
+    val s = executed(graft.operators.Relational.skylineParts(spark, sf))
+    // the running max is partitioned by pid (full parallelism); the
+    // only ORDER-BY-without-PARTITION window is the |partitions|-row
+    // prefix-max frame
+    assert(s.matches("(?s).*windowspecdefinition\\(pid#.*"), s.take(1200))
+    assert(s.contains("rangepartitioning"), s.take(1200))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // dominance property on the real data: returned points are
+    // mutually non-dominated and all distinct points are covered
+    val pts = graft.operators.Relational.skylineParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(pts.nonEmpty)
+    for (p <- pts; q <- pts if p != q)
+      assert(!(q._1 <= p._1 && q._2 >= p._2),
+        s"frontier point $p dominated by $q")
+    // frontier sorted by price has strictly increasing size
+    assert(pts.sliding(2).forall(w => w.length < 2 || w(0)._2 < w(1)._2))
+  }
+
+  test("phrase search gates both posting lists by broadcast before the positional join") {
+    val s = executed(graft.operators.TextAnalysis.phraseSearch(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    // each posting side probes the 1-row phrase frame map-side, so
+    // the (doc, position) equi-join shuffles only probe-word postings
+    assert(s.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s.take(1500))
+  }
+
+  test("rolling 7-day distinct rides the deduplicated pair table") {
+    val rows = graft.operators.Events.rollingDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"day ${r.getLong(0)}: 1d distinct above 7d distinct")
+    }
+    // trailing-7 union can never exceed the sum of its 7 days
+    val daily = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cap = (r.getLong(0) - 6 to r.getLong(0)).map(daily.getOrElse(_, 0L)).sum
+      assert(r.getLong(2) <= cap, s"day ${r.getLong(0)}: 7d above window sum")
+    }
+  }
+
   test("bin packing shuffles once (the shard exchange) and never cartesians") {
     val s = executed(graft.operators.Pipeline.binPack(spark, sf))
     assert(!s.contains("CartesianProduct"), s.take(900))
