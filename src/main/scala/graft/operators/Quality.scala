@@ -299,7 +299,184 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** CUPED variance-reduced A/B metric (Deng et al., WSDM'13) — the
+    * experiment-analysis operator: users split into two deterministic
+    * hash arms, the experiment window split at the observed midpoint
+    * day into a PRE period (covariate X = per-user pre-period spend)
+    * and a POST period (outcome Y); the adjusted outcome
+    * Ŷ = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) removes the
+    * between-user variance the pre-period already explains, the
+    * standard sensitivity lever for low-powered experiments.
+    *
+    * Everything is exact until a FIXED shape of IEEE double ops:
+    * values quantize to integer cents (2-decimal data — the
+    * `corrMatrix` precedent), per-user X/Y are exact longs, pooled
+    * moments (n, ΣX, ΣY, ΣX², ΣXY) accumulate in decimal(38,0) /
+    * HUGEINT, and θ / means are single exact-integer-to-double
+    * divisions spelled identically in both engines — bit-for-bit
+    * reproducible where a naive covariance over doubles is
+    * partition-order-dependent.
+    *
+    * Scale posture: one events scan → per-user partial+final agg
+    * (|users| rows); the pooled-moment frame is ONE row and the
+    * per-arm frame TWO rows, both broadcast into the final
+    * projection. The midpoint day is a 1-row min/max aggregate, not
+    * a driver-side constant, so the operator needs no calendar
+    * configuration. ΣX² headroom: X ≤ 10^9 cents/user keeps n·ΣX²
+    * within decimal(38,0) to ~10^18 users. */
+  def abCuped(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        epochUs(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val user = cached(ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") > col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(2654435761L), lit(HashMod)) % 2))
+    val m = user.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val arm = user.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x").cast(dec)).as("sxa"),
+      sum(col("y").cast(dec)).as("sya"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val meanY = col("sya").cast("double") / col("n_users").cast("double")
+    val meanXa = col("sxa").cast("double") / col("n_users").cast("double")
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    arm.crossJoin(broadcast(m))
+      .select(col("arm"), col("n_users"),
+        meanY.as("mean_y_cents"),
+        (meanY - theta * (meanXa - meanX)).as("mean_y_adj_cents"),
+        theta.as("theta"))
+      .orderBy("arm")
+  }
+
+  /** Two-proportion z-test on conversion — [[abCuped]]'s sibling for
+    * BINARY outcomes: per hash arm, the share of users whose purchase
+    * spend exceeds the global median user spend, and the
+    * pooled-variance z statistic
+    * (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁)) the launch decision reads. The
+    * deterministic hash arms make this an A/A test on the driver
+    * data — z near 0 is itself the check that the splitter is
+    * unbiased. Counts are exact longs; p's, p̂, and z are a fixed
+    * shape of IEEE double ops spelled identically in both engines.
+    *
+    * Scale posture: one scan → per-user any-purchase flag
+    * (partial+final max over |users| rows) → a 2-row arm aggregate
+    * pivoted into ONE output row by a conditional aggregate. No
+    * window, no join. */
+  def abConversionZtest(s: SparkSession, d: String): DataFrame = {
+    // conversion = per-user purchase spend ABOVE the global median
+    // user spend. A fixed absolute threshold saturates (p = 0 or 1)
+    // whenever the value distribution shifts — observed at both test
+    // SFs — and a saturated proportion has pooled variance exactly 0;
+    // a data-derived median keeps p ≈ 0.5 at ANY corpus. The median
+    // is the same interpolated percentile both engines share
+    // (`percentile` ≡ `quantile_cont` — the madOutliers parity), and
+    // the degenerate all-/none-convert case (all spends equal) still
+    // emits NULL explicitly below instead of tripping ANSI
+    // divide-by-zero.
+    val spend = Tables(s, d, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+    val med = spend.agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val user = spend.crossJoin(broadcast(med))
+      .select(col("user_id"),
+        when(col("cents").cast("double") > col("med"), 1L).otherwise(0L)
+          .as("conv"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(2654435761L), lit(HashMod)) % 2)
+    val wide = user.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val z = (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0").cast("double") +
+        lit(1.0) / col("n1").cast("double")))
+    wide.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      p0.as("p0"), p1.as("p1"),
+      when(col("c0") + col("c1") > 0 &&
+        col("c0") + col("c1") < col("n0") + col("n1"), z)
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("ab_conversion_ztest", abConversionZtest, Some(
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY user_id),
+         |u AS MATERIALIZED (
+         |  SELECT user_id,
+         |    (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm,
+         |    CASE WHEN CAST(cents AS DOUBLE) >
+         |      (SELECT quantile_cont(cents, 0.5) FROM sp) THEN 1 ELSE 0 END AS conv
+         |  FROM sp),
+         |w AS (SELECT
+         |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         |  CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+         |  FROM u)
+         |SELECT n0, n1, c0, c1,
+         |  CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE) AS p0,
+         |  CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS p1,
+         |  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+         |    (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+         |      - CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+         |    / sqrt((CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE))
+         |           * (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE))
+         |           * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
+         |  ELSE NULL END AS z
+         |FROM w""".stripMargin)),
+    // oracle: identical exact-moment CUPED; every double op has the
+    // same operands and order on both engines
+    Q("ab_cuped", abCuped, Some(
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         |    epoch_us(ts) // 86400000000 AS day FROM events),
+         |mid AS MATERIALIZED (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM q),
+         |u AS MATERIALIZED (
+         |  SELECT user_id,
+         |    (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm,
+         |    CAST(SUM(CASE WHEN day <= (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day > (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS y
+         |  FROM q GROUP BY user_id),
+         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |        SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(x AS HUGEINT)*y) AS sxy
+         |      FROM u),
+         |a AS (SELECT arm, COUNT(*) AS n_users,
+         |        SUM(CAST(x AS HUGEINT)) AS sxa, SUM(CAST(y AS HUGEINT)) AS sya
+         |      FROM u GROUP BY arm)
+         |SELECT arm, n_users,
+         |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y_cents,
+         |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+         |      * (CAST(sxa AS DOUBLE)/CAST(n_users AS DOUBLE)
+         |         - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS mean_y_adj_cents,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta
+         |FROM a, m ORDER BY arm""".stripMargin)),
     // oracle: one global ordered cumsum (fine at oracle size; the
     // engine's two-phase spelling exists for the 100 TB case) over
     // the same integer counts and the same exact gap arithmetic

@@ -796,6 +796,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CUPED adjustment preserves the pooled mean and uses a broadcast moment frame") {
+    val s = executed(graft.operators.Quality.abCuped(spark, sf))
+    // the 1-row pooled-moment frame joins by broadcast, never shuffle
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s.take(1200))
+    val rows = graft.operators.Quality.abCuped(spark, sf).collect()
+    assert(rows.length == 2)
+    val theta = rows.head.getAs[Double]("theta")
+    assert(!theta.isNaN && !theta.isInfinite)
+    assert(rows.forall(_.getAs[Double]("theta") == theta))
+    // CUPED is mean-preserving: Σ nₐ(adj − raw) = −θ·Σ nₐ(X̄ₐ − X̄) = 0
+    val drift = rows.map(r => r.getAs[Long]("n_users") *
+      (r.getAs[Double]("mean_y_adj_cents") - r.getAs[Double]("mean_y_cents"))).sum
+    val scale = rows.map(r =>
+      r.getAs[Long]("n_users") * math.abs(r.getAs[Double]("mean_y_cents"))).sum
+    assert(math.abs(drift) <= 1e-9 * scale, s"pooled-mean drift $drift")
+  }
+
+  test("conversion z-test arms partition the users and the A/A z is finite") {
+    val r = graft.operators.Quality.abConversionZtest(spark, sf).collect().head
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == users)
+    assert(r.getAs[Long]("c0") <= r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("c1") <= r.getAs[Long]("n1"))
+    // conversion must not saturate — the threshold exists so the
+    // pooled variance is nonzero and z is a real number
+    val c = r.getAs[Long]("c0") + r.getAs[Long]("c1")
+    assert(c > 0 && c < users, s"conversion saturated: $c of $users")
+    val z = r.getAs[Double]("z")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
   test("bin packing shuffles once (the shard exchange) and never cartesians") {
     val s = executed(graft.operators.Pipeline.binPack(spark, sf))
     assert(!s.contains("CartesianProduct"), s.take(900))
