@@ -290,7 +290,87 @@ object Udaf {
       .withColumn("overcount", col("est_join_rows") - col("exact_join_rows"))
   }
 
+  /** Counter count for the AMS F₂ sketch — shared by engine and
+    * oracle so the estimator replays exactly. */
+  private val AmsK = 64
+
+  /** ±1 FOUR-wise-independent sign hash for counter `i` — a cubic
+    * polynomial mod the shared prime (Horner, mod after every step so
+    * products stay < P·key ≤ 9.2e18 for keys < 9e9), parity bit as
+    * the sign. Degree 3 is load-bearing, not hygiene: AMS's variance
+    * bound needs 4-wise independence, and a LINEAR hash measurably
+    * fails on this data — parts keys are consecutive integers, a
+    * linear map's parity alternates with k (sign ≈ (−1)^k up to slow
+    * wrap flips), consecutive signs cancel, and the measured estimate
+    * came out 1700× LOW (est_ratio 0.0006) before the cubic fix.
+    * The oracle recomputes the identical signs. */
+  private def amsSign(key: Column, i: Int): Column = {
+    val P = graft.Core.HashMod
+    val c3 = (1779033703L + 265443L * i) % P
+    val c2 = (998244353L + 69621L * i) % P
+    val c1 = (2654435761L + 40503L * i) % P
+    val h = pmod(
+      (pmod((pmod(lit(c3) * key, lit(P)) + lit(c2)) * key, lit(P)) + lit(c1))
+        * key, lit(P))
+    lit(1L) - lit(2L) * (h % 2)
+  }
+
+  /** Oracle spelling of [[amsSign]] for counter `i`. */
+  private def oAmsSign(i: Int): String = {
+    val P = graft.Core.HashMod
+    val c3 = (1779033703L + 265443L * i) % P
+    val c2 = (998244353L + 69621L * i) % P
+    val c1 = (2654435761L + 40503L * i) % P
+    s"(1 - 2*(((((($c3*k) % $P + $c2)*k) % $P + $c1)*k % $P) % 2))"
+  }
+
+  /** AMS "tug-of-war" second-moment (F₂) sketch (Alon–Matias–Szegedy
+    * 1996) over the lineitem part-key frequency vector — F₂ = Σₖ fₖ²
+    * IS the key's self-join size, the quantity a join planner reads
+    * to price a skewed self-join (the cross-stream companion to
+    * `sketch_join_size`'s Count-Min inner-product). Each of the
+    * [[AmsK]] counters is Sᵢ = Σ_rows signᵢ(key) — so the sketch is
+    * ONE aggregate row of 64 ±1-sums (the `corrMatrix` wide-agg
+    * idiom: no fan-out, no explode), mergeable by addition across
+    * partitions/streams, constant size regardless of data volume —
+    * the defining 100 TB sketch property. Estimate = mean of Sᵢ²
+    * (E[Sᵢ²] = F₂ exactly; variance bounded by 2F₂²/k). Everything is
+    * exact integers until ONE double division, and the exact F₂ rides
+    * alongside so the estimator's health is a REGISTERED number. */
+  def amsF2(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem").select(col("l_partkey").as("k"))
+    val sums = (0 until AmsK).map(i => sum(amsSign(col("k"), i)).as(s"s$i"))
+    val sk = li.agg(sums.head, sums.tail: _*)
+    val exact = li.groupBy("k").agg(count(lit(1)).as("f"))
+      .agg(
+        sum(col("f") * col("f")).as("f2_exact"),
+        count(lit(1)).as("n_keys"),
+        sum(col("f")).as("n_rows"))
+    val estNum = (0 until AmsK).map(i => col(s"s$i") * col(s"s$i"))
+      .reduce(_ + _)
+    val est = estNum.cast("double") / lit(AmsK.toDouble)
+    exact.crossJoin(broadcast(sk))
+      .select(col("n_rows"), col("n_keys"), col("f2_exact"),
+        est.as("ams_est"),
+        (est / col("f2_exact").cast("double")).as("est_ratio"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("sketch_ams_f2", amsF2, Some {
+      val signs = (0 until AmsK).map(i =>
+        s"CAST(SUM(${oAmsSign(i)}) AS BIGINT) AS s$i").mkString(", ")
+      val estNum = (0 until AmsK).map(i => s"s$i*s$i").mkString(" + ")
+      s"""WITH kk AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
+         |sk AS (SELECT $signs FROM kk),
+         |ex AS (SELECT CAST(SUM(f*f) AS BIGINT) AS f2_exact,
+         |         COUNT(*) AS n_keys, CAST(SUM(f) AS BIGINT) AS n_rows
+         |       FROM (SELECT k, COUNT(*) AS f FROM kk GROUP BY k) q)
+         |SELECT n_rows, n_keys, f2_exact,
+         |  CAST($estNum AS DOUBLE) / ${AmsK.toDouble} AS ams_est,
+         |  (CAST($estNum AS DOUBLE) / ${AmsK.toDouble})
+         |    / CAST(f2_exact AS DOUBLE) AS est_ratio
+         |FROM ex, sk""".stripMargin
+    }),
     Q("udaf_weighted_disc", weightedDiscByFlag, Some(
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)

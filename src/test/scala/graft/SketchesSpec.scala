@@ -94,6 +94,17 @@ class SketchesSpec extends SparkSpec {
     probes.foreach(h => assert(sparkSide(h) == jvmMaybe(h), s"probe mismatch for $h"))
   }
 
+  test("AMS F2 estimate lands within the 4-wise variance band on real keys") {
+    // variance bound 2F2²/k (k=64) → σ ≈ 0.18·F2; [0.5, 1.5] is > 2.8σ.
+    // A LINEAR sign hash measurably fails this on consecutive part
+    // keys (ratio 0.0006 observed — see amsSign's scaladoc), so the
+    // band also pins that the hash stays degree-3.
+    val r = graft.operators.Udaf.amsF2(spark, sf).collect().head
+    val ratio = r.getAs[Double]("est_ratio")
+    assert(ratio > 0.5 && ratio < 1.5, s"est_ratio $ratio outside band")
+    assert(r.getAs[Long]("f2_exact") >= r.getAs[Long]("n_rows"))
+  }
+
   test("kmv intersection estimator: exact regime returns exact intersection") {
     // two overlapping sets small enough that every sketch is exact
     val a = (1 to 40).map(_.toLong)
