@@ -324,16 +324,27 @@ object Quality {
     * a driver-side constant, so the operator needs no calendar
     * configuration. ΣX² headroom: X ≤ 10^9 cents/user keeps n·ΣX²
     * within decimal(38,0) to ~10^18 users. */
-  def abCuped(s: SparkSession, d: String): DataFrame = {
+  def abCuped(s: SparkSession, d: String): DataFrame =
+    cupedFromDayCents(
+      Tables(s, d, "events")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          epochUs(col("ts")).as("us"))
+        .withColumn("day", expr("us div 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(sum("cents").as("cents")))
+
+  /** The CUPED metric from the ADDITIVE (user_id, day, cents) state
+    * table — shared by [[abCuped]] and the streaming maintenance twin
+    * (`stream_ab_cuped`): per-(user, day) cents sums are exactly the
+    * state a stream can fold per micro-batch (integer addition is
+    * associative/commutative), while the pre/post split, θ, and the
+    * adjusted means are corpus-level reads over the final state. */
+  def cupedFromDayCents(udc: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val ev = Tables(s, d, "events")
-      .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"),
-        epochUs(col("ts")).as("us"))
-      .withColumn("day", expr("us div 86400000000"))
-    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
-    val user = cached(ev.crossJoin(broadcast(mid))
+    val mid = udc.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val user = cached(udc.crossJoin(broadcast(mid))
       .groupBy("user_id")
       .agg(
         sum(when(col("day") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
@@ -418,6 +429,35 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** `ab_cuped`'s oracle — also the oracle of `stream_ab_cuped`,
+    * whose maintained state folds to the identical metric. */
+  val oCupedSql: String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+       |    epoch_us(ts) // 86400000000 AS day FROM events),
+       |mid AS MATERIALIZED (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM q),
+       |u AS MATERIALIZED (
+       |  SELECT user_id,
+       |    (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm,
+       |    CAST(SUM(CASE WHEN day <= (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day > (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS y
+       |  FROM q GROUP BY user_id),
+       |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |        SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(x AS HUGEINT)*y) AS sxy
+       |      FROM u),
+       |a AS (SELECT arm, COUNT(*) AS n_users,
+       |        SUM(CAST(x AS HUGEINT)) AS sxa, SUM(CAST(y AS HUGEINT)) AS sya
+       |      FROM u GROUP BY arm)
+       |SELECT arm, n_users,
+       |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y_cents,
+       |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+       |      * (CAST(sxa AS DOUBLE)/CAST(n_users AS DOUBLE)
+       |         - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS mean_y_adj_cents,
+       |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta
+       |FROM a, m ORDER BY arm""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ab_conversion_ztest", abConversionZtest, Some(
       s"""WITH sp AS MATERIALIZED (
@@ -451,32 +491,7 @@ object Quality {
          |FROM w""".stripMargin)),
     // oracle: identical exact-moment CUPED; every double op has the
     // same operands and order on both engines
-    Q("ab_cuped", abCuped, Some(
-      s"""WITH q AS MATERIALIZED (
-         |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
-         |    epoch_us(ts) // 86400000000 AS day FROM events),
-         |mid AS MATERIALIZED (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM q),
-         |u AS MATERIALIZED (
-         |  SELECT user_id,
-         |    (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm,
-         |    CAST(SUM(CASE WHEN day <= (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS x,
-         |    CAST(SUM(CASE WHEN day > (SELECT mid FROM mid) THEN cents ELSE 0 END) AS BIGINT) AS y
-         |  FROM q GROUP BY user_id),
-         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-         |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-         |        SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(x AS HUGEINT)*y) AS sxy
-         |      FROM u),
-         |a AS (SELECT arm, COUNT(*) AS n_users,
-         |        SUM(CAST(x AS HUGEINT)) AS sxa, SUM(CAST(y AS HUGEINT)) AS sya
-         |      FROM u GROUP BY arm)
-         |SELECT arm, n_users,
-         |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y_cents,
-         |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
-         |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
-         |      * (CAST(sxa AS DOUBLE)/CAST(n_users AS DOUBLE)
-         |         - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS mean_y_adj_cents,
-         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta
-         |FROM a, m ORDER BY arm""".stripMargin)),
+    Q("ab_cuped", abCuped, Some(oCupedSql)),
     // oracle: one global ordered cumsum (fine at oracle size; the
     // engine's two-phase spelling exists for the 100 TB case) over
     // the same integer counts and the same exact gap arithmetic

@@ -1289,7 +1289,57 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** Streaming CUPED maintenance — the experiment dashboard that
+    * updates as events arrive: the maintained state is the ADDITIVE
+    * (user, day, cents) table (integer sums — associative and
+    * commutative, so any batch split folds to the same state), and
+    * the corpus-level reads (pre/post midpoint split, θ, adjusted
+    * means) run at READ time over the final state through the SAME
+    * [[graft.operators.Quality.cupedFromDayCents]] plan as the batch
+    * operator — exact replay parity by construction. State versions
+    * are keyed by batchId (v_b derives from v_{b−1}), so a re-driven
+    * micro-batch overwrites its own version instead of double-adding
+    * — the idempotence discipline additive state needs where
+    * set-valued state (KMV) gets it for free. */
+  def streamAbCuped(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-cuped-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-cuped-state")
+    @volatile var curState: Option[String] = None
+    def dayCents(df: DataFrame): DataFrame = df
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        graft.Core.epochUs(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(sum("cents").as("cents"))
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = dayCents(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp)
+            .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamAbCuped")
+    graft.operators.Quality.cupedFromDayCents(s.read.parquet(curState.get))
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the batch CUPED oracle verbatim — the stream-maintained
+    // additive state folds to the identical metric
+    Q("stream_ab_cuped", streamAbCuped,
+      Some(graft.operators.Quality.oCupedSql)),
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -25,6 +25,16 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  test("streaming CUPED state folds to the exact batch metric") {
+    val streamed = Streams.streamAbCuped(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val batch = graft.operators.Quality.abCuped(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // additive (user, day, cents) state + read-time θ ⇒ bit-for-bit
+    // parity under the 4-batch replay split
+    assert(streamed == batch)
+  }
+
   test("streaming word count equals batch word count on replay") {
     val streamed = Streams.streamWordCount(spark, sf)
       .as[(String, Long)].collect().toSeq
