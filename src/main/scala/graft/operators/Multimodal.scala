@@ -387,6 +387,235 @@ object Multimodal {
     }
   }
 
+  private val PngW = 8
+  private val PngH = 8
+  private val PngStride = PngW * 3 // bytes per row, excl. filter byte
+  private val PngPayload = PngStride * PngH // 192 pixel bytes
+  private val PngScan = (PngStride + 1) * PngH // 200 w/ filter bytes
+  /** Scanline bytes carried by the FIRST of the two IDAT chunks —
+    * deliberately mid-deflate-block, the classic decoder trap. */
+  private val PngSplit = 100
+
+  /** Decoded PNG features — same report shape as [[BmpStats]] but
+    * RGB order and TOP-DOWN rows (`row0_sum` is the FIRST stored
+    * row), so confusing the two containers' conventions flips
+    * observable sums. */
+  final case class PngStats(
+      doc_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, row0_sum: Long)
+
+  /** Real PNG decoder (8-bit truecolor, non-interlaced), pure JVM —
+    * the fourth genuine container codec, and the first COMPRESSED
+    * one: IDAT payloads inflate through `java.util.zip.Inflater`
+    * (zlib/RFC 1950 — the JDK's real DEFLATE, which also verifies the
+    * stream's Adler-32), so unlike PPM/WAV/BMP the bytes on the wire
+    * are not the pixels. The walk handles every structural quirk a
+    * lazy decoder skips: chunk iteration with ancillary-chunk
+    * tolerance, MULTI-IDAT reassembly (the spec allows any split —
+    * the fixture splits mid-deflate-block), and per-row unfiltering
+    * for ALL FIVE filter types (None/Sub/Up/Average/Paeth — exercised
+    * by JVM-encoder round-trip specs; the SQL fixture uses type 0 so
+    * the DuckDB oracle can recompute pixels from the text). Chunk
+    * CRCs are not verified — payload integrity is already covered by
+    * the MANDATORY Adler-32 check inside Inflater, which a corrupted
+    * fixture fails loudly. */
+  object PngCodec {
+    private def be32(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) |
+        ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Inflate + unfilter: returns the w·h·3 RGB pixel buffer. */
+    private[graft] def pixels(
+        id: Long, png: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(png.length > 8 && (png(0) & 0xff) == 0x89 &&
+        png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+        s"doc $id: not PNG")
+      var pos = 8
+      var w = 0; var h = 0; var bitDepth = 0; var colorType = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end && pos + 8 <= png.length) {
+        val len = be32(png, pos)
+        val typ = new String(png, pos + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val data = pos + 8
+        typ match {
+          case "IHDR" =>
+            w = be32(png, data); h = be32(png, data + 4)
+            bitDepth = png(data + 8) & 0xff; colorType = png(data + 9) & 0xff
+            require((png(data + 12) & 0xff) == 0,
+              s"doc $id: interlaced png unsupported")
+          case "IDAT" => idat.write(png, data, len)
+          case "IEND" => end = true
+          case _ => () // ancillary chunks (tEXt, pHYs, …) are skipped
+        }
+        pos = data + len + 4 // chunk CRC skipped (see scaladoc)
+      }
+      require(bitDepth == 8 && colorType == 2,
+        s"doc $id: unsupported png layout ($bitDepth/$colorType)")
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        require(k > 0 || !inf.needsInput, s"doc $id: truncated IDAT")
+        off += k
+      }
+      // drives Inflater past the trailer so the Adler-32 is VERIFIED
+      require(inf.finished() && off == raw.length,
+        s"doc $id: inflated $off of ${raw.length}")
+      inf.end()
+      val pix = new Array[Int](stride * h)
+      var row = 0
+      while (row < h) {
+        val ft = raw(row * (stride + 1)) & 0xff
+        var i = 0
+        while (i < stride) {
+          val x = raw(row * (stride + 1) + 1 + i) & 0xff
+          val a = if (i >= 3) pix(row * stride + i - 3) else 0
+          val b = if (row > 0) pix((row - 1) * stride + i) else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => (x + a) & 0xff
+            case 2 => (x + b) & 0xff
+            case 3 => (x + ((a + b) >> 1)) & 0xff
+            case 4 =>
+              val c = if (i >= 3 && row > 0) pix((row - 1) * stride + i - 3) else 0
+              (x + paeth(a, b, c)) & 0xff
+            case _ => throw new IllegalArgumentException(
+              s"doc $id: unknown filter $ft at row $row")
+          }
+          pix(row * stride + i) = v
+          i += 1
+        }
+        row += 1
+      }
+      (w, h, pix)
+    }
+
+    def decode(id: Long, png: Array[Byte]): PngStats = {
+      val (w, h, pix) = pixels(id, png)
+      val stride = w * 3
+      var rs = 0L; var gs = 0L; var bs = 0L; var row0 = 0L
+      var i = 0
+      while (i < pix.length) {
+        rs += pix(i); gs += pix(i + 1); bs += pix(i + 2)
+        if (i < stride) row0 += pix(i) + pix(i + 1) + pix(i + 2)
+        i += 3
+      }
+      PngStats(id, w, h, rs, gs, bs, row0)
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + 4)
+      b.putInt(data.length)
+        .put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(data).putInt(0) // CRC zeroed: decoder relies on Adler-32
+      b.array()
+    }
+
+    /** Everything BEFORE the first scanline byte: signature, IHDR,
+      * and the first IDAT chunk's framing (zlib header + the single
+      * FINAL stored block's 5-byte header). */
+    private[Multimodal] def prefix: Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(PngW).putInt(PngH)
+        .put(8.toByte).put(2.toByte) // bit depth, truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filt0, no interlace
+        .array()
+      // IDAT1 data: zlib hdr (2) + stored-block hdr (5) + scan[0,split)
+      val idat1Hdr = java.nio.ByteBuffer.allocate(8 + 2 + 5)
+        .putInt(2 + 5 + PngSplit)
+        .put("IDAT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(0x78.toByte).put(0x01.toByte) // zlib: deflate, fastest
+        .put(0x01.toByte) // BFINAL=1, BTYPE=00 (stored)
+        .put((PngScan & 0xff).toByte).put((PngScan >> 8).toByte) // LEN LE
+        .put(((~PngScan) & 0xff).toByte)
+        .put((((~PngScan) >> 8) & 0xff).toByte) // NLEN
+        .array()
+      sig ++ chunk("IHDR", ihdr) ++ idat1Hdr
+    }
+
+    /** Between the two scanline slices: IDAT1's CRC + IDAT2's framing
+      * (its data = the remaining scanline bytes + the 4 Adler bytes,
+      * which the SQL fixture computes per document). */
+    private[Multimodal] def midFraming: Array[Byte] =
+      Array[Byte](0, 0, 0, 0) ++ // IDAT1 CRC (zeroed)
+        java.nio.ByteBuffer.allocate(8)
+          .putInt(PngScan - PngSplit + 4)
+          .put("IDAT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .array()
+
+    /** Everything after the Adler-32: IDAT2's CRC + IEND. */
+    private[Multimodal] def suffix: Array[Byte] =
+      Array[Byte](0, 0, 0, 0) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** documents → REAL binary PNG files: the document's bytes cycled
+    * into an 8×8 RGB raster, framed as a genuine zlib stream (one
+    * FINAL stored deflate block) split across TWO IDAT chunks
+    * mid-block, with the per-document Adler-32 computed IN SQL
+    * (closed form: s1 = 1+Σb, s2 = n+Σ(n−pos+1)·b, filter-zero bytes
+    * contribute nothing to s1 and nothing position-weighted to s2
+    * beyond the n term) — Inflater verifies it, so a single wrong
+    * payload byte fails the decode loudly. Scanlines use filter 0 so
+    * the DuckDB oracle can recompute every pixel from the text;
+    * filters 1–4 and REAL compressed streams are pinned by the
+    * JVM-encoder round-trip specs. */
+  def pngTable(s: SparkSession, d: String): DataFrame = {
+    val payTxt = expr(
+      s"""CASE WHEN octet_length(text) = char_length(text) AND length(text) >= 1
+         |THEN substring(repeat(text, CAST($PngPayload div length(text) AS INT) + 1), 1, $PngPayload)
+         |ELSE raise_error('media fixture requires non-empty ASCII text; got doc_id=' || doc_id)
+         |END""".stripMargin)
+    val filt = lit(Array[Byte](0))
+    def rows(from: Int, until: Int): Seq[Column] =
+      (from until until).flatMap(r => Seq(filt,
+        payTxt.substr(lit(r * PngStride + 1), lit(PngStride)).cast("binary")))
+    val js = sequence(lit(1), lit(PngPayload))
+    val sumB = aggregate(js, lit(0L),
+      (acc, j) => acc + ascii(payTxt.substr(j, lit(1))))
+    // payload byte j sits at scanline pos ((j−1) div S)·(S+1) + ((j−1) mod S) + 2
+    val sumW = aggregate(js, lit(0L), (acc, j) => {
+      val jm = j - 1
+      val fdiv = ((jm - pmod(jm, lit(PngStride))) / PngStride).cast("long")
+      val w = lit((PngScan - 1).toLong) - fdiv * (PngStride + 1) -
+        pmod(jm, lit(PngStride))
+      acc + w * ascii(payTxt.substr(j, lit(1)))
+    })
+    val adler = (pmod(lit(PngScan.toLong) + sumW, lit(65521L)) * 65536L) +
+      pmod(lit(1L) + sumB, lit(65521L))
+    val media = concat(
+      Seq(lit(PngCodec.prefix)) ++ rows(0, PngH / 2) ++
+        Seq(lit(PngCodec.midFraming)) ++ rows(PngH / 2, PngH) ++
+        Seq(unhex(lpad(hex(adler), 8, "0")), lit(PngCodec.suffix)): _*)
+    Tables(s, d, "documents").select(col("doc_id"), media.as("media"))
+  }
+
+  /** Registered query: real PNG decode — chunk walk, multi-IDAT
+    * reassembly, Inflater (Adler-verified), unfilter — in the same
+    * batched partition-local mapPartitions shape as [[bmpDecode]]. */
+  def pngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => PngCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   /** documents → REAL binary BMP files: canonical 54-byte header plus
     * the document's own bytes cycled to fill the pixel area
     * INCLUDING the row padding — so a decoder that fails to skip pads
@@ -613,6 +842,31 @@ object Multimodal {
     // sr*rowSize + 3x + c), skipping the pad bytes and reading the
     // logical top row at stored row H-1 — every BMP quirk the engine
     // decoder must honor is independently recomputed
+    // oracle: pixels ARE the cycled text bytes (filter-0 scanlines),
+    // so the oracle indexes the text directly — the engine's ONLY
+    // path to the same numbers runs through real chunk-walk +
+    // Inflater (Adler-verified) + unfilter
+    Q("multimodal_png_decode", pngDecode, Some(
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $PngPayload // length(text) + 1), 1, $PngPayload) AS p
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, r,
+         |    ascii(substring(p, r*$PngStride + 3*x + 1, 1)) AS rv,
+         |    ascii(substring(p, r*$PngStride + 3*x + 2, 1)) AS gv,
+         |    ascii(substring(p, r*$PngStride + 3*x + 3, 1)) AS bv
+         |  FROM pay,
+         |    LATERAL (SELECT unnest(range(0, $PngH)) AS r) t1,
+         |    LATERAL (SELECT unnest(range(0, $PngW)) AS x) t2)
+         |SELECT doc_id,
+         |  CAST($PngW AS BIGINT) AS width, CAST($PngH AS BIGINT) AS height,
+         |  CAST(SUM(rv) AS BIGINT) AS r_sum,
+         |  CAST(SUM(gv) AS BIGINT) AS g_sum,
+         |  CAST(SUM(bv) AS BIGINT) AS b_sum,
+         |  CAST(SUM(CASE WHEN r = 0 THEN rv + gv + bv ELSE 0 END) AS BIGINT)
+         |    AS row0_sum
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("multimodal_bmp_decode", bmpDecode, Some(
       s"""WITH pay AS (
          |  SELECT doc_id,
