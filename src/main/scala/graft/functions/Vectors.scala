@@ -99,6 +99,36 @@ object Vectors {
   def lshBuckets(embd: Column): Column =
     graft.plans.TextHashes.hyperplaneBuckets(embd)
 
+  /** Bucket id of table `t` for the MIPS-AUGMENTED vector
+    * [v, xe] (Bachrach et al., RecSys'14: xe = √(M²−‖v‖²) makes every
+    * corpus vector the same length M, so cosine order over the
+    * augmented space IS inner-product order over the original).
+    * Queries carry 0 in the extra coordinate, so their buckets are
+    * the plain [[lshBuckets]]; only corpus vectors need this
+    * (Dim+1)-weight spelling — the extra plane weight is
+    * `planeWeight(p, Dim)`, the next value of the SAME integer
+    * formula, added AFTER the 64-dim fold (one extra IEEE add, same
+    * shape in the oracle). Interpreted, not native: the codegen'd
+    * expression is pinned at Dim and this runs once per corpus
+    * vector, not in any hot loop. */
+  def mipsBucket(embd: Column, xe: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      val p = t * BitsPerTable + b
+      when(dotdFold(embd, plane(p)) + xe * lit(planeWeight(p, Dim)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Oracle spelling of [[mipsBucket]] (`t` is a SQL expression). */
+  def oMipsBucket(v: String, xe: String, t: String): String = {
+    val p = s"(($t) * $BitsPerTable + b)"
+    val wExtra =
+      s"CAST((($p * 73 + $Dim) * 2654435761) % 1000003 % 2001 - 1000 AS DOUBLE)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${BitsPerTable - 1}), " +
+      s"b -> CASE WHEN ${oPlaneDot(v, p)} + ($xe) * $wExtra > 0 " +
+      s"THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)), (x, y) -> x + y)"
+  }
+
   /** Oracle spelling of the dot-with-plane fold for global bit `p`
     * over float-array column `v` (1-based DuckDB index `k`, so the
     * 0-based dim is `k-1`). */

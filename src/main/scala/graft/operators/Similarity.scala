@@ -214,6 +214,78 @@ object Similarity {
   def lshRecall(s: SparkSession, d: String): DataFrame =
     recallVs(topkBrute(s, d), topkLsh(s, d))
 
+  /** Exact MIPS (maximum inner product) top-k baseline — recommender
+    * retrieval ranks by RAW dot product, not cosine: a long vector
+    * with the right direction beats a short one, which cosine
+    * deliberately erases. Same broadcast-queries single-scan shape as
+    * [[topkBrute]], ranking by `dp` alone. */
+  def topkMipsBrute(s: SparkSession, d: String): DataFrame = {
+    val e = withD(embs(s, d))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embd").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embd"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Sub-linear MIPS via the AUGMENTED-VECTOR reduction (Bachrach et
+    * al., RecSys'14): append xe = √(M²−‖x‖²) to every corpus vector
+    * (M = max corpus norm, a 1-row broadcast) — all augmented vectors
+    * then share length M, so COSINE order over the augmented space is
+    * exactly INNER-PRODUCT order over the originals, and the same
+    * hyperplane-LSH tables the cosine path uses become a MIPS index.
+    * Queries carry 0 in the extra coordinate, so their buckets are
+    * the plain codegen'd [[graft.functions.Vectors.lshBuckets]];
+    * corpus vectors bucket through the (Dim+1)-weight
+    * [[graft.functions.Vectors.mipsBucket]] fold. Candidates from the
+    * bucket join re-rank by EXACT raw dot, and
+    * [[mipsRecall]] measures the index's health against the
+    * brute-force MIPS truth — the same registered-recall discipline
+    * as `sim_lsh_recall`. (The driver corpus is unit-normalized, so
+    * here xe ≈ 0, MIPS coincides with cosine, and the measured recall
+    * lands exactly on `sim_lsh_recall`'s numbers — the transform's
+    * value shows on mixed-norm corpora, where cosine LSH without it
+    * ranks the WRONG vectors, not just fewer of them.) */
+  def topkMips(s: SparkSession, d: String): DataFrame = {
+    val e = cached(withD(embs(s, d))
+      .withColumn("x2", Vectors.dotd(col("embd"), col("embd"))))
+    val m2 = e.agg(max(col("x2")).as("m2"))
+    val corpus = e.crossJoin(broadcast(m2))
+      .withColumn("xe", sqrt(col("m2") - col("x2")))
+    val centries = corpus
+      .select(col("vec_id"), posexplode(array(
+        (0 until Vectors.Tables).map(t =>
+          Vectors.mipsBucket(col("embd"), col("xe"), t)): _*)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val qentries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), posexplode(Vectors.lshBuckets(col("embd"))))
+      .select(col("vec_id").as("q_id"), col("pos").as("tbl"),
+        col("col").as("bucket"))
+    val cand = centries.join(broadcast(qentries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    cand
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embd").as("qv"))), "q_id")
+      .join(e.select(col("vec_id"), col("embd")), "vec_id")
+      .withColumn("score", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Measured MIPS-index recall vs the brute-force dot truth. */
+  def mipsRecall(s: SparkSession, d: String): DataFrame =
+    recallVs(topkMipsBrute(s, d), topkMips(s, d))
+
   /** Measured IVF recall vs the exact baseline — the nprobe-tuning
     * feedback signal, same shape as [[lshRecall]]. */
   def ivfRecall(s: SparkSession, d: String): DataFrame =
@@ -273,15 +345,59 @@ object Similarity {
        |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
 
-  /** Oracle recall template: exact top-k left-joined to an
+  private def oDotQ = Vectors.oDot("q.embedding", "e.embedding", Vectors.Dim)
+
+  private def oMipsBruteSql =
+    s"""SELECT q_id, vec_id, score, rn FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, $oDotQ AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oDotQ DESC, e.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+
+  private def oMipsSql =
+    s"""WITH x2 AS MATERIALIZED (
+       |  SELECT vec_id, ${Vectors.oDot("embedding", "embedding", Vectors.Dim)} AS x2
+       |  FROM embeddings),
+       |m AS (SELECT MAX(x2) AS m2 FROM x2),
+       |aug AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, sqrt(m.m2 - x2.x2) AS xe
+       |  FROM embeddings e JOIN x2 USING (vec_id) CROSS JOIN m),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, t AS tbl,
+       |    ${Vectors.oMipsBucket("embedding", "xe", "t")} AS bucket
+       |  FROM aug CROSS JOIN (SELECT unnest(generate_series(0, ${Vectors.Tables - 1})) AS t)),
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id, t AS tbl, ${Vectors.oBucket("embedding", "t")} AS bucket
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, ${Vectors.Tables - 1})) AS t)
+       |  WHERE vec_id < $NQueries),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id
+       |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |  WHERE cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id, $oDotQ AS score
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Oracle recall template: an exact top-k left-joined to an
     * approximate top-k's SQL. */
-  private def oRecall(approxSql: String): String =
+  private def oRecallVs(baseSql: String, approxSql: String): String =
     s"""SELECT b.q_id AS q_id, COUNT(*) AS k,
        |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
-       |FROM ($oBruteSql) b LEFT JOIN ($approxSql) l
+       |FROM ($baseSql) b LEFT JOIN ($approxSql) l
        |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
        |GROUP BY b.q_id ORDER BY q_id""".stripMargin
+
+  private def oRecall(approxSql: String): String = oRecallVs(oBruteSql, approxSql)
 
   /** Per-label centroids (the E-step accumulator of k-means / the
     * class prototype of a nearest-centroid classifier), in long
@@ -1060,6 +1176,8 @@ object Similarity {
          |ORDER BY pos.q_id, neg_rank""".stripMargin)),
     Q("sim_topk_lsh", topkLsh, Some(oLshSql)),
     Q("sim_lsh_recall", lshRecall, Some(oRecall(oLshSql))),
+    Q("sim_topk_mips", topkMips, Some(oMipsSql)),
+    Q("sim_mips_recall", mipsRecall, Some(oRecallVs(oMipsBruteSql, oMipsSql))),
     Q("sim_ivf_recall", ivfRecall, Some(oRecall(oIvfSql))),
     Q("sim_topk_ivf", topkIvf, Some(oIvfSql)),
     Q("sim_knn_label", knnPerLabel, Some(

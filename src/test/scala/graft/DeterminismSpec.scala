@@ -48,7 +48,13 @@ class DeterminismSpec extends SparkSpec {
     // family on the 10^5-row events table, measured 1.31 s min-of-2
     // at sf0.1) — the same r14 bench run came in at 85.7 s total vs
     // r13's 90.1 s, so the suite budget still went DOWN net.
-    assert(SparkEntry.benchSet.size <= 79)
+    // +2 (r14, late) admit text_phrase_search (the broadcast-gated
+    // positional posting join, measured 1.37 s min-of-2 at sf0.1) and
+    // events_rolling_distinct (the interval-contribution explode +
+    // two-stage countDistinct, measured 1.50 s min-of-2 at sf0.1) —
+    // together ~2.9 s against the ~4.4 s the budget went down this
+    // round.
+    assert(SparkEntry.benchSet.size <= 81)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

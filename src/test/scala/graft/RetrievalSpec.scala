@@ -19,6 +19,27 @@ class RetrievalSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     super.afterEach()
   }
 
+  test("MIPS top-k scores are true inner products and recall is well-formed") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // returned scores must be the EXACT sequential-fold dot of the
+    // raw vectors — the candidates path may be approximate, the
+    // scores never are
+    Similarity.topkMips(spark, sf).collect().foreach { r =>
+      val q = vecs(r.getAs[Long]("q_id")); val v = vecs(r.getAs[Long]("vec_id"))
+      var acc = 0.0
+      for (i <- q.indices) acc += q(i).toDouble * v(i).toDouble
+      assert(r.getAs[Double]("score") == acc,
+        s"score drift for (${r.getAs[Long]("q_id")}, ${r.getAs[Long]("vec_id")})")
+    }
+    Similarity.mipsRecall(spark, sf).collect().foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0 && r.getAs[Long]("k") > 0)
+    }
+  }
+
   test("semantic dedup prunes only genuine cosine near-dups, toward lower ids") {
     val out = Similarity.semanticDedup(spark, sf).collect()
     assert(out.nonEmpty, "fixture corpus has planted near-dups")
