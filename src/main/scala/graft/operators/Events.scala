@@ -479,9 +479,18 @@ object Events {
     // and epoch-ns exceeds 2^53, so a midnight-exact timestamp could
     // round across the day boundary
     val NsPerDay = 86400L * 1000000000L
-    val ud = cached(load(s, d)
+    rollingFromPairs(cached(load(s, d)
       .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
-      .distinct())
+      .distinct()))
+  }
+
+  /** The rolling report from the distinct (user_id, day) pair table —
+    * shared by [[rollingDistinct]] and the streaming maintenance twin
+    * (`stream_rolling_distinct`): the pair table is a SET, the state
+    * a stream can maintain with plain union+distinct (idempotent
+    * under any redelivery — the KMV discipline, free of the additive
+    * state's batch-keying needs). */
+  private[graft] def rollingFromPairs(ud: DataFrame): DataFrame = {
     val daily = ud.groupBy("day")
       .agg(countDistinct("user_id").as("n_users_1d"))
     val rolling = ud
@@ -494,19 +503,80 @@ object Events {
       .orderBy("day")
   }
 
+  /** `events_rolling_distinct`'s oracle — shared verbatim by the
+    * streaming twin, whose set state folds to the same pair table. */
+  private[graft] val oRollingSql: String =
+    """WITH ud AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |roll AS (
+      |  SELECT day + g AS day, user_id
+      |  FROM (SELECT user_id, day, unnest(generate_series(0, 6)) AS g FROM ud)),
+      |r7 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_7d FROM roll GROUP BY day),
+      |r1 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_1d FROM ud GROUP BY day)
+      |SELECT r1.day, n_users_1d, n_users_7d
+      |FROM r1 JOIN r7 ON r1.day = r7.day ORDER BY r1.day""".stripMargin
+
+  /** Day-of-week × hour-of-day seasonal baseline + the cells that
+    * deviate most from it — the seasonality-aware alarm
+    * `events_anomaly`'s flat z-score misses (a quiet Sunday 3 am is
+    * NORMAL; the same count Tuesday noon is an outage). Everything
+    * stays exact integers: dow = (day+4) mod 7 (pure arithmetic from
+    * epoch days — no calendar functions to diverge on), the baseline
+    * comparison cross-multiplies instead of dividing
+    * (|c·n_days − total| as bigint), and only the report's
+    * convenience ratio is a double.
+    *
+    * Scale posture: one events scan → (type, day, hour) partial+final
+    * agg; the (type, dow, hour) baseline is ≤ |types|·168 rows and
+    * joins back broadcast; top-20 is a TakeOrdered. */
+  def seasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    val NsPerDay = 86400L * 1000000000L
+    val NsPerHour = 3600L * 1000000000L
+    val cells = cached(load(s, d)
+      .select(col("event_type"),
+        expr(s"ts div $NsPerDay").as("day"),
+        expr(s"(ts div $NsPerHour) % 24").as("hr"))
+      .groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7))))
+    val nDays = cells.select("day", "dow").distinct()
+      .groupBy("dow").agg(count(lit(1)).as("n_days"))
+    val base = cells.groupBy("event_type", "dow", "hr")
+      .agg(sum("c").as("total"))
+    cells
+      .join(broadcast(base), Seq("event_type", "dow", "hr"))
+      .join(broadcast(nDays), Seq("dow"))
+      .withColumn("dev", abs(col("c") * col("n_days") - col("total")))
+      .select(col("event_type"), col("day"), col("dow"), col("hr"),
+        col("c"), col("total"), col("n_days"), col("dev"),
+        (col("c").cast("double") * col("n_days").cast("double") /
+          col("total").cast("double")).as("lift"))
+      .orderBy(col("dev").desc, col("event_type"), col("day"), col("hr"))
+      .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
-    Q("events_rolling_distinct", rollingDistinct, Some(
-      """WITH ud AS MATERIALIZED (
-        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-        |roll AS (
-        |  SELECT day + g AS day, user_id
-        |  FROM (SELECT user_id, day, unnest(generate_series(0, 6)) AS g FROM ud)),
-        |r7 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_7d FROM roll GROUP BY day),
-        |r1 AS (SELECT day, COUNT(DISTINCT user_id) AS n_users_1d FROM ud GROUP BY day)
-        |SELECT r1.day, n_users_1d, n_users_7d
-        |FROM r1 JOIN r7 ON r1.day = r7.day ORDER BY r1.day""".stripMargin)),
+    Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),
+    // oracle: identical cross-multiplied integer deviation; dow is
+    // pure epoch-day arithmetic, never a calendar function
+    Q("events_seasonal_baseline", seasonalBaseline, Some(
+      """WITH cells AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cd AS (SELECT *, (day + 4) % 7 AS dow FROM cells),
+        |nd AS (SELECT dow, COUNT(*) AS n_days FROM
+        |         (SELECT DISTINCT day, dow FROM cd) q GROUP BY dow),
+        |base AS (SELECT event_type, dow, hr, CAST(SUM(c) AS BIGINT) AS total
+        |         FROM cd GROUP BY 1, 2, 3)
+        |SELECT cd.event_type, cd.day, cd.dow, cd.hr, cd.c, base.total,
+        |  nd.n_days, abs(cd.c * nd.n_days - base.total) AS dev,
+        |  CAST(cd.c AS DOUBLE) * CAST(nd.n_days AS DOUBLE)
+        |    / CAST(base.total AS DOUBLE) AS lift
+        |FROM cd JOIN base USING (event_type, dow, hr) JOIN nd USING (dow)
+        |ORDER BY dev DESC, cd.event_type, cd.day, cd.hr LIMIT 20""".stripMargin)),
     Q("events_winsorize", winsorize, Some(
       s"""WITH r AS (
          |  SELECT event_type, value,

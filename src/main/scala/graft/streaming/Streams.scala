@@ -1335,11 +1335,53 @@ object Streams {
     graft.operators.Quality.cupedFromDayCents(s.read.parquet(curState.get))
   }
 
+  /** Streaming rolling-retention maintenance — [[streamAbCuped]]'s
+    * SET-state sibling: the maintained state is the distinct
+    * (user, day) pair table, a set, so per-batch union+distinct is
+    * idempotent under ANY batch split or redelivery (no batch-keyed
+    * versioning needed — the KMV discipline); the ×7
+    * interval-contribution report runs at read time through the SAME
+    * plan as the batch operator. */
+  def streamRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-roll-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-roll-state")
+    @volatile var curState: Option[String] = None
+    val NsPerDay = 86400L * 1000000000L
+    def pairs(df: DataFrame): DataFrame = df
+      .select(col("user_id"), graft.Core.epochNs(col("ts")).as("ns"))
+      .select(col("user_id"), expr(s"ns div $NsPerDay").as("day"))
+      .distinct()
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = pairs(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp).distinct()
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamRollingDistinct")
+    graft.operators.Events.rollingFromPairs(s.read.parquet(curState.get))
+  }
+
   val queries: Seq[Q] = Seq(
     // oracle: the batch CUPED oracle verbatim — the stream-maintained
     // additive state folds to the identical metric
     Q("stream_ab_cuped", streamAbCuped,
       Some(graft.operators.Quality.oCupedSql)),
+    // oracle: the batch rolling oracle verbatim — set state folds to
+    // the same pair table under any replay
+    Q("stream_rolling_distinct", streamRollingDistinct,
+      Some(graft.operators.Events.oRollingSql)),
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -35,6 +35,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming rolling distinct's set state folds to the batch report") {
+    val streamed = Streams.streamRollingDistinct(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Events.rollingDistinct(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming word count equals batch word count on replay") {
     val streamed = Streams.streamWordCount(spark, sf)
       .as[(String, Long)].collect().toSeq
