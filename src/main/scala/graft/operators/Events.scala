@@ -555,7 +555,48 @@ object Events {
       .limit(20)
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream — the sequence-model summary a next-event predictor or a
+    * funnel-defect hunt starts from: P(next = b | current = a) with
+    * EXACT integer counts and one double division. The successor
+    * comes from `lead()` over the (ts, event_id) total order per
+    * user — deterministic under any partitioning — and the
+    * per-source normalizer is a plain partial+final agg joined back
+    * (|types| rows, broadcast).
+    *
+    * Scale: one shuffle on user_id (high-cardinality, no hot spots)
+    * for the lead window; the pair tally is ≤ |types|² rows. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = load(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("type_from"),
+        col("next_type").as("type_to"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy("type_from").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(fromTot), "type_from")
+      .select(col("type_from"), col("type_to"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("type_from", "type_to")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: identical lead-over-total-order spelling
+    Q("events_transition_matrix", transitionMatrix, Some(
+      """WITH nx AS MATERIALIZED (
+        |  SELECT event_type AS type_from,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS type_to
+        |  FROM events),
+        |pairs AS (SELECT type_from, type_to, COUNT(*) AS n FROM nx
+        |          WHERE type_to IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT type_from, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM pairs GROUP BY type_from)
+        |SELECT pairs.type_from, type_to, n, n_from,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM pairs JOIN ft USING (type_from)
+        |ORDER BY type_from, type_to""".stripMargin)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

@@ -458,7 +458,64 @@ object Quality {
        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta
        |FROM a, m ORDER BY arm""".stripMargin
 
+  /** Benford-expected share of first digit d, log10(1+1/d) — computed
+    * ONCE here and embedded as the same 17-digit literal in both
+    * engines' plans (log10 itself has no cross-engine bit guarantee;
+    * a shared literal trivially does). SCIENTIFIC notation is
+    * load-bearing: DuckDB types a plain 17-digit literal as
+    * DECIMAL(18,18) and its decimal→double conversion lands one ulp
+    * off Scala's direct parse; an e-notation literal is a DOUBLE in
+    * both parsers. */
+  private val BenfordShare: Map[Int, String] =
+    (1 to 9).map(dd => dd -> f"${math.log10(1.0 + 1.0 / dd)}%.17e").toMap
+
+  /** Benford first-digit audit over the transaction values — the
+    * classic fabricated-data screen (organic multiplicative amounts
+    * follow log10(1+1/d); uniform or hand-typed ones don't). The
+    * first significant digit comes from the CENTS STRING (identical
+    * text both engines — no float log in the digit extraction),
+    * counts are exact, and the deviation from the Benford share is a
+    * fixed double shape against the embedded literals. The driver's
+    * synthetic uniform values FAIL the screen, visibly: digit 1's
+    * share sits far under 0.301 — the row is the measured proof the
+    * audit fires, not an assumption it would.
+    *
+    * Scale: one scan → 9-group partial+final agg + a 1-row total. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val counts = Tables(s, d, "events")
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    val benford = (2 to 9).foldLeft(
+      when(col("digit") === 1, lit(BenfordShare(1).toDouble))) { (acc, dd) =>
+      acc.when(col("digit") === dd, lit(BenfordShare(dd).toDouble))
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("share"),
+        benford.as("benford_share"),
+        abs(col("n").cast("double") / col("t").cast("double") - benford)
+          .as("dev"))
+      .orderBy("digit")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("quality_benford", benfordDigits, Some {
+      val shares = (1 to 9)
+        .map(dd => s"WHEN $dd THEN ${BenfordShare(dd)}").mkString(" ")
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT CAST(substring(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM events),
+         |n AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM n)
+         |SELECT digit, n,
+         |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+         |  CASE digit $shares END AS benford_share,
+         |  abs(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+         |      - CASE digit $shares END) AS dev
+         |FROM n CROSS JOIN t ORDER BY digit""".stripMargin
+    }),
     Q("ab_conversion_ztest", abConversionZtest, Some(
       s"""WITH sp AS MATERIALIZED (
          |  SELECT user_id,

@@ -174,6 +174,51 @@ object TextAnalysis {
         sum_distinct(col("doc_id")).as("id_checksum"))
   }
 
+  /** Collocation mining — bigrams ranked by POINTWISE MUTUAL
+    * INFORMATION expressed as its exact-integer LIFT core:
+    * P(ab)/(P(a)P(b)) = n_ab·N²/(M·n_a·n_b) (N tokens, M bigram
+    * slots). The log wrapper is monotone, so ranking by the ratio IS
+    * ranking by PMI — and the ratio stays EXACT integers in
+    * decimal(38,0)/HUGEINT until one final double division, where
+    * log() itself has no cross-engine bit guarantee (this codebase
+    * uses no transcendental except sqrt, the one IEEE
+    * correctly-rounded one). Support ≥ 5 kills the hapax pairs PMI
+    * notoriously over-ranks.
+    *
+    * Scale: two map-side explodes + partial+final tallies
+    * (vocabulary- and bigram-vocabulary-sized), two 1-row totals
+    * broadcast, unigram counts joined onto the bigram table by
+    * word key — AQE broadcasts them at small SF, shuffles at
+    * catalog scale. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val base = cached(docs(s, d).withColumn("t", tokens(col("text"))))
+    val uni = cached(base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")))
+    val totN = uni.agg(sum("n").as("nn"))
+    val big = base.filter(size(col("t")) >= 2)
+      .select(explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val totM = big.agg(sum("n_ab").as("mm"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(totN)).crossJoin(broadcast(totM))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast(dec) * col("nn") * col("nn")).cast("double") /
+          (col("mm").cast(dec) * col("n_a") * col("n_b")).cast("double"))
+          .as("pmi_lift"))
+      .orderBy(col("pmi_lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Lite suffix stemmer — a fixed, first-match-wins rule list
     * (sses→ss, ies→y, -ing, -ed, keep -ss, strip -s) with minimum
     * length guards, the normalization a vocabulary-compression pass
@@ -688,6 +733,27 @@ object TextAnalysis {
          |SELECT stem, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_forms
          |FROM pf GROUP BY stem
          |ORDER BY n_tokens DESC, stem LIMIT 20""".stripMargin)),
+    // oracle: identical exact-integer PMI core; the decimal products
+    // ride HUGEINT, one double division at the end
+    Q("text_collocations", collocations, Some(
+      s"""WITH tok AS MATERIALIZED (SELECT $oTokens AS t FROM documents),
+         |uni AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM tok) q
+         |  GROUP BY w),
+         |nn AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM uni),
+         |big AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS n_ab FROM (
+         |    SELECT t[g] AS w1, t[g+1] AS w2
+         |    FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
+         |          FROM tok WHERE len(t) >= 2))
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+         |mm AS (SELECT CAST(SUM(n_ab) AS HUGEINT) AS mm FROM big)
+         |SELECT big.w1, big.w2, big.n_ab, a.n AS n_a, b.n AS n_b,
+         |  CAST(CAST(big.n_ab AS HUGEINT) * nn.nn * nn.nn AS DOUBLE)
+         |    / CAST(mm.mm * a.n * b.n AS DOUBLE) AS pmi_lift
+         |FROM big JOIN uni a ON big.w1 = a.w JOIN uni b ON big.w2 = b.w
+         |CROSS JOIN nn CROSS JOIN mm
+         |ORDER BY pmi_lift DESC, big.w1, big.w2 LIMIT 20""".stripMargin)),
     // oracle: same positional join; DuckDB lists are 1-based where
     // posexplode is 0-based, but positions only ever meet positions
     // from the SAME engine (p2 = p1 + 1), so the offset cancels.
