@@ -475,10 +475,11 @@ object Quality {
     * first significant digit comes from the CENTS STRING (identical
     * text both engines — no float log in the digit extraction),
     * counts are exact, and the deviation from the Benford share is a
-    * fixed double shape against the embedded literals. The driver's
-    * synthetic uniform values FAIL the screen, visibly: digit 1's
-    * share sits far under 0.301 — the row is the measured proof the
-    * audit fires, not an assumption it would.
+    * fixed double shape against the embedded literals. Measured on
+    * the driver data: the synthetic amounts are log-spread enough to
+    * read NEAR-Benford (max per-digit deviation ≈ 0.019 at sf0.01) —
+    * so the registered rows pin a clean audit, and `dev` is the
+    * number that moves when fabricated or truncated values land.
     *
     * Scale: one scan → 9-group partial+final agg + a 1-row total. */
   def benfordDigits(s: SparkSession, d: String): DataFrame = {

@@ -829,6 +829,46 @@ class PlanSpec extends SparkSpec {
     assert(!z.isNaN && !z.isInfinite)
   }
 
+  test("transition matrix rows are a probability distribution per source type") {
+    val rows = graft.operators.Events.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("type_from")).foreach { case (tf, g) =>
+      val mass = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"$tf transition mass $mass")
+      val nsum = g.map(_.getAs[Long]("n")).sum
+      assert(g.forall(_.getAs[Long]("n_from") == nsum), s"$tf normalizer")
+    }
+  }
+
+  test("benford audit: full digit coverage, shares sum to 1, deviation is |share - expected|") {
+    val rows = graft.operators.Quality.benfordDigits(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val mass = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(mass - 1.0) < 1e-9)
+    val bmass = rows.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(bmass - 1.0) < 1e-12) // the embedded literals telescope
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dev") ==
+        math.abs(r.getAs[Double]("share") - r.getAs[Double]("benford_share")))
+    }
+    // the driver's log-spread amounts read near-Benford (measured max
+    // dev ≈ 0.019 at sf0.01); a generous cap still catches a screen
+    // that silently broke (uniform data would push digit-1 dev > 0.07)
+    assert(rows.map(_.getAs[Double]("dev")).max < 0.06,
+      rows.map(r => (r.getAs[Int]("digit"), r.getAs[Double]("dev"))).toSeq.toString)
+  }
+
+  test("collocations rank by the exact PMI lift core with min support") {
+    val rows = graft.operators.TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 5)
+      assert(r.getAs[Double]("pmi_lift") > 0.0)
+    }
+    val lifts = rows.map(_.getAs[Double]("pmi_lift")).toSeq
+    assert(lifts == lifts.sorted.reverse, "not ranked by lift desc")
+  }
+
   test("bin packing shuffles once (the shard exchange) and never cartesians") {
     val s = executed(graft.operators.Pipeline.binPack(spark, sf))
     assert(!s.contains("CartesianProduct"), s.take(900))
