@@ -193,7 +193,10 @@ object TextAnalysis {
   def collocations(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val base = cached(docs(s, d).withColumn("t", tokens(col("text"))))
+    // project to the token array BEFORE caching: a bare withColumn
+    // would persist every document column alongside it (measured in
+    // the round's ReadSchema audit)
+    val base = cached(docs(s, d).select(tokens(col("text")).as("t")))
     val uni = cached(base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n")))
     val totN = uni.agg(sum("n").as("nn"))
