@@ -64,6 +64,47 @@ object Temporal {
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
 
+  /** NEAREST-match as-of join — the sensor-fusion direction the
+    * backward as-of can't express: for each purchase, the click
+    * minimizing |Δt| in EITHER direction (tie → the earlier click).
+    * Same union + one-shuffle pattern as
+    * [[asofClickBeforePurchase]], but BOTH directions carry over the
+    * same partition sort: a backward `last(ignoreNulls)` and a
+    * forward `first(ignoreNulls)` share one exchange and one sort,
+    * then a pure projection picks the closer side. A same-ts click
+    * sorts before the purchase (is_left asc), so it arrives via the
+    * backward carry at distance 0 — still optimal. Cost is identical
+    * to the one-directional as-of: one shuffle of rows, no join
+    * explosion. */
+  def asofNearestClick(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val tagged = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("click_ts"), lit(1).as("is_left"))
+      .unionByName(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            col("ts").as("click_ts"), lit(0).as("is_left")))
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+    val wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nearest = when(col("prev_ts").isNull, col("next_ts"))
+      .when(col("next_ts").isNull, col("prev_ts"))
+      // ≤ makes the equidistant tie take the EARLIER click
+      .when(col("ts") - col("prev_ts") <= col("next_ts") - col("ts"),
+        col("prev_ts"))
+      .otherwise(col("next_ts"))
+    tagged
+      .withColumn("prev_ts", last(col("click_ts"), ignoreNulls = true).over(wb))
+      .withColumn("next_ts", first(col("click_ts"), ignoreNulls = true).over(wf))
+      .filter(col("is_left") === 1)
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), nearest.as("nearest_ts"),
+        abs(nearest - col("ts")).as("gap_us"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
   /** Count + span of clicks in the 30 minutes before each purchase
     * (range join via 2-bucket banding + exact interval filter). */
   def rangeClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
@@ -126,6 +167,24 @@ object Temporal {
   }
 
   val queries: Seq[Q] = Seq(
+    // oracle: per-user argmin over the blocked pair set (correct at
+    // oracle size; the engine's two-direction carry exists for the
+    // 100 TB case where within-user pairing would fan out)
+    Q("asof_nearest_click", asofNearestClick, Some(
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cts
+        |      FROM events WHERE event_type = 'click'),
+        |best AS (
+        |  SELECT purchase_id, cts FROM (
+        |    SELECT p.purchase_id, c.cts,
+        |      row_number() OVER (PARTITION BY p.purchase_id
+        |        ORDER BY abs(c.cts - p.pts), c.cts) AS rn
+        |    FROM p JOIN c USING (user_id)) q WHERE rn = 1)
+        |SELECT p.user_id, p.purchase_id, p.pts AS purchase_ts,
+        |  best.cts AS nearest_ts, abs(best.cts - p.pts) AS gap_us
+        |FROM p LEFT JOIN best USING (purchase_id)
+        |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin)),
     Q("asof_click_purchase", asofClickBeforePurchase, Some(
       """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) AS purchase_ts, epoch_us(c.ts) AS last_click_ts
