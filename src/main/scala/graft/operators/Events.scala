@@ -581,7 +581,51 @@ object Events {
       .orderBy("type_from", "type_to")
   }
 
+  /** Per-user EWMA of transaction value — the classic streaming
+    * smoother (RFC 6298's RTT estimator, monitoring baselines):
+    * ewma₀ = x₁, ewmaₜ = 0.875·ewmaₜ₋₁ + 0.125·xₜ over each user's
+    * (ts, event_id) total order. α = 1/8 is a POWER OF TWO, so both
+    * constants are exactly representable and the fold is the same
+    * IEEE sequence in both engines — order-dependent recursions only
+    * hash-match when the order is total and the arithmetic shape is
+    * pinned, which is exactly what the sorted-struct collect + left
+    * fold gives. Inputs ride exact cents.
+    *
+    * Scale: one shuffle on user_id; per-user state is the user's own
+    * event list (bounded by per-user activity — the same budget the
+    * sessionizer's collect-based twin declares; the O(1)-state
+    * alternative is a [[graft.plans.SessionAgg]]-style fold
+    * operator, which this deliberately does NOT need because EWMA
+    * reads each row once). */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val arr = sort_array(collect_list(struct(
+      col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))))
+    Tables(s, d, "events")
+      .withColumn("ts", epochUs(col("ts")))
+      .groupBy("user_id")
+      .agg(arr.as("xs"))
+      .select(col("user_id"), size(col("xs")).as("n_events"),
+        aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1),
+          element_at(col("xs"), 1).getField("cents").cast("double"),
+          (acc, e) => acc * 0.875 + e.getField("cents").cast("double") * 0.125)
+          .as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the identical left fold over the identical total order;
+    // alpha = 1/8 is exactly representable so the IEEE sequences agree
+    Q("events_ewma", ewma, Some(
+      """WITH xs AS MATERIALIZED (
+        |  SELECT user_id,
+        |    list(CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE)
+        |         ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS INTEGER) AS n_events,
+        |  list_reduce(xs, (acc, x) -> acc * 0.875 + x * 0.125) AS ewma_cents
+        |FROM xs ORDER BY user_id""".stripMargin)),
     // oracle: identical lead-over-total-order spelling
     Q("events_transition_matrix", transitionMatrix, Some(
       """WITH nx AS MATERIALIZED (
