@@ -1373,7 +1373,117 @@ object Streams {
     graft.operators.Events.rollingFromPairs(s.read.parquet(curState.get))
   }
 
+  /** Events written as 4 ts-ordered slices with strictly increasing
+    * file mod-times — the replay layout order-SENSITIVE incremental
+    * operators need (the [[streamSessionizeNative]] discipline,
+    * factored for reuse): half-open quartile cuts put every event in
+    * exactly one slice, and the explicit mtime stamps make the file
+    * source's replay order deterministic. */
+  private def tsSlicedEventsDir(s: SparkSession, d: String): String = {
+    val srcDir = graft.Core.tempDir("graft-tslice-src")
+    val ev0 = graft.Tables(s, d, "events").select("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+    val bounds = ev0
+      .select(graft.Core.epochNs(col("ts").cast("timestamp")).cast("double").as("tsn"))
+      .stat.approxQuantile("tsn", Array(0.25, 0.5, 0.75), 0.01)
+    val cuts = (Double.NegativeInfinity +: bounds.toSeq) :+ Double.PositiveInfinity
+    val stamped = scala.collection.mutable.Set[String]()
+    val mtBase = System.currentTimeMillis() - 3600000L
+    cuts.sliding(2).zipWithIndex.foreach { case (pair, sliceIdx) =>
+      val (lo, hi) = (pair(0), pair(1))
+      val tsn = graft.Core.epochNs(col("ts").cast("timestamp")).cast("double")
+      ev0.filter(tsn >= lit(lo) && tsn < lit(hi))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles().foreach { f =>
+        if (!stamped.contains(f.getName) && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) {
+          require(f.setLastModified(mtBase + sliceIdx * 60000L),
+            s"setLastModified failed for $f")
+          stamped += f.getName
+        }
+      }
+    }
+    srcDir
+  }
+
+  /** Streaming Markov transition-matrix maintenance — the
+    * order-SENSITIVE incremental state: per micro-batch the new
+    * transitions are the consecutive pairs of (carried last event ∪
+    * batch) per user, so each user's cross-boundary pair is generated
+    * exactly once by the carried row's lead; state = the additive
+    * (from, to) pair counts PLUS each user's latest (ts, event_id,
+    * type) as one struct-max. Requires the ts-ordered slice replay
+    * ([[tsSlicedEventsDir]]) — with unordered batches "the previous
+    * event" is undefined mid-stream. Read time normalizes the final
+    * counts through the SAME plan tail as the batch operator, so
+    * replay parity is exact integers. */
+  def streamTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val srcDir = tsSlicedEventsDir(s, d)
+    val stateRoot = graft.Core.tempDir("graft-trans-state")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = batch.select(
+          graft.Core.epochNs(col("ts")).as("ts"),
+          col("event_id"), col("user_id"), col("event_type"))
+        val carried = curState match {
+          case None => None
+          case Some(p) => Some(s.read.parquet(s"$p/last")
+            .select(col("g.ts").as("ts"), col("g.event_id").as("event_id"),
+              col("user_id"), col("g.event_type").as("event_type")))
+        }
+        val combined = carried.fold(ev)(c => c.unionByName(ev))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val newPairs = combined
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("type_from"),
+            col("next_type").as("type_to"))
+          .agg(count(lit(1)).as("n"))
+        val pairs = curState match {
+          case None => newPairs
+          case Some(p) => s.read.parquet(s"$p/pairs").unionByName(newPairs)
+            .groupBy("type_from", "type_to").agg(sum("n").as("n"))
+        }
+        val last = combined.groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("g"))
+        val next = s"$stateRoot/v$batchId"
+        pairs.write.mode("overwrite").parquet(s"$next/pairs")
+        last.write.mode("overwrite").parquet(s"$next/last")
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamTransitionMatrix")
+    val pairs = s.read.parquet(s"${curState.get}/pairs")
+    val fromTot = pairs.groupBy("type_from").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(fromTot), "type_from")
+      .select(col("type_from"), col("type_to"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("type_from", "type_to")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the batch transition oracle verbatim — ts-ordered slice
+    // replay + carried last-event state count exactly the batch pairs
+    Q("stream_transition_matrix", streamTransitionMatrix, Some(
+      """WITH nx AS MATERIALIZED (
+        |  SELECT event_type AS type_from,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS type_to
+        |  FROM events),
+        |pairs AS (SELECT type_from, type_to, COUNT(*) AS n FROM nx
+        |          WHERE type_to IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT type_from, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM pairs GROUP BY type_from)
+        |SELECT pairs.type_from, type_to, n, n_from,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM pairs JOIN ft USING (type_from)
+        |ORDER BY type_from, type_to""".stripMargin)),
     // oracle: the batch CUPED oracle verbatim — the stream-maintained
     // additive state folds to the identical metric
     Q("stream_ab_cuped", streamAbCuped,

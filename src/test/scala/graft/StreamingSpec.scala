@@ -43,6 +43,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming transition matrix carries last events across slice boundaries exactly") {
+    val streamed = Streams.streamTransitionMatrix(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val batch = graft.operators.Events.transitionMatrix(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // cross-boundary pairs come only from the carried per-user last
+    // event — equality proves each is generated exactly once
+    assert(streamed == batch)
+  }
+
   test("streaming word count equals batch word count on replay") {
     val streamed = Streams.streamWordCount(spark, sf)
       .as[(String, Long)].collect().toSeq
