@@ -441,7 +441,63 @@ object Connectors {
       .select("n_v1", "n_v2", "v1_id_sum", "v2_id_sum")
   }
 
+  /** Incremental JOIN-view maintenance — the delta identity every IVM
+    * engine rests on: with both sides split into base and delta,
+    * V_new = (O∖ΔO ⋈ L∖ΔL) ∪ (ΔO ⋈ L∖ΔL) ∪ (O∖ΔO ⋈ ΔL) ∪ (ΔO ⋈ ΔL).
+    * [[mergeApply]]/`agg_incremental_retract` maintain AGGREGATES
+    * under change feeds; this maintains a JOIN — the other half of a
+    * materialized-view stack. Deltas are deterministic hash slices of
+    * each side (~10% of orders, ~14% of lineitem, decorrelated keys
+    * so all three delta terms are non-empty). The engine computes the
+    * view BOTH ways — one full join vs the four-way decomposition —
+    * and emits both counts/sums per priority; the oracle pins
+    * incr = full from the plain join, so ANY overlap or gap in the
+    * engine's case split (the classic IVM double-count bug) breaks
+    * the hash.
+    *
+    * Scale posture: in production V_old = base⋈base is the STORED
+    * view — only the three delta terms run per refresh, each
+    * shuffling delta-keyed rows (ΔO and ΔL broadcast when the feed is
+    * small); the full join here exists as the self-check. All sums
+    * are exact integer cents. */
+  def joinDelta(s: SparkSession, d: String): DataFrame = {
+    import graft.Core.HashMod
+    val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"),
+      round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+    val oNew = pmod(col("o_orderkey") * lit(2654435761L), lit(HashMod)) % 10 === 0
+    val lNew = pmod((col("l_orderkey") * 31 + col("l_linenumber")) *
+      lit(2654435761L), lit(HashMod)) % 7 === 0
+    val oOld = o.filter(!oNew); val oD = o.filter(oNew)
+    val lOld = l.filter(!lNew); val lD = l.filter(lNew)
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"), col("qty_cents"))
+    val incr = j(oOld, lOld).unionAll(j(oD, lOld))
+      .unionAll(j(oOld, lD)).unionAll(j(oD, lD))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_incr"), sum("qty_cents").as("qty_incr_cents"))
+    val full = j(o, l).groupBy("priority")
+      .agg(count(lit(1)).as("n_full"), sum("qty_cents").as("qty_full_cents"))
+    full.join(incr, Seq("priority"), "full")
+      .select(col("priority"), col("n_full"), col("n_incr"),
+        col("qty_full_cents"), col("qty_incr_cents"))
+      .orderBy("priority")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the PLAIN join emitted twice — the delta decomposition
+    // is an exact identity, so the engine's four-way union must
+    // reproduce the full join's numbers bit-for-bit or the case
+    // split has an overlap/gap
+    Q("maint_join_delta", joinDelta, Some(
+      """SELECT o_orderpriority AS priority,
+        |  COUNT(*) AS n_full, COUNT(*) AS n_incr,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_full_cents,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_incr_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin)),
     Q("connector_dsv2_sink", dsv2SinkRoundtrip, Some(
       """SELECT COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,

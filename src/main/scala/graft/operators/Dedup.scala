@@ -1478,6 +1478,61 @@ object Dedup {
       .orderBy("community_size")
   }
 
+  /** Vertex-degree ceiling for the [[linkPredict]] wedge apex. Two-hop
+    * enumeration fans out quadratically in the apex degree (one
+    * degree-10⁶ hub yields 10¹² wedges); capping the apex bounds the
+    * candidate count by |E|·HubCap on ANY graph, and the skipped
+    * hub-mediated pairs are exactly the ones common-neighbor scoring
+    * ranks last anyway (a shared celebrity neighbor carries ~no
+    * linkage evidence). The cap is corpus-independent and shared with
+    * the oracle so both engines prune the identical wedges. */
+  private[graft] val HubCap = 64L
+
+  /** Common-neighbor LINK PREDICTION over the ER match graph — the
+    * classic missing-edge ranking (Liben-Nowell & Kleinberg 2003):
+    * for every NON-edge pair (a, b) reachable in two hops, the number
+    * of shared neighbors and the neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)|. In an entity-resolution pipeline this
+    * is the "edges the matcher MISSED" review queue: two records that
+    * share two or more fuzzy twins but were never paired directly are
+    * the highest-yield human-review candidates (and the transitive
+    * pairs CC is about to merge silently — this ranks them first).
+    *
+    * Execution is the [[triangles]] wedge join WITHOUT the closing
+    * edge: symmetrized adjacency self-joined on the apex (degree
+    * ≤ [[HubCap]] — see there), the (lo, hi) endpoint pair tallied,
+    * existing edges removed by one left-anti join, degrees joined
+    * back broadcast-sized. Counts are exact longs; Jaccard is ONE
+    * integer division per row. Shuffles carry (apex) then (pair)
+    * keys; neighborhoods never materialize as sets. cn ≥ 2 keeps the
+    * review queue meaningful (1-common-neighbor pairs are every
+    * path of length 2 — noise at any scale). */
+  def linkPredict(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e = cached(erEdges(cust, customerStrip(s, d)).select("a", "b"))
+    val adj = cached(e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = cached(adj.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("dg")))
+    val apexOk = adj.join(deg.filter(col("dg") <= HubCap).select("v"),
+      adj("src") === col("v")).drop("v")
+    val cand = apexOk.toDF("w", "u")
+      .join(apexOk.toDF("w", "x"), "w")
+      .filter(col("u") < col("x"))
+      .groupBy(col("u").as("a"), col("x").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .filter(col("cn") >= 2)
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -2184,6 +2239,36 @@ object Dedup {
         |  JOIN e e2 ON e2.ka = e1.ka AND e2.kb > e1.kb
         |  JOIN e e3 ON e3.ka = e1.kb AND e3.kb = e2.kb
         |GROUP BY e1.nation ORDER BY c_nationkey""".stripMargin)),
+    // oracle: the same apex-capped wedge enumeration (adj references
+    // e0 twice and cand references adj twice — MATERIALIZED, the
+    // inlining-explosion class) with NOT EXISTS as the anti-join and
+    // the identical one-division Jaccard
+    Q("graph_link_predict", linkPredict, Some(
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b
+         |  FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |    AND a.c_nationkey = b.c_nationkey
+         |    AND levenshtein(a.c_name, b.c_name) <= 1),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS v, COUNT(*) AS dg FROM adj GROUP BY src),
+         |ok AS MATERIALIZED (
+         |  SELECT adj.src AS w, adj.dst AS u FROM adj
+         |  JOIN deg ON deg.v = adj.src AND deg.dg <= $HubCap),
+         |cand AS MATERIALIZED (
+         |  SELECT p.u AS a, q.u AS b, COUNT(*) AS cn
+         |  FROM ok p JOIN ok q ON p.w = q.w AND p.u < q.u
+         |  GROUP BY 1, 2),
+         |miss AS (
+         |  SELECT a, b, cn FROM cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cand.a AND e0.b = cand.b)
+         |    AND cn >= 2)
+         |SELECT m.a, m.b, m.cn, x.dg AS da, y.dg AS db,
+         |  CAST(m.cn AS DOUBLE) / CAST(x.dg + y.dg - m.cn AS DOUBLE) AS jaccard
+         |FROM miss m JOIN deg x ON x.v = m.a JOIN deg y ON y.v = m.b
+         |ORDER BY m.a, m.b""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

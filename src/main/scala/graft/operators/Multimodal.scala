@@ -589,6 +589,213 @@ object Multimodal {
     }
   }
 
+  private val QoiW = 8
+  private val QoiH = 8
+  private val QoiPayload = QoiW * QoiH * 3 // 192 pixel bytes
+
+  /** Decoded QOI features — the [[PngStats]] report shape, so the
+    * two compressed containers' decodes are directly comparable. */
+  final case class QoiStats(
+      doc_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, row0_sum: Long)
+
+  /** Real QOI codec (Quite OK Image format v1.0, RGB) — the fifth
+    * genuine container codec and the second COMPRESSED one, with a
+    * different compression family than PNG's zlib: QOI is a
+    * single-pass byte-oriented stream of five op kinds (RUN
+    * run-length, INDEX 64-slot recently-seen-color dictionary, DIFF /
+    * LUMA small-delta packs, RGB literal), so the decoder is a
+    * stateful op walk rather than an Inflater call — prev-pixel
+    * state, the seen-color index, and run expansion all have to be
+    * maintained exactly or pixels silently shift. Both directions
+    * implement the reference semantics (qoi.c): the encoder updates
+    * the index only on literal/delta emissions, the decoder also on
+    * the RUN chunk byte — the asymmetry is safe because a run's
+    * color always passed through a non-run emission first, and the
+    * round-trip spec pins it. */
+  object QoiCodec {
+    private def be32(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) |
+        ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+
+    /** Color hash of the 64-slot index (alpha fixed at 255). */
+    private def slot(r: Int, g: Int, b: Int): Int =
+      (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+
+    /** Spec-complete RGB encode. */
+    private[graft] def encode(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      var k = 0
+      def w32(v: Int): Unit = {
+        out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff)
+      }
+      w32(w); w32(h)
+      out.write(3) // channels: RGB
+      out.write(0) // colorspace: sRGB
+      val idx = new Array[Int](64)
+      java.util.Arrays.fill(idx, -1) // -1 never equals a packed RGB
+      var pr = 0; var pg = 0; var pb = 0
+      var run = 0
+      val n = w * h
+      while (k < n) {
+        val r = pix(3 * k); val g = pix(3 * k + 1); val b = pix(3 * k + 2)
+        if (r == pr && g == pg && b == pb) {
+          run += 1
+          if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+          val h64 = slot(r, g, b)
+          val packed = (r << 16) | (g << 8) | b
+          if (idx(h64) == packed) out.write(h64)
+          else {
+            idx(h64) = packed
+            val dr = r - pr; val dg = g - pg; val db = b - pb
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+              db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 &&
+              db - dg >= -8 && db - dg <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(0xfe); out.write(r); out.write(g); out.write(b)
+            }
+          }
+          pr = r; pg = g; pb = b
+        }
+        k += 1
+      }
+      if (run > 0) out.write(0xc0 | (run - 1))
+      out.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 1), 0, 8) // end marker
+      out.toByteArray
+    }
+
+    /** Op walk → RGB pixel buffer. `ops` (optional, length 5) tallies
+      * decoded chunks as RGB/INDEX/DIFF/LUMA/RUN so the spec can
+      * assert every op family was actually exercised. */
+    private[graft] def pixels(id: Long, q: Array[Byte],
+        ops: Array[Long] = null): (Int, Int, Array[Int]) = {
+      require(q.length > 22 && q(0) == 'q' && q(1) == 'o' &&
+        q(2) == 'i' && q(3) == 'f', s"doc $id: not QOI")
+      val w = be32(q, 4); val h = be32(q, 8)
+      require((q(12) & 0xff) == 3 && (q(13) & 0xff) == 0,
+        s"doc $id: unsupported QOI layout (${q(12)}/${q(13)})")
+      val n = w * h
+      val pix = new Array[Int](n * 3)
+      val idx = new Array[Int](64)
+      var pr = 0; var pg = 0; var pb = 0
+      var p = 14; var i = 0
+      def emit(): Unit = {
+        pix(3 * i) = pr; pix(3 * i + 1) = pg; pix(3 * i + 2) = pb; i += 1
+      }
+      while (i < n) {
+        require(p < q.length - 8, s"doc $id: truncated QOI stream")
+        val b1 = q(p) & 0xff; p += 1
+        if (b1 == 0xfe) { // RGB literal
+          pr = q(p) & 0xff; pg = q(p + 1) & 0xff; pb = q(p + 2) & 0xff
+          p += 3
+          if (ops != null) ops(0) += 1
+          idx(slot(pr, pg, pb)) = (pr << 16) | (pg << 8) | pb
+          emit()
+        } else if (b1 == 0xff) {
+          throw new IllegalArgumentException(
+            s"doc $id: RGBA op in a channels=3 stream")
+        } else (b1 >> 6) match {
+          case 0 => // INDEX
+            val v = idx(b1)
+            pr = (v >> 16) & 0xff; pg = (v >> 8) & 0xff; pb = v & 0xff
+            if (ops != null) ops(1) += 1
+            emit()
+          case 1 => // DIFF
+            pr = (pr + ((b1 >> 4) & 3) - 2) & 0xff
+            pg = (pg + ((b1 >> 2) & 3) - 2) & 0xff
+            pb = (pb + (b1 & 3) - 2) & 0xff
+            if (ops != null) ops(2) += 1
+            idx(slot(pr, pg, pb)) = (pr << 16) | (pg << 8) | pb
+            emit()
+          case 2 => // LUMA
+            val vg = (b1 & 0x3f) - 32
+            val b2 = q(p) & 0xff; p += 1
+            pr = (pr + vg - 8 + ((b2 >> 4) & 0xf)) & 0xff
+            pg = (pg + vg) & 0xff
+            pb = (pb + vg - 8 + (b2 & 0xf)) & 0xff
+            if (ops != null) ops(3) += 1
+            idx(slot(pr, pg, pb)) = (pr << 16) | (pg << 8) | pb
+            emit()
+          case _ => // RUN (qoi.c also refreshes the index slot here)
+            val run = (b1 & 0x3f) + 1
+            require(run <= 62 && i + run <= n,
+              s"doc $id: run $run overflows raster at pixel $i")
+            idx(slot(pr, pg, pb)) = (pr << 16) | (pg << 8) | pb
+            if (ops != null) ops(4) += 1
+            var j = 0
+            while (j < run) { emit(); j += 1 }
+        }
+      }
+      // the 8-byte end marker must be exactly what remains
+      require(p + 8 == q.length, s"doc $id: ${q.length - p} trailing bytes")
+      var z = 0
+      while (z < 7) {
+        require(q(p + z) == 0, s"doc $id: bad end marker"); z += 1
+      }
+      require(q(p + 7) == 1, s"doc $id: bad end marker")
+      (w, h, pix)
+    }
+
+    def decode(id: Long, q: Array[Byte]): QoiStats = {
+      val (w, h, pix) = pixels(id, q)
+      val stride = w * 3
+      var rs = 0L; var gs = 0L; var bs = 0L; var row0 = 0L
+      var i = 0
+      while (i < pix.length) {
+        rs += pix(i); gs += pix(i + 1); bs += pix(i + 2)
+        if (i < stride) row0 += pix(i) + pix(i + 1) + pix(i + 2)
+        i += 3
+      }
+      QoiStats(id, w, h, rs, gs, bs, row0)
+    }
+
+    /** Build one fixture QOI from a document's text: pixels are the
+      * text cycled to fill the raster (the [[PngCodec.encodeFixture]]
+      * rule, so the oracle indexes the text directly) pushed through
+      * the REAL encoder — the wire bytes are op-compressed, never the
+      * pixels themselves. */
+    private[graft] def encodeFixture(id: Long, text: String): Array[Byte] = {
+      require(text.nonEmpty && text.forall(_ < 0x80),
+        s"media fixture requires non-empty ASCII text; got doc_id=$id")
+      val pix = new Array[Int](QoiPayload)
+      var i = 0
+      while (i < QoiPayload) { pix(i) = text.charAt(i % text.length).toInt; i += 1 }
+      encode(QoiW, QoiH, pix)
+    }
+  }
+
+  /** documents → REAL binary QOI files ([[QoiCodec.encodeFixture]]). */
+  def qoiTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, QoiCodec.encodeFixture(id, t))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** Registered query: real QOI decode — header check + stateful
+    * five-op walk (run expansion, color-index dictionary, delta
+    * packs) in the batched partition-local mapPartitions shape. */
+  def qoiDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    qoiTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => QoiCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   /** documents → REAL binary PNG files: the document's bytes cycled
     * into an 8×8 RGB raster, framed as a genuine zlib stream (one
     * FINAL stored deflate block) split across TWO IDAT chunks
@@ -873,6 +1080,32 @@ object Multimodal {
          |  CAST(SUM(CASE WHEN r = 0 THEN rv + gv + bv ELSE 0 END) AS BIGINT)
          |    AS row0_sum
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // oracle: pixels ARE the cycled text bytes (PNG-oracle rule), so
+    // the oracle indexes the text directly — the engine's ONLY path
+    // to the same numbers is the real five-op stateful QOI walk
+    Q("multimodal_qoi_decode", qoiDecode, Some {
+      val stride = QoiW * 3
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $QoiPayload // length(text) + 1), 1, $QoiPayload) AS p
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, r,
+         |    ascii(substring(p, r*$stride + 3*x + 1, 1)) AS rv,
+         |    ascii(substring(p, r*$stride + 3*x + 2, 1)) AS gv,
+         |    ascii(substring(p, r*$stride + 3*x + 3, 1)) AS bv
+         |  FROM pay,
+         |    LATERAL (SELECT unnest(range(0, $QoiH)) AS r) t1,
+         |    LATERAL (SELECT unnest(range(0, $QoiW)) AS x) t2)
+         |SELECT doc_id,
+         |  CAST($QoiW AS BIGINT) AS width, CAST($QoiH AS BIGINT) AS height,
+         |  CAST(SUM(rv) AS BIGINT) AS r_sum,
+         |  CAST(SUM(gv) AS BIGINT) AS g_sum,
+         |  CAST(SUM(bv) AS BIGINT) AS b_sum,
+         |  CAST(SUM(CASE WHEN r = 0 THEN rv + gv + bv ELSE 0 END) AS BIGINT)
+         |    AS row0_sum
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
     Q("multimodal_bmp_decode", bmpDecode, Some(
       s"""WITH pay AS (
          |  SELECT doc_id,

@@ -501,7 +501,131 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** χ² test-of-independence CELLS between two categorical columns
+    * (order priority × order status) — the categorical sibling of
+    * [[corrMatrix]]: a data profile reads the per-cell contribution
+    * (obs−E)²/E to see WHICH category pair drives dependence, not
+    * just whether the summed statistic crosses a threshold. All
+    * counts are exact longs; the contribution is computed from the
+    * integer identity (obs·n − r·c)²/(n·r·c) so every intermediate
+    * up to ONE fixed shape of double ops is exact: obs·n and r·c
+    * accumulate in decimal(38,0) (HUGEINT in the oracle — at 6e11
+    * orders r·c ≤ 3.6e23, past long), the difference casts to
+    * double once, and dev²/(rc·n) is the identical IEEE expression
+    * on both engines. (The summed χ² statistic is deliberately NOT
+    * emitted: a sum of doubles is accumulation-order-dependent; the
+    * driver-side reader can total the handful of cells itself.)
+    *
+    * Scale: one scan → |cells| partial+final agg; row totals, column
+    * totals, and n are tiny re-aggregations of the CELLS frame (not
+    * second scans) broadcast back onto it. */
+  def chi2Cells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val obs = cached(Tables(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_obs")))
+    val rowT = obs.groupBy("priority").agg(sum("n_obs").as("r"))
+    val colT = obs.groupBy("status").agg(sum("n_obs").as("c"))
+    val tot = obs.agg(sum("n_obs").as("n"))
+    val dev = (col("n_obs").cast(dec) * col("n") -
+      col("r").cast(dec) * col("c")).cast("double")
+    val rc = (col("r").cast(dec) * col("c")).cast("double")
+    obs.join(broadcast(rowT), "priority")
+      .join(broadcast(colT), "status")
+      .crossJoin(broadcast(tot))
+      .select(col("priority"), col("status"), col("n_obs"),
+        (rc / col("n").cast("double")).as("expected"),
+        ((dev * dev) / (rc * col("n").cast("double"))).as("chi2_contrib"))
+      .orderBy("priority", "status")
+  }
+
+  /** Key-concentration profile — Gini impurity / HHI / effective key
+    * count per candidate shuffle key. [[keySkew]] reads the single
+    * HOTTEST key; concentration reads the whole distribution: HHI =
+    * Σm²/n² is the probability two random rows share a key (the
+    * collision rate a hash-partitioned shuffle actually experiences),
+    * gini = 1 − HHI, and n²/Σm² is the "effective number of keys" —
+    * the partition-count ceiling beyond which more reducers stop
+    * helping. Σm² accumulates in decimal(38,0) (≤ n² ≈ 3.6e23 at
+    * catalog scale, past long); each output double is one
+    * exact-decimal division, bit-identical on both engines.
+    *
+    * Scale: per key one partial+final count, then a 1-row aggregate
+    * per key column; the report is |key columns| rows. */
+  def giniConcentration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def one(name: String, t: DataFrame, k: String): DataFrame =
+      t.groupBy(col(k)).agg(count(lit(1)).as("m"))
+        .agg(
+          coalesce(sum(col("m")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(col("m").cast(dec) * col("m")), lit(0).cast(dec))
+            .as("s2"))
+        .filter(col("n_rows") > 0)
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          (col("s2").cast("double") /
+            (col("n_rows").cast(dec) * col("n_rows")).cast("double")).as("hhi"),
+          (lit(1.0) - col("s2").cast("double") /
+            (col("n_rows").cast(dec) * col("n_rows")).cast("double")).as("gini"),
+          ((col("n_rows").cast(dec) * col("n_rows")).cast("double") /
+            col("s2").cast("double")).as("effective_keys"))
+    one("events.event_type", Tables(s, d, "events"), "event_type")
+      .unionAll(one("events.user_id", Tables(s, d, "events"), "user_id"))
+      .unionAll(one("lineitem.l_partkey", Tables(s, d, "lineitem"), "l_partkey"))
+      .unionAll(one("orders.o_orderpriority", Tables(s, d, "orders"),
+        "o_orderpriority"))
+      .orderBy("key_name")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the same integer identity over HUGEINT with the same
+    // single-cast double shape — cells match bit-for-bit
+    Q("quality_chi2_cells", chi2Cells, Some(
+      """WITH obs AS MATERIALIZED (
+        |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS r FROM obs GROUP BY priority),
+        |c AS (SELECT status, CAST(SUM(n_obs) AS BIGINT) AS c FROM obs GROUP BY status),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+        |SELECT obs.priority, obs.status, obs.n_obs,
+        |  CAST(CAST(r.r AS HUGEINT) * c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |    AS expected,
+        |  (CAST(CAST(obs.n_obs AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+        |   * CAST(CAST(obs.n_obs AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * c.c AS DOUBLE))
+        |  / (CAST(CAST(r.r AS HUGEINT) * c.c AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |    AS chi2_contrib
+        |FROM obs JOIN r USING (priority) JOIN c USING (status) CROSS JOIN t
+        |ORDER BY priority, status""".stripMargin)),
+    // oracle: the same exact Σm² in HUGEINT and the same
+    // one-division-per-column double shape
+    Q("quality_gini_concentration", giniConcentration, Some(
+      """WITH stats AS MATERIALIZED (
+        |  SELECT 'events.event_type' AS key_name, event_type AS k, COUNT(*) AS m
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(user_id AS VARCHAR), COUNT(*)
+        |  FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR), COUNT(*)
+        |  FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'orders.o_orderpriority', o_orderpriority, COUNT(*)
+        |  FROM orders GROUP BY o_orderpriority),
+        |a AS (SELECT key_name, CAST(SUM(m) AS BIGINT) AS n_rows,
+        |        COUNT(*) AS n_keys, SUM(CAST(m AS HUGEINT) * m) AS s2
+        |      FROM stats GROUP BY key_name)
+        |SELECT key_name, n_rows, n_keys,
+        |  CAST(s2 AS DOUBLE) / CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE)
+        |    AS hhi,
+        |  1.0 - CAST(s2 AS DOUBLE) / CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE)
+        |    AS gini,
+        |  CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE) / CAST(s2 AS DOUBLE)
+        |    AS effective_keys
+        |FROM a ORDER BY key_name""".stripMargin)),
     Q("quality_benford", benfordDigits, Some {
       val shares = (1 to 9)
         .map(dd => s"WHEN $dd THEN ${BenfordShare(dd)}").mkString(" ")

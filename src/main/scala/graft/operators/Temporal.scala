@@ -126,6 +126,53 @@ object Temporal {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Multi-touch LINEAR ATTRIBUTION — the marketing-analytics closer
+    * of the temporal-join family: every purchase's value is split
+    * EQUALLY across all clicks in its preceding 30-minute window
+    * (as-of gives last-touch; this is the other standard model), and
+    * the attributed mass rolls up per click day. Exactness is the
+    * point: cents split by INTEGER division with the remainder
+    * assigned to the earliest touch (ties to the smaller click id),
+    * so per-purchase shares re-sum to the purchase exactly and the
+    * whole report is integer arithmetic — a double split would leak
+    * sub-cent mass and could never hash-match.
+    *
+    * Execution: the [[rangeClicksBeforePurchase]] 2-bucket banded
+    * range join produces (purchase, click) touches; the per-purchase
+    * count and first-touch rank ride ONE purchase-keyed window
+    * (bounded by the window's click fan-in, never corpus-wide);
+    * the rollup is an ordinary day-keyed partial+final agg. */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, d, "events").select(
+      col("event_id"), graft.Core.epochUs(col("ts")).as("ts"),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"), col("cents"))
+      .withColumn("bkt", explode(array(
+        expr(s"pts div ${BucketUs}L"), expr(s"pts div ${BucketUs}L") - 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+      .withColumn("bkt", expr(s"cts div ${BucketUs}L"))
+    val touches = purchases.join(clicks, Seq("user_id", "bkt"))
+      .filter(col("cts") >= col("pts") - BucketUs && col("cts") <= col("pts"))
+      .select("pid", "cents", "cid", "cts")
+    val byP = Window.partitionBy("pid")
+    val shared = touches
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rn", row_number().over(byP.orderBy("cts", "cid")))
+      .withColumn("share", expr("cents div n") +
+        when(col("rn") === 1, col("cents") - col("n") * expr("cents div n"))
+          .otherwise(0L))
+    shared.groupBy(expr("cts div 86400000000").as("day"))
+      .agg(sum("share").as("attributed_cents"),
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"))
+      .orderBy("day")
+  }
+
   /** Row shape for the typed merge as-of join (public: encoder
     * codegen reflects on the constructor). */
   case class Evt(user_id: Long, ts: Long, event_id: Long)
@@ -200,6 +247,31 @@ object Temporal {
         |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
         |GROUP BY 1, 2 ORDER BY user_id, purchase_id""".stripMargin)),
+    // oracle: the same exact integer split — floor shares + the
+    // remainder pinned to the (cts, cid)-first touch via row_number
+    Q("events_attribution", attributionLinear, Some(
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts,
+        |             CAST(round(value*100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS cid, ts AS cts
+        |      FROM events WHERE event_type = 'click'),
+        |t AS MATERIALIZED (
+        |  SELECT p.pid, p.cents, c.cid, epoch_us(c.cts) AS cus
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts >= p.pts - INTERVAL '30 minutes' AND c.cts <= p.pts),
+        |sh AS (
+        |  SELECT cus, cents // n + CASE WHEN rn = 1
+        |      THEN cents - n * (cents // n) ELSE 0 END AS share, pid
+        |  FROM (SELECT pid, cents, cid, cus,
+        |          COUNT(*) OVER (PARTITION BY pid) AS n,
+        |          row_number() OVER (PARTITION BY pid
+        |            ORDER BY cus, cid) AS rn
+        |        FROM t) q)
+        |SELECT cus // 86400000000 AS day,
+        |  CAST(SUM(share) AS BIGINT) AS attributed_cents,
+        |  COUNT(*) AS n_touches,
+        |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases
+        |FROM sh GROUP BY 1 ORDER BY day""".stripMargin)),
     Q("asof_merge_join", asofMergeJoin, Some(
       """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) AS purchase_ts, epoch_us(c.ts) AS last_click_ts

@@ -268,6 +268,72 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("stem"))
       .limit(20)
 
+  /** RAKE phrase-boundary stopword lexicon — deliberately the small
+    * fixed list the shared-literal oracle embeds verbatim (a 100 TB
+    * deployment swaps in a full lexicon; the operator shape is
+    * unchanged). */
+  private val RakeStop =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it",
+      "for", "on", "with", "as")
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic
+    * unsupervised keyphrase ranker: candidate phrases are the maximal
+    * runs of non-stopword tokens, each word scores degree (total
+    * length of phrases containing it, with multiplicity) over
+    * frequency (its phrase-occurrence count), and a phrase scores by
+    * the sum of its words' deg/freq ratios — long multi-word
+    * technical phrases outrank bare frequent words, which is exactly
+    * what TF-style rankers miss. The per-word ratio is carried in
+    * exact MILLI-units, `(1000·deg) div freq` (a float ratio summed
+    * across words would be accumulation-order-dependent and could
+    * never hash-match), so the whole score is a sum of longs and the
+    * top-20 (score desc, phrase asc) is bit-reproducible.
+    *
+    * Execution: phrase ids are a per-document running stopword count
+    * (doc-bounded window over positions — never global); words carry
+    * (doc, phrase) keys through two vocabulary-sized aggregations;
+    * phrase text assembles position-ordered inside one struct-sorted
+    * aggregate, not a window. Shuffles carry (doc, phrase) and
+    * (word) keys only — at 100 TB every stage is corpus-linear with
+    * vocabulary-sized reduce states. */
+  def rakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phw = cached(toks
+      .withColumn("stop",
+        when(col("tok").isInCollection(RakeStop), 1L).otherwise(0L))
+      .withColumn("pid", sum("stop").over(w))
+      .filter(col("stop") === 0)
+      .select("doc_id", "pid", "pos", "tok"))
+    val plen = phw.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+    val wstats = phw.join(plen, Seq("doc_id", "pid"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("tok"), expr("(1000 * deg) div freq").as("wscore"))
+    val scored = phw.join(wstats, "tok")
+      .groupBy("doc_id", "pid")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("phrase"),
+        count(lit(1)).as("nw"),
+        sum("wscore").as("score"))
+    // word scores are global, so identical phrase text ⇒ identical
+    // score; min() just picks the shared value inside one mergeable
+    // aggregate
+    scored.groupBy("phrase")
+      .agg(count(lit(1)).as("phrase_freq"),
+        min("nw").as("n_words"),
+        min("score").as("rake_score_milli"))
+      .select(col("phrase"), col("n_words"), col("phrase_freq"),
+        col("rake_score_milli"))
+      .orderBy(col("rake_score_milli").desc, col("phrase"))
+      .limit(20)
+  }
+
   private val PrScale = 1000000000L // rank mass in integer micro-units
   private val PrIters = 5
   private val PrDampPct = 85 // damping 0.85 as an integer percentage
@@ -786,6 +852,43 @@ object TextAnalysis {
          |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
          |        FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) >= 2))
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    // oracle: the same running-stopword-count phrase ids (window
+    // over ALL tokens, filter after — SQL WHERE would drop stops
+    // before the cumsum), position-ordered string_agg, and the same
+    // pooled Σdeg/Σfreq single division
+    Q("text_rake_keywords", rakeKeywords, Some {
+      val stops = RakeStop.map(x => s"'$x'").mkString(", ")
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $oTokens AS t FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, g AS p, t[g] AS w
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS g FROM tok)),
+         |ph AS MATERIALIZED (
+         |  SELECT doc_id, p, w,
+         |    CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS stop,
+         |    SUM(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |  FROM pos),
+         |phw AS MATERIALIZED (
+         |  SELECT doc_id, pid, p, w FROM ph WHERE stop = 0),
+         |plen AS MATERIALIZED (
+         |  SELECT doc_id, pid, COUNT(*) AS plen FROM phw GROUP BY 1, 2),
+         |ws AS MATERIALIZED (
+         |  SELECT w, (1000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) AS wscore
+         |  FROM phw JOIN plen USING (doc_id, pid) GROUP BY w),
+         |sc AS MATERIALIZED (
+         |  SELECT phw.doc_id, phw.pid,
+         |    string_agg(phw.w, ' ' ORDER BY phw.p) AS phrase,
+         |    COUNT(*) AS nw,
+         |    CAST(SUM(ws.wscore) AS BIGINT) AS score
+         |  FROM phw JOIN ws ON phw.w = ws.w
+         |  GROUP BY 1, 2)
+         |SELECT phrase, CAST(MIN(nw) AS BIGINT) AS n_words,
+         |  COUNT(*) AS phrase_freq,
+         |  CAST(MIN(score) AS BIGINT) AS rake_score_milli
+         |FROM sc GROUP BY phrase
+         |ORDER BY rake_score_milli DESC, phrase LIMIT 20""".stripMargin
+    }),
     Q("tfidf_top_terms", tfidfTop, Some(
       s"""WITH tf AS (
          |  SELECT doc_id, unnest(t) AS term FROM (SELECT doc_id, $oTokens AS t FROM documents)),

@@ -925,6 +925,110 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("jaro_winkler_similarity"), s.take(900))
   }
 
+  test("chi2 cells: totals telescope and contributions carry the integer identity") {
+    val rows = graft.operators.Quality.chi2Cells(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    // expected masses telescope to n (Σ r·c/n over all cells = n)
+    val emass = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(emass - n) < 1e-6 * n, s"expected mass $emass vs $n")
+    rows.foreach { r =>
+      val obs = r.getAs[Long]("n_obs").toDouble
+      val e = r.getAs[Double]("expected")
+      // the (obs·n − rc)²/(n·rc) identity equals the textbook
+      // (obs−E)²/E up to double rounding
+      val direct = (obs - e) * (obs - e) / e
+      assert(math.abs(r.getAs[Double]("chi2_contrib") - direct) <=
+        1e-9 * (direct + 1), s"$r")
+    }
+  }
+
+  test("gini concentration: HHI bounds, inverse-Simpson ≤ key count") {
+    val rows = graft.operators.Quality.giniConcentration(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val hhi = r.getAs[Double]("hhi")
+      val keys = r.getAs[Long]("n_keys").toDouble
+      assert(hhi >= 1.0 / keys - 1e-12 && hhi <= 1.0, s"$r")
+      assert(math.abs(r.getAs[Double]("gini") - (1.0 - hhi)) < 1e-15)
+      val eff = r.getAs[Double]("effective_keys")
+      assert(eff <= keys + 1e-9 && eff >= 1.0 - 1e-12, s"$r")
+    }
+    // event_type (a handful of hot values) must read as much more
+    // concentrated than user_id (many uniform users)
+    val byName = rows.map(r => r.getAs[String]("key_name") -> r.getAs[Double]("hhi")).toMap
+    assert(byName("events.event_type") > byName("events.user_id"))
+  }
+
+  test("link prediction: proposals are non-edges with ≥2 shared neighbors, no cartesian") {
+    val df = graft.operators.Dedup.linkPredict(spark, sf)
+    val s = executed(df)
+    assert(!s.contains("CartesianProduct"), s.take(900))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val cn = r.getAs[Long]("cn")
+      assert(cn >= 2 && r.getAs[Long]("da") >= cn && r.getAs[Long]("db") >= cn, s"$r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"$r")
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"), s"$r")
+    }
+    Core.releaseCaches()
+  }
+
+  test("rake keywords: exact milli-scores sum per word, ranked, long phrases on top") {
+    val rows = graft.operators.TextAnalysis.rakeKeywords(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("rake_score_milli")).toSeq
+    assert(scores == scores.sorted.reverse, "not ranked by score desc")
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.length == r.getAs[Long]("n_words").toInt, s"$r")
+      // degree ≥ frequency per word ⇒ each word contributes ≥ 1000
+      assert(r.getAs[Long]("rake_score_milli") >=
+        1000L * r.getAs[Long]("n_words"), s"$r")
+      assert(r.getAs[Long]("phrase_freq") >= 1L)
+    }
+    // multi-word phrases outrank single hot words at the top — the
+    // property RAKE exists for (strict whenever ANY phrase has ≥2
+    // words: the max-length phrase's L words each score ≥ 1000, and
+    // a solo word's average phrase length is < max by its own solo
+    // occurrence)
+    assert(rows.head.getAs[Long]("n_words") >= 2,
+      rows.take(3).mkString("; "))
+    Core.releaseCaches()
+  }
+
+  test("linear attribution conserves every attributed purchase's cents exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Temporal.attributionLinear(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val attributed = rows.map(_.getAs[Long]("attributed_cents")).sum
+    // ground truth: total cents of purchases with ≥1 click in the
+    // 30-minute window (computed independently via the plain join)
+    val e = spark.read.parquet(s"$sf/events.parquet")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touched = p.join(c, p("user_id") === c("user_id") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(p("event_id"), col("cents")).distinct()
+      .agg(sum("cents")).collect().head.getLong(0)
+    assert(attributed == touched,
+      s"mass leak: attributed $attributed vs touched $touched")
+  }
+
+  test("join-delta decomposition reproduces the full join, every term populated") {
+    val rows = graft.operators.Connectors.joinDelta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_full") == r.getAs[Long]("n_incr"), s"$r")
+      assert(r.getAs[Long]("qty_full_cents") == r.getAs[Long]("qty_incr_cents"), s"$r")
+    }
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
