@@ -581,6 +581,56 @@ object Events {
       .orderBy("type_from", "type_to")
   }
 
+  /** Power-iteration rounds for [[markovStationary]], shared with its
+    * unrolled oracle. Fixed (not convergence-gated) so replay parity
+    * is exact; 4 rounds mix a handful-of-states chain to ~stationary. */
+  private[graft] val MarkovRounds = 4
+  private val MkScale = 1000000000L // probability mass in integer micro-units
+
+  /** STATIONARY distribution of the event-type Markov chain — where
+    * [[transitionMatrix]] reports one-step behavior, this answers the
+    * long-run question ("what share of a user's journey is spent in
+    * each state?") by [[MarkovRounds]] power-iteration rounds
+    * π·P, π·P², … ENTIRELY in integer micro-units (the
+    * `text_pagerank` trajectory idiom): each edge's mass transfer is
+    * `(π(from)·n) div n_from`, a floor division BEFORE the sum, so
+    * every round is a sum of longs — order-independent, hash-exact —
+    * where a float π could never replay across engines. The chain is
+    * first CLOSED over states with out-edges (edges into a sink
+    * state would silently leak mass every round; restricting to the
+    * out-edge support and re-normalizing keeps P row-stochastic).
+    *
+    * Scale: the chain is |event types|² cells built from one
+    * lead-window scan; each round is a cells⋈π join over ≤ |types|
+    * rows. The one `.count()` is loop-control reading a 1-row frame
+    * (the CC/BPE precedent). π(from)·n headroom: π ≤ 10⁹ micro-units
+    * and n ≤ 9.2×10⁹ keeps the product in long to ~10¹⁹-transition
+    * corpora; past that the cell counts (not the corpus) would ride
+    * decimal(38,0). */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = load(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("tf"), col("next_type").as("tt"))
+      .agg(count(lit(1)).as("n"))
+    val states = cached(pairs.select(col("tf").as("t")).distinct())
+    val closed = pairs.join(states.toDF("tt"), "tt")
+    val nf = closed.groupBy("tf").agg(sum("n").as("nf"))
+    val trans = cached(closed.join(nf, "tf"))
+    val k = states.count() // 1-row loop-control read
+    var pi = states.select(col("t"), lit(MkScale / k).as("pi"))
+    for (_ <- 1 to MarkovRounds) {
+      pi = trans.join(pi.toDF("tf", "pi"), "tf")
+        .select(col("tt").as("t"), expr("(pi * n) div nf").as("c"))
+        .groupBy("t").agg(sum("c").as("pi"))
+    }
+    states.join(pi, Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        coalesce(col("pi"), lit(0L)).as("pi_micro"))
+      .orderBy("event_type")
+  }
+
   /** Per-user EWMA of transaction value — the classic streaming
     * smoother (RFC 6298's RTT estimator, monitoring baselines):
     * ewma₀ = x₁, ewmaₜ = 0.875·ewmaₜ₋₁ + 0.125·xₜ over each user's
@@ -641,6 +691,40 @@ object Events {
         |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
         |FROM pairs JOIN ft USING (type_from)
         |ORDER BY type_from, type_to""".stripMargin)),
+    // oracle: the same MarkovRounds integer power-iteration rounds
+    // unrolled as MATERIALIZED CTEs (each round references its
+    // predecessor — the inlining-explosion class), same floor-divide-
+    // before-sum mass transfer, same out-edge-support closure
+    Q("events_markov_stationary", markovStationary, Some {
+      val rounds = (1 to MarkovRounds).map { r =>
+        s"""pi$r AS MATERIALIZED (
+           |  SELECT tr.tt AS t, CAST(SUM((p.pi * tr.n) // tr.nf) AS BIGINT) AS pi
+           |  FROM tr JOIN pi${r - 1} p ON tr.tf = p.t GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nx AS MATERIALIZED (
+         |  SELECT event_type AS tf,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS tt
+         |  FROM events),
+         |p0 AS MATERIALIZED (
+         |  SELECT tf, tt, COUNT(*) AS n FROM nx
+         |  WHERE tt IS NOT NULL GROUP BY 1, 2),
+         |st AS MATERIALIZED (SELECT DISTINCT tf AS t FROM p0),
+         |cl AS MATERIALIZED (
+         |  SELECT p0.* FROM p0 JOIN st ON p0.tt = st.t),
+         |nf AS MATERIALIZED (
+         |  SELECT tf, CAST(SUM(n) AS BIGINT) AS nf FROM cl GROUP BY tf),
+         |tr AS MATERIALIZED (
+         |  SELECT cl.tf, cl.tt, cl.n, nf.nf FROM cl JOIN nf USING (tf)),
+         |ns AS (SELECT COUNT(*) AS k FROM st),
+         |pi0 AS MATERIALIZED (
+         |  SELECT t, $MkScale // k AS pi FROM st CROSS JOIN ns),
+         |$rounds
+         |SELECT st.t AS event_type,
+         |  COALESCE(pi$MarkovRounds.pi, 0) AS pi_micro
+         |FROM st LEFT JOIN pi$MarkovRounds ON st.t = pi$MarkovRounds.t
+         |ORDER BY event_type""".stripMargin
+    }),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

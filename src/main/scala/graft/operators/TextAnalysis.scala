@@ -268,6 +268,59 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("stem"))
       .limit(20)
 
+  /** Zipf frequency SPECTRUM in power-of-two bins — the corpus-law
+    * diagnostic a tokenizer/vocab decision reads first: how many
+    * vocabulary types occur [2^k, 2^{k+1}) times and how much token
+    * mass each band carries (a healthy natural corpus is ~straight in
+    * log-log; synthetic, deduplicated, or template-heavy corpora bend
+    * visibly). The bin index is `length(bin(freq))` = ⌊log₂ f⌋ + 1 —
+    * pure integer structure on BOTH engines (`bin` is the same
+    * binary-string rendering in Spark and DuckDB), so no float log is
+    * ever taken and boundary frequencies can't flip bins.
+    *
+    * Scale: one token explode → vocab-keyed count, then a ≤ 64-row
+    * spectrum aggregate. */
+  def zipfBins(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .groupBy(length(bin(col("f"))).as("freq_bin"))
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"),
+        min("f").as("min_freq"), max("f").as("max_freq"))
+      .orderBy("freq_bin")
+
+  /** Vocabulary GROWTH curve (Heaps' law observable): per decile of
+    * the doc-id order — the tokens that decile's documents carry, the
+    * distinct types they touch, and the types FIRST seen there. A
+    * corpus whose late deciles still mint many new types needs a
+    * bigger tokenizer vocab (or is drifting); one whose n_new_types
+    * flattens early is safe to freeze (the driver corpus mints its
+    * whole small vocabulary in decile 0 — the curve reads that
+    * instantly). Exact by construction: a type's first-seen decile is
+    * `min(decile)` — one vocab-keyed aggregate, no ordering, no
+    * cumulative window.
+    *
+    * Scale: one explode feeding two aggregates — a (decile)-keyed
+    * mass/distinct count and a (token) partial+final min — plus a
+    * 1-row doc-count frame broadcast in; the report is 10 rows. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val nd = docs(s, d).agg((max("doc_id") + 1).as("nd"))
+    val tok = cached(docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .crossJoin(broadcast(nd))
+      .select(expr("(doc_id * 10) div nd").as("decile"), col("t")))
+    val perDecile = tok.groupBy("decile")
+      .agg(count(lit(1)).as("token_mass"),
+        countDistinct(col("t")).as("n_types_seen"))
+    val minted = tok.groupBy("t").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new_types"))
+    perDecile.join(minted, Seq("decile"), "left")
+      .select(col("decile"), col("n_types_seen"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+        col("token_mass"))
+      .orderBy("decile")
+  }
+
   /** RAKE phrase-boundary stopword lexicon — deliberately the small
     * fixed list the shared-literal oracle embeds verbatim (a 100 TB
     * deployment swaps in a full lexicon; the operator shape is
@@ -852,6 +905,34 @@ object TextAnalysis {
          |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
          |        FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) >= 2))
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    // oracle: the same integer bin — bin() renders the identical
+    // binary string in DuckDB, so ⌊log₂⌋+1 needs no float log
+    Q("text_zipf_bins", zipfBins, Some(
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS f FROM (
+         |    SELECT unnest($oTokens) AS tok FROM documents) q
+         |  GROUP BY tok)
+         |SELECT CAST(length(bin(f)) AS INTEGER) AS freq_bin,
+         |  COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |  MIN(f) AS min_freq, MAX(f) AS max_freq
+         |FROM f GROUP BY 1 ORDER BY freq_bin""".stripMargin)),
+    // oracle: the same min(decile)-derived first-seen counts over the
+    // same integer decile
+    Q("text_vocab_growth", vocabGrowth, Some(
+      s"""WITH nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT (doc_id * 10) // nd AS decile, tok FROM (
+         |    SELECT doc_id, unnest($oTokens) AS tok FROM documents) q
+         |  CROSS JOIN nd),
+         |pd AS (SELECT decile, COUNT(*) AS token_mass,
+         |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types_seen
+         |       FROM tok GROUP BY decile),
+         |mint AS (SELECT decile, COUNT(*) AS n_new_types FROM (
+         |    SELECT tok, MIN(decile) AS decile FROM tok GROUP BY tok) m
+         |  GROUP BY decile)
+         |SELECT pd.decile, pd.n_types_seen,
+         |  COALESCE(mint.n_new_types, 0) AS n_new_types, pd.token_mass
+         |FROM pd LEFT JOIN mint USING (decile) ORDER BY pd.decile""".stripMargin)),
     // oracle: the same running-stopword-count phrase ids (window
     // over ALL tokens, filter after — SQL WHERE would drop stops
     // before the cumsum), position-ordered string_agg, and the same

@@ -1029,6 +1029,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("zipf bins partition the vocabulary: type and token masses telescope") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.zipfBins(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("freq_bin")
+      // bin b holds exactly frequencies in [2^(b-1), 2^b)
+      assert(r.getAs[Long]("min_freq") >= (1L << (b - 1)), s"$r")
+      assert(r.getAs[Long]("max_freq") < (1L << b), s"$r")
+    }
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    assert(rows.map(_.getAs[Long]("n_types")).sum ==
+      vocab.select("t").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == vocab.count())
+  }
+
+  test("vocab growth deciles cover every type once and all token mass") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L until 10L))
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    assert(rows.map(_.getAs[Long]("n_new_types")).sum ==
+      vocab.select("t").distinct().count())
+    assert(rows.map(_.getAs[Long]("token_mass")).sum == vocab.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types_seen") >= r.getAs[Long]("n_new_types"), s"$r")
+      assert(r.getAs[Long]("token_mass") >= r.getAs[Long]("n_types_seen"), s"$r")
+    }
+    // growth concentrates early: nothing can out-mint the decile
+    // that saw the corpus first
+    assert(rows.head.getAs[Long]("n_new_types") ==
+      rows.map(_.getAs[Long]("n_new_types")).max)
+    Core.releaseCaches()
+  }
+
+  test("markov stationary mass stays within integer floor loss of one unit") {
+    val rows = graft.operators.Events.markovStationary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("pi_micro") >= 0L, s"$r"))
+    val mass = rows.map(_.getAs[Long]("pi_micro")).sum
+    // each round floors once per populated transition cell, so the
+    // leak is bounded by rounds · k² micro-units on a k-state chain
+    val k = rows.length.toLong
+    assert(mass <= 1000000000L, s"mass $mass")
+    assert(mass >= 1000000000L - 4 * k * k - k, s"mass $mass leaked too much")
+    Core.releaseCaches()
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
