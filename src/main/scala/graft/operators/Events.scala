@@ -609,11 +609,19 @@ object Events {
     * decimal(38,0). */
   def markovStationary(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = load(s, d)
+    stationaryFromPairs(load(s, d)
       .withColumn("next_type", lead("event_type", 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("tf"), col("next_type").as("tt"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The power iteration from a (tf, tt, n) transition-count table —
+    * shared by [[markovStationary]] and the streaming maintenance
+    * twin (`stream_markov_stationary`), whose folded state is
+    * exactly this table. */
+  def stationaryFromPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = cached(pairs0)
     val states = cached(pairs.select(col("tf").as("t")).distinct())
     val closed = pairs.join(states.toDF("tt"), "tt")
     val nf = closed.groupBy("tf").agg(sum("n").as("nf"))
@@ -629,6 +637,44 @@ object Events {
       .select(col("t").as("event_type"),
         coalesce(col("pi"), lit(0L)).as("pi_micro"))
       .orderBy("event_type")
+  }
+
+  /** `events_markov_stationary`'s oracle — also the oracle of
+    * `stream_markov_stationary`, whose folded pair state derives the
+    * identical vector: the same [[MarkovRounds]] integer
+    * power-iteration rounds unrolled as MATERIALIZED CTEs (each
+    * round references its predecessor — the inlining-explosion
+    * class), same floor-divide-before-sum mass transfer, same
+    * out-edge-support closure. */
+  val oMarkovSql: String = {
+    val rounds = (1 to MarkovRounds).map { r =>
+      s"""pi$r AS MATERIALIZED (
+         |  SELECT tr.tt AS t, CAST(SUM((p.pi * tr.n) // tr.nf) AS BIGINT) AS pi
+         |  FROM tr JOIN pi${r - 1} p ON tr.tf = p.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nx AS MATERIALIZED (
+       |  SELECT event_type AS tf,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS tt
+       |  FROM events),
+       |p0 AS MATERIALIZED (
+       |  SELECT tf, tt, COUNT(*) AS n FROM nx
+       |  WHERE tt IS NOT NULL GROUP BY 1, 2),
+       |st AS MATERIALIZED (SELECT DISTINCT tf AS t FROM p0),
+       |cl AS MATERIALIZED (
+       |  SELECT p0.* FROM p0 JOIN st ON p0.tt = st.t),
+       |nf AS MATERIALIZED (
+       |  SELECT tf, CAST(SUM(n) AS BIGINT) AS nf FROM cl GROUP BY tf),
+       |tr AS MATERIALIZED (
+       |  SELECT cl.tf, cl.tt, cl.n, nf.nf FROM cl JOIN nf USING (tf)),
+       |ns AS (SELECT COUNT(*) AS k FROM st),
+       |pi0 AS MATERIALIZED (
+       |  SELECT t, $MkScale // k AS pi FROM st CROSS JOIN ns),
+       |$rounds
+       |SELECT st.t AS event_type,
+       |  COALESCE(pi$MarkovRounds.pi, 0) AS pi_micro
+       |FROM st LEFT JOIN pi$MarkovRounds ON st.t = pi$MarkovRounds.t
+       |ORDER BY event_type""".stripMargin
   }
 
   /** Per-user EWMA of transaction value — the classic streaming
@@ -695,36 +741,7 @@ object Events {
     // unrolled as MATERIALIZED CTEs (each round references its
     // predecessor — the inlining-explosion class), same floor-divide-
     // before-sum mass transfer, same out-edge-support closure
-    Q("events_markov_stationary", markovStationary, Some {
-      val rounds = (1 to MarkovRounds).map { r =>
-        s"""pi$r AS MATERIALIZED (
-           |  SELECT tr.tt AS t, CAST(SUM((p.pi * tr.n) // tr.nf) AS BIGINT) AS pi
-           |  FROM tr JOIN pi${r - 1} p ON tr.tf = p.t GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nx AS MATERIALIZED (
-         |  SELECT event_type AS tf,
-         |    lead(event_type, 1) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS tt
-         |  FROM events),
-         |p0 AS MATERIALIZED (
-         |  SELECT tf, tt, COUNT(*) AS n FROM nx
-         |  WHERE tt IS NOT NULL GROUP BY 1, 2),
-         |st AS MATERIALIZED (SELECT DISTINCT tf AS t FROM p0),
-         |cl AS MATERIALIZED (
-         |  SELECT p0.* FROM p0 JOIN st ON p0.tt = st.t),
-         |nf AS MATERIALIZED (
-         |  SELECT tf, CAST(SUM(n) AS BIGINT) AS nf FROM cl GROUP BY tf),
-         |tr AS MATERIALIZED (
-         |  SELECT cl.tf, cl.tt, cl.n, nf.nf FROM cl JOIN nf USING (tf)),
-         |ns AS (SELECT COUNT(*) AS k FROM st),
-         |pi0 AS MATERIALIZED (
-         |  SELECT t, $MkScale // k AS pi FROM st CROSS JOIN ns),
-         |$rounds
-         |SELECT st.t AS event_type,
-         |  COALESCE(pi$MarkovRounds.pi, 0) AS pi_micro
-         |FROM st LEFT JOIN pi$MarkovRounds ON st.t = pi$MarkovRounds.t
-         |ORDER BY event_type""".stripMargin
-    }),
+    Q("events_markov_stationary", markovStationary, Some(oMarkovSql)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

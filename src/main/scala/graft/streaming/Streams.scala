@@ -1417,7 +1417,12 @@ object Streams {
     * event" is undefined mid-stream. Read time normalizes the final
     * counts through the SAME plan tail as the batch operator, so
     * replay parity is exact integers. */
-  def streamTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+  /** The transition-count state fold shared by
+    * [[streamTransitionMatrix]] and [[streamMarkovStationary]]:
+    * ts-ordered slice replay, per-batch lead() over (carried last
+    * event ∪ batch), additive (from, to) pair counts — returns the
+    * final maintained pair table. */
+  private def transitionStateFold(s: SparkSession, d: String): DataFrame = {
     val srcDir = tsSlicedEventsDir(s, d)
     val stateRoot = graft.Core.tempDir("graft-trans-state")
     @volatile var curState: Option[String] = None
@@ -1459,13 +1464,32 @@ object Streams {
       }
       .start()
     awaitAndLog(q, "streamTransitionMatrix")
-    val pairs = s.read.parquet(s"${curState.get}/pairs")
+    s.read.parquet(s"${curState.get}/pairs")
+  }
+
+  def streamTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val pairs = transitionStateFold(s, d)
     val fromTot = pairs.groupBy("type_from").agg(sum("n").as("n_from"))
     pairs.join(broadcast(fromTot), "type_from")
       .select(col("type_from"), col("type_to"), col("n"), col("n_from"),
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
       .orderBy("type_from", "type_to")
   }
+
+  /** Live STATIONARY distribution — the read-time metric derived from
+    * [[transitionStateFold]]'s maintained state: the stream keeps
+    * only the additive (from, to) pair counts (plus each user's last
+    * event), and the [[graft.operators.Events.stationaryFromPairs]]
+    * integer power iteration runs when the dashboard reads — the
+    * same state-vs-metric split as `stream_ab_cuped`. Because the
+    * folded pair table equals the batch pair table exactly (the
+    * transition-matrix parity), the derived stationary vector is
+    * bit-identical to the batch operator's, and both share one
+    * oracle. */
+  def streamMarkovStationary(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.stationaryFromPairs(
+      transitionStateFold(s, d)
+        .select(col("type_from").as("tf"), col("type_to").as("tt"), col("n")))
 
   val queries: Seq[Q] = Seq(
     // oracle: the batch transition oracle verbatim — ts-ordered slice
@@ -1484,6 +1508,10 @@ object Streams {
         |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
         |FROM pairs JOIN ft USING (type_from)
         |ORDER BY type_from, type_to""".stripMargin)),
+    // oracle: the batch markov oracle verbatim — the folded pair
+    // state derives the identical stationary vector at read time
+    Q("stream_markov_stationary", streamMarkovStationary,
+      Some(graft.operators.Events.oMarkovSql)),
     // oracle: the batch CUPED oracle verbatim — the stream-maintained
     // additive state folds to the identical metric
     Q("stream_ab_cuped", streamAbCuped,
