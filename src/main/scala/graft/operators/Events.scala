@@ -639,6 +639,47 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Cohort LIFETIME-VALUE triangle — the product-analytics report
+    * next to [[transitionMatrix]] and retention: users cohort by
+    * first-seen day, every event lands in a (cohort, age) cell, and
+    * each cohort's purchase revenue accumulates over age — the
+    * classic lower-triangular LTV table a payback-period decision
+    * reads. Revenue is exact integer cents; the running total is a
+    * per-cohort window over the CELLS frame (≤ |days|² rows — the
+    * raw events never window-sort); LTV-per-user is the single
+    * exact-integer division at the end.
+    *
+    * Scale: one scan → per-user min-day agg (|users| rows) → a
+    * user-keyed join back (broadcast when the user dimension is
+    * small; shuffle otherwise) → (cohort, age) partial+final agg.
+    * The window and the division run on the tiny cells frame. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    // integer `div` for the day bucket: `/` on longs is DOUBLE
+    // division in Spark, and epoch-µs sits near the 53-bit mantissa
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"),
+        graft.Core.epochUs(col("ts")).as("us"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .select(col("user_id"), expr("us div 86400000000").as("day"),
+        col("cents"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    val cells = ev.join(cohort, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(sum("cents").as("rev_cents"),
+        countDistinct(col("user_id")).as("active_users"))
+    val sizes = cohort.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val cum = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(sizes, "cohort")
+      .withColumn("cum_rev_cents", sum("rev_cents").over(cum))
+      .select(col("cohort"), col("age"), col("n_users"), col("active_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        (col("cum_rev_cents").cast("double") / col("n_users").cast("double"))
+          .as("ltv_cents_per_user"))
+      .orderBy("cohort", "age")
+  }
+
   /** `events_markov_stationary`'s oracle — also the oracle of
     * `stream_markov_stationary`, whose folded pair state derives the
     * identical vector: the same [[MarkovRounds]] integer
@@ -742,6 +783,31 @@ object Events {
     // predecessor — the inlining-explosion class), same floor-divide-
     // before-sum mass transfer, same out-edge-support closure
     Q("events_markov_stationary", markovStationary, Some(oMarkovSql)),
+    // oracle: the same first-seen-day cohorts, exact cents cells, and
+    // per-cohort running total; one double division at the end
+    Q("events_cohort_ltv", cohortLtv, Some(
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |ch AS MATERIALIZED (
+        |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+        |cells AS MATERIALIZED (
+        |  SELECT ch.cohort, ev.day - ch.cohort AS age,
+        |    CAST(SUM(ev.cents) AS BIGINT) AS rev_cents,
+        |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users
+        |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, COUNT(*) AS n_users FROM ch GROUP BY cohort)
+        |SELECT cells.cohort, age, n_users, active_users, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(n_users AS DOUBLE) AS ltv_cents_per_user
+        |FROM cells JOIN sz ON cells.cohort = sz.cohort
+        |ORDER BY cells.cohort, age""".stripMargin)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

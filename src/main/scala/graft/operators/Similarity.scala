@@ -1120,7 +1120,104 @@ object Similarity {
        |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
        |GROUP BY b.q_id ORDER BY q_id""".stripMargin
 
+  private val MmrShort = 16
+  private val MmrK = 8
+
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity stage a retrieval pipeline runs on its
+    * shortlist: greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 1/2 (a
+    * power of two, exactly representable), so near-duplicates of an
+    * already-selected result are demoted even when their raw
+    * relevance is high. Selection is inherently sequential; each of
+    * the [[MmrK]] rounds reads ONE row back (the round's winner — the
+    * BPE-winner loop-control precedent) so the per-round plans stay
+    * flat LocalTableScans instead of a 2^rounds self-referencing
+    * tree, while scoring itself stays distributed over the cached
+    * shortlist frames. Ties break to the smaller vec_id; every
+    * similarity is the shared left-fold dot, so both engines walk the
+    * identical greedy trajectory.
+    *
+    * Scale: the corpus pass is [[topkBrute]]'s broadcast-query scan
+    * (top-[[MmrShort]] by exact cosine); everything after is
+    * quadratic ONLY in the shortlist (16² pair sims) — the declared
+    * in-shortlist cost every MMR implementation pays. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withD(embs(s, d))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embd").as("qv"), col("nrm").as("qn"))
+    val short = cached(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dp", Vectors.dotd(col("qv"), col("embd")))
+      .withColumn("rel", score)
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrShort)
+      .select(col("vec_id"), col("embd"), col("nrm"), col("rel")))
+    val simmat = cached(short
+      .select(col("vec_id").as("a"), col("embd").as("ea"), col("nrm").as("na"))
+      .crossJoin(short.select(col("vec_id").as("b"), col("embd").as("eb"),
+        col("nrm").as("nb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (Vectors.dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("sim")))
+    val first = short.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel")).collect().head
+    var picks = Vector((1, first.getLong(0), first.getDouble(1),
+      first.getDouble(1)))
+    for (r <- 2 to MmrK) {
+      val ids = picks.map(_._2)
+      val pick = short
+        .filter(!col("vec_id").isInCollection(ids))
+        .join(simmat.filter(col("b").isInCollection(ids))
+          .groupBy(col("a").as("vec_id")).agg(max("sim").as("msim")),
+          "vec_id")
+        .select(col("vec_id"), col("rel"),
+          (col("rel") * 0.5 - col("msim") * 0.5).as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .collect().head
+      picks :+= ((r, pick.getLong(0), pick.getDouble(1), pick.getDouble(2)))
+    }
+    picks.toDF("rank", "vec_id", "rel", "mmr_score").orderBy("rank")
+  }
+
   val queries: Seq[Q] = Seq(
+    // oracle: the same greedy trajectory unrolled — shortlist, pair
+    // sims, then MmrK selection rounds as MATERIALIZED CTEs (each
+    // round references its predecessor twice — remaining filter and
+    // max-sim — the inlining-explosion class)
+    Q("sim_rerank_mmr", mmrRerank, Some {
+      val oCosE = Vectors.oCos("a.embedding", "b.embedding", Vectors.Dim)
+      val rounds = (2 to MmrK).map { r =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel, $r AS rank,
+           |    c.rel * 0.5 - m.msim * 0.5 AS mmr_score
+           |  FROM short c JOIN (
+           |    SELECT sm.a AS vec_id, MAX(sm.sim) AS msim
+           |    FROM sm JOIN sel${r - 1} s ON sm.b = s.vec_id GROUP BY sm.a) m
+           |    USING (vec_id)
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+           |sel$r AS MATERIALIZED (
+           |  SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT vec_id, rel, rank, mmr_score FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |short AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    ${Vectors.oCos("qv.embedding", "e.embedding", Vectors.Dim)} AS rel
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT $MmrShort),
+         |sm AS MATERIALIZED (
+         |  SELECT a.vec_id AS a, b.vec_id AS b, $oCosE AS sim
+         |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, rel, 1 AS rank, rel AS mmr_score FROM short
+         |  ORDER BY rel DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT rank, vec_id, rel, mmr_score FROM sel$MmrK ORDER BY rank""".stripMargin
+    }),
     Q("dedup_semantic", semanticDedup, Some(oSemanticDedupSql)),
     Q("search_hybrid_rrf", hybridRrf, Some(oHybridRrfSql)),
     Q("sim_pq_adc", pqAdc, Some(oPqAdcSql)),

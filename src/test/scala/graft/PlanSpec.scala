@@ -1080,6 +1080,42 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("MMR rerank: greedy scores never increase and picks are distinct") {
+    val rows = graft.operators.Similarity.mmrRerank(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 8)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 8))
+    val scores = rows.map(_.getAs[Double]("mmr_score")).toSeq
+    // every candidate's score is non-increasing in the selected set
+    // (maxsim only grows), so the greedy maxima are non-increasing;
+    // rank 1 carries raw relevance, an upper bound on all of them
+    assert(scores == scores.sorted.reverse, scores.toString)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel")) <= 1.0 + 1e-12, s"$r")
+    }
+    Core.releaseCaches()
+  }
+
+  test("cohort LTV triangle conserves purchase cents and telescopes per cohort") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Events.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalPurchase = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum == totalPurchase)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("age"))
+      assert(sorted.head.getAs[Long]("age") == 0L) // cohort day itself
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("rev_cents")
+        assert(r.getAs[Long]("cum_rev_cents") == cum, s"$r")
+        assert(r.getAs[Long]("active_users") <= r.getAs[Long]("n_users"), s"$r")
+      }
+    }
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
