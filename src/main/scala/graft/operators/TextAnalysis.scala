@@ -268,6 +268,74 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("stem"))
       .limit(20)
 
+  private val SaDocs = 20 // docs concatenated into the SA fixture
+  private val SaOut = 100 // emitted prefix of the suffix array
+
+  /** DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber–Myers) —
+    * the index structure behind exact-substring search and
+    * suffix-based dedup, built the way a cluster must build it: no
+    * suffix string is ever materialized. State is a (pos, rank)
+    * table; each round ranks pairs (rank[p], rank[p+2^k]) — one
+    * self-join at offset 2^k, then a DENSE rank over the distinct
+    * pairs via the two-phase range-partition spelling
+    * (`pipeline_global_ids` — never a single-partition window) —
+    * doubling the compared prefix length until all ranks are
+    * distinct (log n rounds; early-converges in 3–4 on natural
+    * text). Each round checkpoints to a parquet leaf (the CC/kcore
+    * lineage cut) and the convergence probe is a 1-row count.
+    *
+    * The fixture is the first [[SaDocs]] documents concatenated —
+    * constant-size so the ORACLE can afford the O(n²)-character
+    * naive spelling (sort the actual suffix strings); the engine's
+    * algorithm never touches a suffix longer than 1 char and is the
+    * same join-per-round shape at any corpus size. ASCII byte order
+    * = both engines' string order, so ranks agree exactly. */
+  def suffixArray(s: SparkSession, d: String): DataFrame = {
+    val corpus = cached(docs(s, d).filter(col("doc_id") < SaDocs)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        x => x("text")), "~").as("sstr")))
+    val n = corpus.select(length(col("sstr"))).head.getInt(0).toLong
+    var r = corpus
+      .select(explode(sequence(lit(0L), length(col("sstr")) - 1)).as("pos"),
+        col("sstr"))
+      .select(col("pos"),
+        expr("CAST(ascii(substr(sstr, CAST(pos AS INT) + 1, 1)) AS BIGINT)")
+          .as("rk"))
+    r = ckptRound(r, "graft-sa")
+    var off = 1L
+    var distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
+    while (off < n && distinct < n) {
+      val shifted = r.select((col("pos") - off).as("pos"), col("rk").as("rk2"))
+      val keyed = r.join(shifted, Seq("pos"), "left")
+        .na.fill(-1L, Seq("rk2"))
+      // dense rank of the distinct (rk, rk2) pairs — two-phase
+      val keys = cached(keyed.select("rk", "rk2").distinct()
+        .repartitionByRange(32, col("rk"), col("rk2"))
+        .withColumn("pid", spark_partition_id()))
+      val offs = keys.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("o", coalesce(
+          sum("cnt").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "o")
+      val local = Window.partitionBy("pid").orderBy("rk", "rk2")
+      val ids = keys.withColumn("l", row_number().over(local))
+        .join(broadcast(offs), "pid")
+        .select(col("rk"), col("rk2"), (col("o") + col("l")).as("nrk"))
+      r = ckptRound(
+        keyed.join(ids, Seq("rk", "rk2"))
+          .select(col("pos"), col("nrk").as("rk")), "graft-sa")
+      off *= 2
+      distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
+    }
+    System.err.println(s"[sa] n=$n prefix_len=$off distinct=$distinct")
+    r.filter(col("rk") <= SaOut)
+      .crossJoin(broadcast(corpus))
+      .select(col("rk").as("sa_rank"), col("pos"),
+        expr("substr(sstr, CAST(pos AS INT) + 1, 24)").as("prefix"))
+      .orderBy("sa_rank")
+  }
+
   /** Zipf frequency SPECTRUM in power-of-two bins — the corpus-law
     * diagnostic a tokenizer/vocab decision reads first: how many
     * vocabulary types occur [2^k, 2^{k+1}) times and how much token
@@ -905,6 +973,22 @@ object TextAnalysis {
          |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS g
          |        FROM (SELECT $oTokens AS t FROM documents) WHERE len(t) >= 2))
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    // oracle: the naive spelling — materialize every suffix STRING
+    // of the constant-size fixture and sort; binary string order =
+    // the engine's ASCII rank order, so the arrays agree exactly
+    Q("text_suffix_array", suffixArray, Some(
+      s"""WITH doc AS MATERIALIZED (
+         |  SELECT string_agg(text, '~' ORDER BY doc_id) AS sstr
+         |  FROM documents WHERE doc_id < $SaDocs),
+         |suf AS MATERIALIZED (
+         |  SELECT g - 1 AS pos, substring(sstr, CAST(g AS INTEGER)) AS suffix
+         |  FROM doc, unnest(generate_series(1, length(sstr))) AS t(g)),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY suffix) AS sa_rank, pos,
+         |    substring(suffix, 1, 24) AS prefix
+         |  FROM suf)
+         |SELECT sa_rank, pos, prefix FROM ranked
+         |WHERE sa_rank <= $SaOut ORDER BY sa_rank""".stripMargin)),
     // oracle: the same integer bin — bin() renders the identical
     // binary string in DuckDB, so ⌊log₂⌋+1 needs no float log
     Q("text_zipf_bins", zipfBins, Some(

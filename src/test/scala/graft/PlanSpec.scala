@@ -1116,6 +1116,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("suffix array: ranks are a permutation prefix and prefixes sort ascending") {
+    val rows = graft.operators.TextAnalysis.suffixArray(spark, sf).collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getAs[Long]("sa_rank")).toSeq == (1L to 100L))
+    assert(rows.map(_.getAs[Long]("pos")).distinct.length == 100)
+    val prefixes = rows.map(_.getAs[String]("prefix")).toSeq
+    // suffix order implies prefix order (ties allowed where prefixes
+    // agree for 24 chars and the full suffixes differ later)
+    assert(prefixes == prefixes.sorted, prefixes.take(5).toString)
+    Core.releaseCaches()
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
