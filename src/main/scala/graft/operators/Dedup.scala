@@ -1492,7 +1492,10 @@ object Dedup {
     * classic missing-edge ranking (Liben-Nowell & Kleinberg 2003):
     * for every NON-edge pair (a, b) reachable in two hops, the number
     * of shared neighbors and the neighborhood Jaccard
-    * |N(a)∩N(b)| / |N(a)∪N(b)|. In an entity-resolution pipeline this
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — both computed in the hub-FILTERED
+    * graph (neighbors of degree ≤ [[HubCap]]), so the ratio is the
+    * exact Jaccard of that graph rather than a mixed-universe
+    * approximation. In an entity-resolution pipeline this
     * is the "edges the matcher MISSED" review queue: two records that
     * share two or more fuzzy twins but were never paired directly are
     * the highest-yield human-review candidates (and the transitive
@@ -1517,6 +1520,12 @@ object Dedup {
       .agg(count(lit(1)).as("dg")))
     val apexOk = adj.join(deg.filter(col("dg") <= HubCap).select("v"),
       adj("src") === col("v")).drop("v")
+    // degrees in the hub-FILTERED graph (neighbors w with deg(w) ≤
+    // HubCap) — the same universe cn counts over, so the ratio below
+    // is EXACTLY the neighborhood Jaccard of the filtered graph, not
+    // a mixed-universe approximation
+    val degLow = cached(apexOk.toDF("w", "v").groupBy("v")
+      .agg(count(lit(1)).as("dg")))
     val cand = apexOk.toDF("w", "u")
       .join(apexOk.toDF("w", "x"), "w")
       .filter(col("u") < col("x"))
@@ -1524,8 +1533,8 @@ object Dedup {
       .agg(count(lit(1)).as("cn"))
       .join(e, Seq("a", "b"), "left_anti")
     cand
-      .join(deg.toDF("a", "da"), "a")
-      .join(deg.toDF("b", "db"), "b")
+      .join(degLow.toDF("a", "da"), "a")
+      .join(degLow.toDF("b", "db"), "b")
       .filter(col("cn") >= 2)
       .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
         (col("cn").cast("double") /
@@ -2257,6 +2266,8 @@ object Dedup {
          |ok AS MATERIALIZED (
          |  SELECT adj.src AS w, adj.dst AS u FROM adj
          |  JOIN deg ON deg.v = adj.src AND deg.dg <= $HubCap),
+         |okd AS MATERIALIZED (
+         |  SELECT u AS v, COUNT(*) AS dg FROM ok GROUP BY u),
          |cand AS MATERIALIZED (
          |  SELECT p.u AS a, q.u AS b, COUNT(*) AS cn
          |  FROM ok p JOIN ok q ON p.w = q.w AND p.u < q.u
@@ -2267,7 +2278,7 @@ object Dedup {
          |    AND cn >= 2)
          |SELECT m.a, m.b, m.cn, x.dg AS da, y.dg AS db,
          |  CAST(m.cn AS DOUBLE) / CAST(x.dg + y.dg - m.cn AS DOUBLE) AS jaccard
-         |FROM miss m JOIN deg x ON x.v = m.a JOIN deg y ON y.v = m.b
+         |FROM miss m JOIN okd x ON x.v = m.a JOIN okd y ON y.v = m.b
          |ORDER BY m.a, m.b""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH ex AS (

@@ -595,10 +595,13 @@ object Events {
     * `text_pagerank` trajectory idiom): each edge's mass transfer is
     * `(π(from)·n) div n_from`, a floor division BEFORE the sum, so
     * every round is a sum of longs — order-independent, hash-exact —
-    * where a float π could never replay across engines. The chain is
-    * first CLOSED over states with out-edges (edges into a sink
-    * state would silently leak mass every round; restricting to the
-    * out-edge support and re-normalizing keeps P row-stochastic).
+    * where a float π could never replay across engines. The state
+    * space is every type seen on either side, with SINK states (no
+    * out-edges) given a probability-1 self-loop — the standard
+    * absorbing-state treatment that keeps P row-stochastic over the
+    * full space, so mass is conserved within floor loss on ANY
+    * chain shape (dropping sink-bound edges instead is not a
+    * fixpoint: a state feeding only sinks would leak all its mass).
     *
     * Scale: the chain is |event types|² cells built from one
     * lead-window scan; each round is a cells⋈π join over ≤ |types|
@@ -622,10 +625,20 @@ object Events {
     * exactly this table. */
   def stationaryFromPairs(pairs0: DataFrame): DataFrame = {
     val pairs = cached(pairs0)
-    val states = cached(pairs.select(col("tf").as("t")).distinct())
-    val closed = pairs.join(states.toDF("tt"), "tt")
-    val nf = closed.groupBy("tf").agg(sum("n").as("nf"))
-    val trans = cached(closed.join(nf, "tf"))
+    // state space = every type seen on EITHER side; sink states (no
+    // out-edges) get a probability-1 self-loop. Dropping sink-bound
+    // edges instead is NOT a fixpoint (a state whose every out-edge
+    // targets a sink would keep pi rows but no trans rows and its
+    // mass would vanish); the self-loop keeps P row-stochastic over
+    // the full space, so mass is conserved within floor loss on ANY
+    // chain shape.
+    val states = cached(pairs.select(col("tf").as("t"))
+      .unionAll(pairs.select(col("tt").as("t"))).distinct())
+    val sinks = states.join(pairs.select(col("tf").as("t")), Seq("t"), "left_anti")
+      .select(col("t").as("tf"), col("t").as("tt"), lit(1L).as("n"))
+    val all = pairs.unionByName(sinks)
+    val nf = all.groupBy("tf").agg(sum("n").as("nf"))
+    val trans = cached(all.join(nf, "tf"))
     val k = states.count() // 1-row loop-control read
     var pi = states.select(col("t"), lit(MkScale / k).as("pi"))
     for (_ <- 1 to MarkovRounds) {
@@ -701,13 +714,17 @@ object Events {
        |p0 AS MATERIALIZED (
        |  SELECT tf, tt, COUNT(*) AS n FROM nx
        |  WHERE tt IS NOT NULL GROUP BY 1, 2),
-       |st AS MATERIALIZED (SELECT DISTINCT tf AS t FROM p0),
-       |cl AS MATERIALIZED (
-       |  SELECT p0.* FROM p0 JOIN st ON p0.tt = st.t),
+       |st AS MATERIALIZED (SELECT DISTINCT t FROM (
+       |  SELECT tf AS t FROM p0 UNION ALL SELECT tt FROM p0) q0),
+       |sk AS MATERIALIZED (
+       |  SELECT t AS tf, t AS tt, CAST(1 AS BIGINT) AS n FROM st
+       |  WHERE t NOT IN (SELECT tf FROM p0)),
+       |al AS MATERIALIZED (
+       |  SELECT tf, tt, n FROM p0 UNION ALL SELECT tf, tt, n FROM sk),
        |nf AS MATERIALIZED (
-       |  SELECT tf, CAST(SUM(n) AS BIGINT) AS nf FROM cl GROUP BY tf),
+       |  SELECT tf, CAST(SUM(n) AS BIGINT) AS nf FROM al GROUP BY tf),
        |tr AS MATERIALIZED (
-       |  SELECT cl.tf, cl.tt, cl.n, nf.nf FROM cl JOIN nf USING (tf)),
+       |  SELECT al.tf, al.tt, al.n, nf.nf FROM al JOIN nf USING (tf)),
        |ns AS (SELECT COUNT(*) AS k FROM st),
        |pi0 AS MATERIALIZED (
        |  SELECT t, $MkScale // k AS pi FROM st CROSS JOIN ns),

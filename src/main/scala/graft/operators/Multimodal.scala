@@ -651,7 +651,12 @@ object Multimodal {
           if (idx(h64) == packed) out.write(h64)
           else {
             idx(h64) = packed
-            val dr = r - pr; val dg = g - pg; val db = b - pb
+            // qoi.c differences are SIGNED CHAR, i.e. wraparound:
+            // 255→0 is dr = +1, encodable as DIFF (the decoder's
+            // & 0xff addition un-wraps symmetrically)
+            def wrap(x: Int): Int = ((x + 128) & 0xff) - 128
+            val dr = wrap(r - pr); val dg = wrap(g - pg)
+            val db = wrap(b - pb)
             if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
               db >= -2 && db <= 1)
               out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))

@@ -105,21 +105,30 @@ object Temporal {
       .orderBy("user_id", "purchase_ts", "purchase_id")
   }
 
+  /** (purchase, click) TOUCHES inside the trailing 30-minute window —
+    * the 2-bucket banded range equi-join shared by
+    * [[rangeClicksBeforePurchase]] and [[attributionLinear]]. `p`
+    * must carry (user_id, pts µs, …), `c` (user_id, cts µs, …).
+    * Integer `div` for bucketing: `/` on longs is DOUBLE division in
+    * Spark, and epoch-µs values sit near double's 53-bit mantissa. */
+  private def bandedTouches(p: DataFrame, c: DataFrame): DataFrame = {
+    val pb = p.withColumn("bkt", explode(array(
+      expr(s"pts div ${BucketUs}L"), expr(s"pts div ${BucketUs}L") - 1)))
+    val cb = c.withColumn("bkt", expr(s"cts div ${BucketUs}L"))
+    pb.join(cb, Seq("user_id", "bkt"))
+      .filter(col("cts") >= col("pts") - BucketUs && col("cts") <= col("pts"))
+  }
+
   /** Count + span of clicks in the 30 minutes before each purchase
     * (range join via 2-bucket banding + exact interval filter). */
   def rangeClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    // integer division for bucketing: `/` on longs is DOUBLE division
-    // in Spark, and epoch-µs values sit near double's 53-bit mantissa
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
-      .withColumn("bkt", explode(array(
-        expr(s"pts div ${BucketUs}L"), expr(s"pts div ${BucketUs}L") - 1)))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("cts"))
-      .withColumn("bkt", expr(s"cts div ${BucketUs}L"))
-    purchases.join(clicks, Seq("user_id", "bkt"))
-      .filter(col("cts") >= col("pts") - BucketUs && col("cts") <= col("pts"))
+    bandedTouches(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts")),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts")))
       .groupBy("user_id", "purchase_id", "pts")
       .agg(count(lit(1)).as("n_clicks"), min("cts").as("first_click_ts"))
       .select(col("user_id"), col("purchase_id"), col("n_clicks"), col("first_click_ts"))
@@ -148,16 +157,13 @@ object Temporal {
       col("event_id"), graft.Core.epochUs(col("ts")).as("ts"),
       col("user_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("pid"),
-        col("ts").as("pts"), col("cents"))
-      .withColumn("bkt", explode(array(
-        expr(s"pts div ${BucketUs}L"), expr(s"pts div ${BucketUs}L") - 1)))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
-      .withColumn("bkt", expr(s"cts div ${BucketUs}L"))
-    val touches = purchases.join(clicks, Seq("user_id", "bkt"))
-      .filter(col("cts") >= col("pts") - BucketUs && col("cts") <= col("pts"))
+    val touches = bandedTouches(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("ts").as("pts"), col("cents")),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"),
+          col("ts").as("cts")))
       .select("pid", "cents", "cid", "cts")
     val byP = Window.partitionBy("pid")
     val shared = touches

@@ -296,20 +296,12 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("doc_id"), col("text")))),
         x => x("text")), "~").as("sstr")))
     val n = corpus.select(length(col("sstr"))).head.getInt(0).toLong
-    var r = corpus
-      .select(explode(sequence(lit(0L), length(col("sstr")) - 1)).as("pos"),
-        col("sstr"))
-      .select(col("pos"),
-        expr("CAST(ascii(substr(sstr, CAST(pos AS INT) + 1, 1)) AS BIGINT)")
-          .as("rk"))
-    r = ckptRound(r, "graft-sa")
-    var off = 1L
-    var distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
-    while (off < n && distinct < n) {
-      val shifted = r.select((col("pos") - off).as("pos"), col("rk").as("rk2"))
-      val keyed = r.join(shifted, Seq("pos"), "left")
-        .na.fill(-1L, Seq("rk2"))
-      // dense rank of the distinct (rk, rk2) pairs — two-phase
+    // dense rank of the distinct (rk, rk2) keys — two-phase; ALSO
+    // applied to the initial single-char ranks, so ranks are dense
+    // 1..|keys| even when the doubling loop never runs (an
+    // all-distinct-byte fixture) and the rk <= SaOut output filter
+    // matches the oracle's row_number unconditionally
+    def denseRank(keyed: DataFrame): DataFrame = {
       val keys = cached(keyed.select("rk", "rk2").distinct()
         .repartitionByRange(32, col("rk"), col("rk2"))
         .withColumn("pid", spark_partition_id()))
@@ -322,9 +314,23 @@ object TextAnalysis {
       val ids = keys.withColumn("l", row_number().over(local))
         .join(broadcast(offs), "pid")
         .select(col("rk"), col("rk2"), (col("o") + col("l")).as("nrk"))
-      r = ckptRound(
-        keyed.join(ids, Seq("rk", "rk2"))
-          .select(col("pos"), col("nrk").as("rk")), "graft-sa")
+      keyed.join(ids, Seq("rk", "rk2"))
+        .select(col("pos"), col("nrk").as("rk"))
+    }
+    var r = ckptRound(denseRank(corpus
+      .select(explode(sequence(lit(0L), length(col("sstr")) - 1)).as("pos"),
+        col("sstr"))
+      .select(col("pos"),
+        expr("CAST(ascii(substr(sstr, CAST(pos AS INT) + 1, 1)) AS BIGINT)")
+          .as("rk"),
+        lit(-1L).as("rk2"))), "graft-sa")
+    var off = 1L
+    var distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
+    while (off < n && distinct < n) {
+      val shifted = r.select((col("pos") - off).as("pos"), col("rk").as("rk2"))
+      val keyed = r.join(shifted, Seq("pos"), "left")
+        .na.fill(-1L, Seq("rk2"))
+      r = ckptRound(denseRank(keyed), "graft-sa")
       off *= 2
       distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
     }

@@ -1406,7 +1406,8 @@ object Streams {
     srcDir
   }
 
-  /** Streaming Markov transition-matrix maintenance — the
+  /** The transition-count state fold shared by
+    * [[streamTransitionMatrix]] and [[streamMarkovStationary]] — the
     * order-SENSITIVE incremental state: per micro-batch the new
     * transitions are the consecutive pairs of (carried last event ∪
     * batch) per user, so each user's cross-boundary pair is generated
@@ -1414,15 +1415,10 @@ object Streams {
     * (from, to) pair counts PLUS each user's latest (ts, event_id,
     * type) as one struct-max. Requires the ts-ordered slice replay
     * ([[tsSlicedEventsDir]]) — with unordered batches "the previous
-    * event" is undefined mid-stream. Read time normalizes the final
-    * counts through the SAME plan tail as the batch operator, so
-    * replay parity is exact integers. */
-  /** The transition-count state fold shared by
-    * [[streamTransitionMatrix]] and [[streamMarkovStationary]]:
-    * ts-ordered slice replay, per-batch lead() over (carried last
-    * event ∪ batch), additive (from, to) pair counts — returns the
-    * final maintained pair table. */
-  private def transitionStateFold(s: SparkSession, d: String): DataFrame = {
+    * event" is undefined mid-stream. Returns the final maintained
+    * pair table; `tag` names the calling query in the stream log. */
+  private def transitionStateFold(s: SparkSession, d: String,
+      tag: String): DataFrame = {
     val srcDir = tsSlicedEventsDir(s, d)
     val stateRoot = graft.Core.tempDir("graft-trans-state")
     @volatile var curState: Option[String] = None
@@ -1463,12 +1459,15 @@ object Streams {
         curState = Some(next)
       }
       .start()
-    awaitAndLog(q, "streamTransitionMatrix")
+    awaitAndLog(q, tag)
     s.read.parquet(s"${curState.get}/pairs")
   }
 
+  /** Live transition matrix: [[transitionStateFold]]'s maintained
+    * counts normalized through the SAME plan tail as the batch
+    * operator at read time, so replay parity is exact integers. */
   def streamTransitionMatrix(s: SparkSession, d: String): DataFrame = {
-    val pairs = transitionStateFold(s, d)
+    val pairs = transitionStateFold(s, d, "streamTransitionMatrix")
     val fromTot = pairs.groupBy("type_from").agg(sum("n").as("n_from"))
     pairs.join(broadcast(fromTot), "type_from")
       .select(col("type_from"), col("type_to"), col("n"), col("n_from"),
@@ -1488,7 +1487,7 @@ object Streams {
     * oracle. */
   def streamMarkovStationary(s: SparkSession, d: String): DataFrame =
     graft.operators.Events.stationaryFromPairs(
-      transitionStateFold(s, d)
+      transitionStateFold(s, d, "streamMarkovStationary")
         .select(col("type_from").as("tf"), col("type_to").as("tt"), col("n")))
 
   val queries: Seq[Q] = Seq(
