@@ -1542,6 +1542,48 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Per-cluster match-CONFIDENCE report — the review queue an ER
+    * pipeline ships next to its golden records: each entity
+    * cluster's size, edge count, weakest edge, and mean edge
+    * similarity (Jaro–Winkler via the codegen'd DuckDB-parity
+    * expression). A cluster merged through ONE weak bridge edge (low
+    * `min_sim_micro` relative to its mean) is exactly the
+    * transitive-collapse candidate a human reviews first — the
+    * number [[goldenRecords]]' survivorship silently trusts.
+    * Similarities quantize to exact integer MICRO-units before
+    * aggregating, so min is exact and the mean is one division of
+    * exact longs (a double sum would be accumulation-order-
+    * dependent and could never hash-match).
+    *
+    * Scale: the edge table is the blocked candidate join (never
+    * all-pairs); labels come from the same pointer-doubling CC; the
+    * report aggregates shuffle (label) keys only. */
+  def erClusterConfidence(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e = cached(erEdges(cust, customerStrip(s, d)).select("a", "b"))
+    val names = cust.select(col("c_custkey"), col("c_name"))
+    val sims = e
+      .join(names.toDF("a", "name_a"), "a")
+      .join(names.toDF("b", "name_b"), "b")
+      .select(col("a"), col("b"),
+        floor(graft.plans.TextHashes.jaroWinkler(
+          col("name_a"), col("name_b")) * 1e6).cast("long").as("sim_micro"))
+    val (labels, _) = connectedComponents(e)
+    val eAgg = sims.join(labels.toDF("a", "lbl"), "a")
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_edges"),
+        min("sim_micro").as("min_sim_micro"),
+        sum("sim_micro").as("sum_sim"))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+    sizes.join(eAgg, "lbl")
+      .select(col("lbl").as("cluster_id"), col("size"), col("n_edges"),
+        col("min_sim_micro"),
+        (col("sum_sim").cast("double") / col("n_edges").cast("double"))
+          .as("mean_sim_micro"))
+      .orderBy("cluster_id")
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -2019,6 +2061,34 @@ object Dedup {
         |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
         |  c_acctbal AS golden_acctbal
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    // oracle: the recursive-closure labels + the built-in
+    // jaro_winkler_similarity the engine expression is bit-pinned to,
+    // quantized through the identical floor(x * 1e6)
+    Q("er_cluster_confidence", erClusterConfidence, Some(
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name)
+        |      * 1000000.0) AS BIGINT) AS sim
+        |  FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT ka AS src, kb AS dst FROM pr
+        |      UNION SELECT kb, ka FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, COUNT(*) AS size FROM cc GROUP BY cluster_id),
+        |ea AS (SELECT cc.cluster_id, COUNT(*) AS n_edges,
+        |         MIN(pr.sim) AS min_sim_micro,
+        |         CAST(SUM(pr.sim) AS BIGINT) AS sum_sim
+        |       FROM pr JOIN cc ON cc.k = pr.ka GROUP BY 1)
+        |SELECT sz.cluster_id, sz.size, ea.n_edges, ea.min_sim_micro,
+        |  CAST(ea.sum_sim AS DOUBLE) / CAST(ea.n_edges AS DOUBLE)
+        |    AS mean_sim_micro
+        |FROM sz JOIN ea USING (cluster_id) ORDER BY cluster_id""".stripMargin)),
     // oracle replays the strip constants (LCP of lexmin/lexmax, and
     // of the reversed pair, capped to the shortest string), the
     // global rank, the w=10 window, and the all-pairs truth

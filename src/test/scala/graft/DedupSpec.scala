@@ -495,6 +495,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster confidence: connected clusters, exact micro-sims, min below mean") {
+    val rows = Dedup.erClusterConfidence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("size")
+      val edges = r.getAs[Long]("n_edges")
+      assert(size >= 2, s"$r") // labels exist only for paired vertices
+      assert(edges >= size - 1, s"$r") // connected ⇒ at least a spanning tree
+      val minS = r.getAs[Long]("min_sim_micro")
+      val meanS = r.getAs[Double]("mean_sim_micro")
+      assert(minS <= meanS + 1e-9, s"$r")
+      // radius-1 same-nation edges: JW of 1-edit names stays high
+      assert(minS >= 500000L && minS <= 1000000L, s"$r")
+    }
+    Core.releaseCaches()
+  }
+
   test("hyperplane buckets are deterministic and within range") {
     val nb = 1L << Vectors.BitsPerTable
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
