@@ -676,8 +676,46 @@ object Events {
           round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
       .select(col("user_id"), expr("us div 86400000000").as("day"),
         col("cents"))
-    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort"))
-    val cells = ev.join(cohort, "user_id")
+    ltvFromDayCents(
+      ev.groupBy("user_id", "day").agg(sum("cents").as("cents")))
+  }
+
+  /** `events_cohort_ltv`'s oracle — also the oracle of
+    * `stream_cohort_ltv`, whose maintained state folds to the
+    * identical triangle. */
+  val oCohortLtvSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |ch AS MATERIALIZED (
+      |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+      |cells AS MATERIALIZED (
+      |  SELECT ch.cohort, ev.day - ch.cohort AS age,
+      |    CAST(SUM(ev.cents) AS BIGINT) AS rev_cents,
+      |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users
+      |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort, COUNT(*) AS n_users FROM ch GROUP BY cohort)
+      |SELECT cells.cohort, age, n_users, active_users, rev_cents,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev_cents,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(n_users AS DOUBLE) AS ltv_cents_per_user
+      |FROM cells JOIN sz ON cells.cohort = sz.cohort
+      |ORDER BY cells.cohort, age""".stripMargin
+
+  /** The LTV triangle from a per-(user, day) PURCHASE-cents table —
+    * shared by [[cohortLtv]] and the streaming maintenance twin
+    * (`stream_cohort_ltv`), whose folded state is exactly this table
+    * (rows exist for cents-0 days too, so active-user counts are
+    * preserved; per-day pre-summing changes nothing — integer
+    * addition is associative). */
+  def ltvFromDayCents(udc: DataFrame): DataFrame = {
+    val cohort = udc.groupBy("user_id").agg(min("day").as("cohort"))
+    val cells = udc.join(cohort, "user_id")
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
       .agg(sum("cents").as("rev_cents"),
         countDistinct(col("user_id")).as("active_users"))
@@ -802,29 +840,7 @@ object Events {
     Q("events_markov_stationary", markovStationary, Some(oMarkovSql)),
     // oracle: the same first-seen-day cohorts, exact cents cells, and
     // per-cohort running total; one double division at the end
-    Q("events_cohort_ltv", cohortLtv, Some(
-      """WITH ev AS MATERIALIZED (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-        |    CASE WHEN event_type = 'purchase'
-        |         THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS cents
-        |  FROM events),
-        |ch AS MATERIALIZED (
-        |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
-        |cells AS MATERIALIZED (
-        |  SELECT ch.cohort, ev.day - ch.cohort AS age,
-        |    CAST(SUM(ev.cents) AS BIGINT) AS rev_cents,
-        |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users
-        |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
-        |sz AS (SELECT cohort, COUNT(*) AS n_users FROM ch GROUP BY cohort)
-        |SELECT cells.cohort, age, n_users, active_users, rev_cents,
-        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS cum_rev_cents,
-        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort ORDER BY age
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / CAST(n_users AS DOUBLE) AS ltv_cents_per_user
-        |FROM cells JOIN sz ON cells.cohort = sz.cohort
-        |ORDER BY cells.cohort, age""".stripMargin)),
+    Q("events_cohort_ltv", cohortLtv, Some(oCohortLtvSql)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

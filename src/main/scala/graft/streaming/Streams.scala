@@ -1301,7 +1301,18 @@ object Streams {
     * micro-batch overwrites its own version instead of double-adding
     * — the idempotence discipline additive state needs where
     * set-valued state (KMV) gets it for free. */
-  def streamAbCuped(s: SparkSession, d: String): DataFrame = {
+  /** The additive (user, day, cents) state fold shared by
+    * [[streamAbCuped]] and [[streamCohortLtv]]: per micro-batch the
+    * batch's per-(user, day) cents sums merge into the stored state
+    * by one more sum (integer addition is associative/commutative;
+    * batchId-keyed versions make redelivery idempotent). Returns the
+    * final maintained table carrying BOTH the all-event cents (the
+    * CUPED metric) and the purchase-only pcents (the LTV revenue);
+    * `tag` names the calling query in the stream log. Rows exist for
+    * zero-cents days too (any event plants one), which is what lets
+    * the LTV twin count active users. */
+  private def dayCentsStateFold(s: SparkSession, d: String,
+      tag: String): DataFrame = {
     val srcDir = graft.Core.tempDir("graft-cuped-src")
     graft.Tables(s, d, "events")
       .repartitionByRange(4, col("event_id"))
@@ -1311,10 +1322,12 @@ object Streams {
     def dayCents(df: DataFrame): DataFrame = df
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("pcents"),
         graft.Core.epochUs(col("ts")).as("us"))
       .withColumn("day", expr("us div 86400000000"))
       .groupBy("user_id", "day")
-      .agg(sum("cents").as("cents"))
+      .agg(sum("cents").as("cents"), sum("pcents").as("pcents"))
     val q = s.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
@@ -1324,16 +1337,34 @@ object Streams {
         val merged = curState match {
           case None => bp
           case Some(p) => s.read.parquet(p).unionByName(bp)
-            .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+            .groupBy("user_id", "day")
+            .agg(sum("cents").as("cents"), sum("pcents").as("pcents"))
         }
         val next = s"$stateRoot/v$batchId"
         merged.write.mode("overwrite").parquet(next)
         curState = Some(next)
       }
       .start()
-    awaitAndLog(q, "streamAbCuped")
-    graft.operators.Quality.cupedFromDayCents(s.read.parquet(curState.get))
+    awaitAndLog(q, tag)
+    s.read.parquet(curState.get)
   }
+
+  def streamAbCuped(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quality.cupedFromDayCents(
+      dayCentsStateFold(s, d, "streamAbCuped")
+        .select("user_id", "day", "cents"))
+
+  /** Live cohort-LTV triangle — the same maintained (user, day,
+    * cents) state as [[streamAbCuped]] read through the batch
+    * operator's tail: cohort = min(day) per user is itself a
+    * mergeable aggregate of the state, so the whole triangle derives
+    * at read time and is bit-identical to the batch result (one
+    * oracle serves both). A third distinct metric from ONE state
+    * table — the point of the state-vs-metric split. */
+  def streamCohortLtv(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.ltvFromDayCents(
+      dayCentsStateFold(s, d, "streamCohortLtv")
+        .select(col("user_id"), col("day"), col("pcents").as("cents")))
 
   /** Streaming rolling-retention maintenance — [[streamAbCuped]]'s
     * SET-state sibling: the maintained state is the distinct
@@ -1511,6 +1542,10 @@ object Streams {
     // state derives the identical stationary vector at read time
     Q("stream_markov_stationary", streamMarkovStationary,
       Some(graft.operators.Events.oMarkovSql)),
+    // oracle: the batch LTV oracle verbatim — the folded (user, day,
+    // cents) state derives the identical triangle at read time
+    Q("stream_cohort_ltv", streamCohortLtv,
+      Some(graft.operators.Events.oCohortLtvSql)),
     // oracle: the batch CUPED oracle verbatim — the stream-maintained
     // additive state folds to the identical metric
     Q("stream_ab_cuped", streamAbCuped,
