@@ -291,6 +291,17 @@ object TextAnalysis {
     * same join-per-round shape at any corpus size. ASCII byte order
     * = both engines' string order, so ranks agree exactly. */
   def suffixArray(s: SparkSession, d: String): DataFrame = {
+    val (corpus, r) = saRanks(s, d)
+    r.filter(col("rk") <= SaOut)
+      .crossJoin(broadcast(corpus))
+      .select(col("rk").as("sa_rank"), col("pos"),
+        expr("substr(sstr, CAST(pos AS INT) + 1, 24)").as("prefix"))
+      .orderBy("sa_rank")
+  }
+
+  /** The converged (pos, rank) table + the 1-row corpus frame —
+    * shared by [[suffixArray]] and [[longestRepeatedSubstrings]]. */
+  private def saRanks(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val corpus = cached(docs(s, d).filter(col("doc_id") < SaDocs)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("doc_id"), col("text")))),
@@ -335,11 +346,45 @@ object TextAnalysis {
       distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
     }
     System.err.println(s"[sa] n=$n prefix_len=$off distinct=$distinct")
-    r.filter(col("rk") <= SaOut)
+    (corpus, r)
+  }
+
+  /** Fold-computed LCP cap — long enough for any repeat in the
+    * fixture, bounded so the per-pair fold cost is a constant. */
+  private val LcpCap = 200
+
+  /** LONGEST REPEATED SUBSTRINGS from the converged suffix array —
+    * the statistic suffix structures exist for in a dedup pipeline
+    * (the char-level sibling of the token-level `dedup_repeated_
+    * spans`): the maximal LCP in suffix order is the longest string
+    * occurring twice, and the top adjacent-pair LCPs rank the most
+    * verbatim-duplicated regions. LCP of an adjacent pair is the
+    * MONOTONE prefix-equality count Σ_k [prefix_k(A) = prefix_k(B)]
+    * (k ≤ [[LcpCap]]) — a fixed-shape integer fold spelled
+    * identically in both engines, no early-exit divergence to
+    * worry about. Adjacent pairs come from one rank self-join
+    * (rank, rank+1); no suffix beyond the capped prefix is ever
+    * materialized engine-side. */
+  def longestRepeatedSubstrings(s: SparkSession, d: String): DataFrame = {
+    val (corpus, r) = saRanks(s, d)
+    val pairs = r.select(col("rk"), col("pos").as("pos_a"))
+      .join(r.select((col("rk") - 1).as("rk"), col("pos").as("pos_b")), "rk")
       .crossJoin(broadcast(corpus))
-      .select(col("rk").as("sa_rank"), col("pos"),
-        expr("substr(sstr, CAST(pos AS INT) + 1, 24)").as("prefix"))
-      .orderBy("sa_rank")
+      .select(col("pos_a"), col("pos_b"),
+        expr(s"substr(sstr, CAST(pos_a AS INT) + 1, $LcpCap)").as("sa"),
+        expr(s"substr(sstr, CAST(pos_b AS INT) + 1, $LcpCap)").as("sb"))
+    pairs
+      .select(col("pos_a"), col("pos_b"),
+        aggregate(sequence(lit(1), lit(LcpCap)), lit(0L),
+          (acc, k) => acc + when(
+            col("sa").substr(lit(1), k) === col("sb").substr(lit(1), k),
+            1L).otherwise(0L)).as("lcp"))
+      .crossJoin(broadcast(corpus))
+      .select(col("lcp"), col("pos_a"), col("pos_b"),
+        col("sstr").substr(col("pos_a") + 1,
+          least(col("lcp"), lit(40L))).as("snippet"))
+      .orderBy(col("lcp").desc, col("pos_a"), col("pos_b"))
+      .limit(10)
   }
 
   /** Zipf frequency SPECTRUM in power-of-two bins — the corpus-law
@@ -995,6 +1040,33 @@ object TextAnalysis {
          |  FROM suf)
          |SELECT sa_rank, pos, prefix FROM ranked
          |WHERE sa_rank <= $SaOut ORDER BY sa_rank""".stripMargin)),
+    // oracle: the naive suffix sort again, adjacent ranks by
+    // row_number, and the IDENTICAL capped prefix-equality fold
+    Q("text_lrs", longestRepeatedSubstrings, Some(
+      s"""WITH doc AS MATERIALIZED (
+         |  SELECT string_agg(text, '~' ORDER BY doc_id) AS sstr
+         |  FROM documents WHERE doc_id < $SaDocs),
+         |suf AS MATERIALIZED (
+         |  SELECT g - 1 AS pos, substring(sstr, CAST(g AS INTEGER)) AS suffix
+         |  FROM doc, unnest(generate_series(1, length(sstr))) AS t(g)),
+         |rk AS MATERIALIZED (
+         |  SELECT pos, row_number() OVER (ORDER BY suffix) AS r FROM suf),
+         |pr AS MATERIALIZED (
+         |  SELECT a.pos AS pos_a, b.pos AS pos_b
+         |  FROM rk a JOIN rk b ON b.r = a.r + 1),
+         |lc AS MATERIALIZED (
+         |  SELECT pos_a, pos_b,
+         |    CAST(list_reduce(list_prepend(0,
+         |      list_transform(generate_series(1, $LcpCap), k ->
+         |        CASE WHEN substring(sstr, CAST(pos_a + 1 AS INTEGER), CAST(k AS INTEGER))
+         |                = substring(sstr, CAST(pos_b + 1 AS INTEGER), CAST(k AS INTEGER))
+         |             THEN 1 ELSE 0 END)), (x, y) -> x + y) AS BIGINT) AS lcp
+         |  FROM pr, doc)
+         |SELECT lcp, pos_a, pos_b,
+         |  substring(sstr, CAST(pos_a + 1 AS INTEGER),
+         |    CAST(LEAST(lcp, 40) AS INTEGER)) AS snippet
+         |FROM lc, doc
+         |ORDER BY lcp DESC, pos_a, pos_b LIMIT 10""".stripMargin)),
     // oracle: the same integer bin — bin() renders the identical
     // binary string in DuckDB, so ⌊log₂⌋+1 needs no float log
     Q("text_zipf_bins", zipfBins, Some(

@@ -1128,6 +1128,34 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("longest repeated substrings: claimed repeats verify char-by-char") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.longestRepeatedSubstrings(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    val lcps = rows.map(_.getAs[Long]("lcp")).toSeq
+    assert(lcps == lcps.sorted.reverse)
+    // rebuild the fixture string independently and check every claim
+    val sstr = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 20).orderBy("doc_id")
+      .collect().map(_.getAs[String]("text")).mkString("~")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("pos_a").toInt
+      val b = r.getAs[Long]("pos_b").toInt
+      val lcp = r.getAs[Long]("lcp").toInt
+      assert(sstr.substring(a, a + lcp) == sstr.substring(b, b + lcp), s"$r")
+      // maximality: the repeat cannot extend (unless capped)
+      if (lcp < 200) {
+        val ca = if (a + lcp < sstr.length) Some(sstr(a + lcp)) else None
+        val cb = if (b + lcp < sstr.length) Some(sstr(b + lcp)) else None
+        assert(!(ca.isDefined && cb.isDefined && ca == cb), s"extendable: $r")
+      }
+      assert(r.getAs[String]("snippet") ==
+        sstr.substring(a, a + math.min(lcp, 40)), s"$r")
+    }
+    Core.releaseCaches()
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
