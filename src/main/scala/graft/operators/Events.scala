@@ -652,6 +652,45 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** CUSUM drift detection over the daily event series — the
+    * changepoint alarm that catches SUSTAINED small shifts the
+    * per-point detectors miss (`events_anomaly`'s z-score needs one
+    * big spike; `events_seasonal_baseline` needs a cell out of
+    * profile; CUSUM accumulates evidence). Spelled through the
+    * prefix-sum identity instead of the textbook recursion:
+    * S_t = max(0, S_{t−1} + (x_t − k)) equals P_t − min_{0≤j≤t} P_j (P_0 = 0, the empty prefix)
+    * with P_t = Σ_{i≤t}(x_i − k), so the whole statistic is ONE
+    * prefix sum plus ONE running min — window functions, no
+    * sequential fold. Reference level k = the day mean, carried
+    * CROSS-MULTIPLIED (every term scales by n_days) so everything
+    * stays exact integers; `cusum_up` flags sustained rises,
+    * `cusum_down` (running max − P) sustained drops.
+    *
+    * Scale: the fact collapses to |days| rows in one partial+final
+    * agg; the unpartitioned windows run over that tiny series (the
+    * `quality_ks_drift` offsets-frame precedent — deliberately
+    * small), never over raw events. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables(s, d, "events")
+      .select(graft.Core.epochUs(col("ts")).as("us"))
+      .select(expr("us div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum("n").as("total"), count(lit(1)).as("n_days"))
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("n") * col("n_days") - col("total")).over(byDay))
+      // the running extrema must include the EMPTY prefix P_0 = 0
+      // (j = 0 in min_{j<=t} P_j), or an all-positive series would
+      // anchor to P_1 instead of 0 and understate the statistic
+      .withColumn("cusum_up", col("p") - least(min("p").over(byDay), lit(0L)))
+      .withColumn("cusum_down",
+        greatest(max("p").over(byDay), lit(0L)) - col("p"))
+      .select(col("day"), col("n").as("n_events"),
+        col("cusum_up"), col("cusum_down"))
+      .orderBy("day")
+  }
+
   /** Cohort LIFETIME-VALUE triangle — the product-analytics report
     * next to [[transitionMatrix]] and retention: users cohort by
     * first-seen day, every event lands in a (cohort, age) cell, and
@@ -841,6 +880,26 @@ object Events {
     // oracle: the same first-seen-day cohorts, exact cents cells, and
     // per-cohort running total; one double division at the end
     Q("events_cohort_ltv", cohortLtv, Some(oCohortLtvSql)),
+    // oracle: the same cross-multiplied prefix-sum identity over the
+    // same tiny daily series — exact integers end to end
+    Q("events_cusum_changepoint", cusumChangepoint, Some(
+      """WITH daily AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |        COUNT(*) AS n_days FROM daily),
+        |p AS (SELECT day, n,
+        |        CAST(SUM(n * n_days - total) OVER win AS BIGINT) AS p
+        |      FROM daily CROSS JOIN t
+        |      WINDOW win AS (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, n AS n_events,
+        |  CAST(p - LEAST(MIN(p) OVER win, 0) AS BIGINT) AS cusum_up,
+        |  CAST(GREATEST(MAX(p) OVER win, 0) - p AS BIGINT) AS cusum_down
+        |FROM p
+        |WINDOW win AS (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

@@ -1156,6 +1156,23 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("CUSUM equals the textbook recursion replayed day by day") {
+    val rows = graft.operators.Events.cusumChangepoint(spark, sf).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_events"))
+    val days = n.length.toLong
+    val total = n.sum
+    // replay S_t = max(0, S_{t-1} + (n_days*x_t - total)) both ways
+    var up = 0L; var down = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      up = math.max(0L, up + n(i) * days - total)
+      down = math.max(0L, down + total - n(i) * days)
+      assert(r.getAs[Long]("cusum_up") == up, s"$r")
+      assert(r.getAs[Long]("cusum_down") == down, s"$r")
+    }
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no
