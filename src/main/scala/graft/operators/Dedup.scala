@@ -195,6 +195,53 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Widths swept by [[bloomFprCurve]] — spanning under- to
+    * well-sized for the test corpus so the curve actually bends. */
+  private val BloomFprWidths = Seq(128, 512, 2048)
+
+  /** Bloom SIZING curve — the calibration report that turns
+    * [[bloomIncremental]]'s "production sizing is m ≈ 1.44·n·log2(1/p)"
+    * comment into MEASURED numbers: per candidate width, the filter's
+    * fill ratio and its false-positive rate against a disjoint probe
+    * set (batch hashes verified NOT in the corpus, so every `maybe`
+    * is a false positive by construction). With fixed hash seeds the
+    * bitset is deterministic, so both the fill and the FPR replay
+    * bit-for-bit in the oracle — the curve is data, not theory.
+    *
+    * Scale: per width one |corpus|-hash aggregate (the m/8-byte
+    * filter), one k·|corpus|-row distinct-position count, and one
+    * broadcast probe pass; widths are independent branches a
+    * scheduler runs concurrently. */
+  def bloomFprCurve(s: SparkSession, d: String): DataFrame = {
+    val k = 2
+    val h = polyHash(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val corpusH = cached(docs(s, d).filter(col("doc_id") % 3 === 0)
+      .select(h.as("h")).distinct())
+    val probes = cached(docs(s, d).filter(col("doc_id") % 2 === 0)
+      .select(h.as("h")).distinct()
+      .join(corpusH, Seq("h"), "left_anti"))
+    val frames = BloomFprWidths.map { m =>
+      val bf = corpusH.agg(
+        graft.plans.Sketches.bloomAgg(col("h"), m, k).as("bf"))
+      val bits = corpusH
+        .select(explode(array((0 until k).map(i =>
+          graft.plans.Sketches.cell(col("h"), i, m)): _*)).as("pos"))
+        .agg(countDistinct(col("pos")).as("n_bits_set"))
+      val fp = probes.crossJoin(broadcast(bf))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(graft.plans.Sketches.bloomMightContain(
+            col("bf"), col("h"), m, k), 1L).otherwise(0L)).as("n_fp"))
+      corpusH.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(bits).crossJoin(fp)
+        .select(lit(m).as("m_bits"), col("n_corpus"), col("n_bits_set"),
+          (col("n_bits_set").cast("double") / lit(m.toDouble)).as("fill_ratio"),
+          col("n_probes"), col("n_fp"),
+          (col("n_fp").cast("double") / col("n_probes").cast("double"))
+            .as("fpr"))
+    }
+    frames.reduce(_ unionAll _).orderBy("m_bits")
+  }
+
   // -------------------------------------------------------------------
   // Word-shingle MinHash-LSH
   // -------------------------------------------------------------------
@@ -1875,6 +1922,43 @@ object Dedup {
     // batch's per-seed probes, and maybe = all probes land on set
     // bits — so the deterministic false-positive count hash-matches,
     // not just the exact admission counts.
+    // oracle: the deterministic bitset replayed per width — distinct
+    // set positions for the fill, the all-k-bits probe for the FPR
+    Q("sketch_bloom_fpr", bloomFprCurve, Some {
+      val hh = oPolyHash("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")
+      val per = BloomFprWidths.map { m =>
+        s"""sb$m AS MATERIALIZED (
+           |  SELECT DISTINCT ((a * h + b) % ${graft.plans.Sketches.P}) % $m AS pos
+           |  FROM ch CROSS JOIN seeds),
+           |pm$m AS MATERIALIZED (
+           |  SELECT q.h, bool_and(sb.pos IS NOT NULL) AS maybe FROM (
+           |    SELECT pr.h, ((a * pr.h + b) % ${graft.plans.Sketches.P}) % $m AS pos
+           |    FROM pr CROSS JOIN seeds) q
+           |  LEFT JOIN sb$m sb USING (pos) GROUP BY q.h)""".stripMargin
+      }.mkString(",\n")
+      val rows = BloomFprWidths.map { m =>
+        s"""SELECT CAST($m AS INTEGER) AS m_bits,
+           |  (SELECT COUNT(*) FROM ch) AS n_corpus,
+           |  (SELECT COUNT(*) FROM sb$m) AS n_bits_set,
+           |  CAST((SELECT COUNT(*) FROM sb$m) AS DOUBLE) / CAST($m AS DOUBLE)
+           |    AS fill_ratio,
+           |  (SELECT COUNT(*) FROM pm$m) AS n_probes,
+           |  (SELECT CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM pm$m) AS n_fp,
+           |  CAST((SELECT SUM(CASE WHEN maybe THEN 1 ELSE 0 END) FROM pm$m) AS DOUBLE)
+           |    / CAST((SELECT COUNT(*) FROM pm$m) AS DOUBLE) AS fpr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ch AS MATERIALIZED (
+         |  SELECT DISTINCT $hh AS h FROM documents WHERE doc_id % 3 = 0),
+         |bt AS MATERIALIZED (
+         |  SELECT DISTINCT $hh AS h FROM documents WHERE doc_id % 2 = 0),
+         |pr AS MATERIALIZED (
+         |  SELECT h FROM bt WHERE h NOT IN (SELECT h FROM ch)),
+         |seeds(i, a, b) AS (VALUES ${graft.plans.Sketches.oSeedRows(2)}),
+         |$per
+         |$rows
+         |ORDER BY m_bits""".stripMargin
+    }),
     Q("dedup_bloom_incremental", bloomIncremental, Some {
       val hh = oPolyHash("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")
       s"""WITH ch AS (

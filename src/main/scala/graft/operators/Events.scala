@@ -691,6 +691,44 @@ object Events {
       .orderBy("day")
   }
 
+  /** Holt LINEAR-TREND smoothing of the daily event series — the
+    * forecasting step up from [[ewma]]: two coupled recursions,
+    * ℓ_t = α·x_t + (1−α)(ℓ_{t−1} + b_{t−1}) and
+    * b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}, so the forecast
+    * ℓ + h·b extrapolates a TREND where EWMA's flat level always
+    * lags a growing series. α = 1/4 and β = 1/8 are POWERS OF TWO
+    * (the ewma discipline): every constant is exactly representable
+    * and the order-dependent IEEE fold is the same arithmetic
+    * sequence in both engines. Init ℓ_1 = x_1, b_1 = x_2 − x_1;
+    * updates run t = 2..n.
+    *
+    * Scale: the fact collapses to |days| rows in one partial+final
+    * agg; the fold runs once over that tiny ordered series inside a
+    * single aggregate row (the ewma/KS small-state precedent). */
+  def holtLinear(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables(s, d, "events")
+      .select(graft.Core.epochUs(col("ts")).as("us"))
+      .select(expr("us div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val one = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("s"))
+      .select(transform(col("s"), x => x("n").cast("double")).as("xs"))
+    val l1 = element_at(col("xs"), 1)
+    val b1 = element_at(col("xs"), 2) - element_at(col("xs"), 1)
+    val fin = aggregate(
+      slice(col("xs"), lit(2), size(col("xs")) - 1),
+      struct(l1.as("l"), b1.as("b")),
+      (acc, xv) => {
+        val newL = xv * 0.25 + (acc("l") + acc("b")) * 0.75
+        struct(newL.as("l"),
+          ((newL - acc("l")) * 0.125 + acc("b") * 0.875).as("b"))
+      })
+    one.select(size(col("xs")).cast("long").as("n_days"), fin.as("f"))
+      .select(col("n_days"), col("f.l").as("level"), col("f.b").as("trend"),
+        (col("f.l") + col("f.b")).as("forecast_1"),
+        (col("f.l") + col("f.b") * 7.0).as("forecast_7"))
+  }
+
   /** Cohort LIFETIME-VALUE triangle — the product-analytics report
     * next to [[transitionMatrix]] and retention: users cohort by
     * first-seen day, every event lands in a (cohort, age) cell, and
@@ -880,6 +918,41 @@ object Events {
     // oracle: the same first-seen-day cohorts, exact cents cells, and
     // per-cohort running total; one double division at the end
     Q("events_cohort_ltv", cohortLtv, Some(oCohortLtvSql)),
+    // oracle: the same ordered fold with the same power-of-two
+    // constants (E-NOTATION: DuckDB types plain decimal literals as
+    // DECIMAL and the whole fold silently rounds — the benford
+    // lesson) and the same expanded-b spelling (see the engine-side
+    // note on DuckDB's duplicated-subexpression lambda bug) — bit-identical
+    // IEEE trajectory (struct-typed list_reduce with a prepended
+    // seed, the engine's separate-acc-type aggregate re-expressed
+    // over a homogeneous list)
+    // oracle: the identical recursion as a RECURSIVE CTE over the
+    // row-numbered daily series — NOT a struct-typed list_reduce:
+    // DuckDB 1.0 evaluates lambda struct fields in place, so a
+    // second field reading acc.l sees the l just written in the SAME
+    // step (measured: the fold spelling returned the decayed-trend
+    // trajectory); plain recursive SQL has value semantics and
+    // replays Spark's duplicated-newL textbook fold bit-for-bit.
+    // Constants in E-NOTATION (the benford DECIMAL-literal lesson).
+    Q("events_holt_linear", holtLinear, Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT row_number() OVER (ORDER BY day) AS t,
+        |        CAST(n AS DOUBLE) AS x FROM daily),
+        |hw(t, l, b) AS (
+        |  SELECT 1, (SELECT x FROM d WHERE t = 1),
+        |    (SELECT x FROM d WHERE t = 2) - (SELECT x FROM d WHERE t = 1)
+        |  UNION ALL
+        |  SELECT hw.t + 1,
+        |    d.x * 2.5e-1 + (hw.l + hw.b) * 7.5e-1,
+        |    ((d.x * 2.5e-1 + (hw.l + hw.b) * 7.5e-1) - hw.l) * 1.25e-1
+        |      + hw.b * 8.75e-1
+        |  FROM hw JOIN d ON d.t = hw.t + 1)
+        |SELECT CAST((SELECT MAX(t) FROM d) AS BIGINT) AS n_days,
+        |  l AS level, b AS trend,
+        |  l + b AS forecast_1, l + b * 7e0 AS forecast_7
+        |FROM hw WHERE t = (SELECT MAX(t) FROM d)""".stripMargin)),
     // oracle: the same cross-multiplied prefix-sum identity over the
     // same tiny daily series — exact integers end to end
     Q("events_cusum_changepoint", cusumChangepoint, Some(

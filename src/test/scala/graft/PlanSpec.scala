@@ -1173,6 +1173,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("holt trend equals the coupled recursion replayed day by day") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Events.holtLinear(spark, sf).collect().head
+    val xs = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n")).orderBy("day")
+      .collect().map(_.getAs[Long]("n").toDouble)
+    var l = xs(0); var b = xs(1) - xs(0)
+    xs.drop(1).foreach { x =>
+      val nl = x * 0.25 + (l + b) * 0.75
+      b = (nl - l) * 0.125 + b * 0.875
+      l = nl
+    }
+    assert(r.getAs[Long]("n_days") == xs.length.toLong)
+    assert(r.getAs[Double]("level") == l, s"$r vs $l")
+    assert(r.getAs[Double]("trend") == b, s"$r vs $b")
+    assert(r.getAs[Double]("forecast_1") == l + b)
+    assert(r.getAs[Double]("forecast_7") == l + b * 7.0)
+  }
+
   test("BPE merge table is driver-local; the corpus rewrite chain is join-free") {
     // the round winners are collected (1 row per round, loop
     // control), so the merge table plans as a LocalTableScan — no

@@ -105,6 +105,27 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("f2_exact") >= r.getAs[Long]("n_rows"))
   }
 
+  test("bloom FPR curve: fill and false positives fall monotonically with width") {
+    val rows = graft.operators.Dedup.bloomFprCurve(spark, sf).collect()
+      .sortBy(_.getAs[Int]("m_bits"))
+    assert(rows.map(_.getAs[Int]("m_bits")).toSeq == Seq(128, 512, 2048))
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0, s"$r")
+      assert(r.getAs[Long]("n_bits_set") <= r.getAs[Int]("m_bits"), s"$r")
+      assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_probes"), s"$r")
+      // probes are verified non-members, so every maybe IS a false
+      // positive and fpr is exactly n_fp / n_probes
+      assert(r.getAs[Double]("fpr") ==
+        r.getAs[Long]("n_fp").toDouble / r.getAs[Long]("n_probes"), s"$r")
+    }
+    val fprs = rows.map(_.getAs[Double]("fpr"))
+    assert(fprs(0) >= fprs(1) && fprs(1) >= fprs(2), fprs.toSeq.toString)
+    val fills = rows.map(_.getAs[Double]("fill_ratio"))
+    assert(fills(0) > fills(2), fills.toSeq.toString)
+    Core.releaseCaches()
+  }
+
   test("kmv intersection estimator: exact regime returns exact intersection") {
     // two overlapping sets small enough that every sketch is exact
     val a = (1 to 40).map(_.toLong)
