@@ -148,12 +148,14 @@ object Quality {
           (col("o2") + col("l2")).cast(dec) * col("n1")).as("gap"))
       .groupBy("n1", "n2")
       .agg(max("gap").as("max_gap"))
-      // max_gap STAYS decimal(38,0): it is F·n-scaled (~1e22 at
-      // catalog scale, past long), and a bigint cast would wrap
-      // silently in Spark while the oracle's CAST raises — the two
-      // engines would diverge exactly where the two-phase decimal
-      // spelling is supposed to matter. Only ks_stat is a double.
-      .select(col("n1"), col("n2"), col("max_gap").cast(dec).as("max_gap"),
+      // max_gap is F·n-scaled (~1e22 at catalog scale, past long):
+      // the decimal arithmetic stays internal, but the OUTPUT is a
+      // string — exact at any magnitude (no bigint wrap, no 2^53
+      // double loss) and canonical on both engines, where a decimal
+      // output column trips the driver hasher's decimal128-vs-
+      // DECIMAL rendering asymmetry (r14's one red row).
+      .select(col("n1"), col("n2"),
+        col("max_gap").cast(dec).cast("string").as("max_gap"),
         (col("max_gap").cast("double") /
           (col("n1") * col("n2")).cast("double")).as("ks_stat"))
   }
@@ -691,7 +693,7 @@ object Quality {
          |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
          |        CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
          |SELECT n1, n2,
-         |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DECIMAL(38,0)) AS max_gap,
+         |  CAST(CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DECIMAL(38,0)) AS VARCHAR) AS max_gap,
          |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
          |    / CAST(n1 * n2 AS DOUBLE) AS ks_stat
          |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin)),
