@@ -274,39 +274,83 @@ object TextAnalysis {
   /** DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber–Myers) —
     * the index structure behind exact-substring search and
     * suffix-based dedup, built the way a cluster must build it: no
-    * suffix string is ever materialized. State is a (pos, rank)
-    * table; each round ranks pairs (rank[p], rank[p+2^k]) — one
-    * self-join at offset 2^k, then a DENSE rank over the distinct
-    * pairs via the two-phase range-partition spelling
-    * (`pipeline_global_ids` — never a single-partition window) —
-    * doubling the compared prefix length until all ranks are
-    * distinct (log n rounds; early-converges in 3–4 on natural
-    * text). Each round checkpoints to a parquet leaf (the CC/kcore
-    * lineage cut) and the convergence probe is a 1-row count.
+    * suffix string — and no corpus string — is ever materialized.
+    * State is a (pos, rank) table; each round ranks pairs
+    * (rank[p], rank[p+2^k]) — one self-join at offset 2^k, then a
+    * DENSE rank over the distinct pairs via the two-phase
+    * range-partition spelling (`pipeline_global_ids` — never a
+    * single-partition window) — doubling the compared prefix length
+    * until all ranks are distinct (log n rounds; early-converges in
+    * 3–4 on natural text). Each round checkpoints to a parquet leaf
+    * (the CC/kcore lineage cut) and the convergence probe is a
+    * 1-row count.
     *
-    * The fixture is the first [[SaDocs]] documents concatenated —
-    * constant-size so the ORACLE can afford the O(n²)-character
-    * naive spelling (sort the actual suffix strings); the engine's
-    * algorithm never touches a suffix longer than 1 char and is the
-    * same join-per-round shape at any corpus size. ASCII byte order
-    * = both engines' string order, so ranks agree exactly. */
+    * Character access is a distributed (pos, ch) table built from
+    * per-document offsets (a two-phase prefix sum over doc lengths —
+    * the r14 soft spot closed: no `collect_list`-concatenated
+    * one-row corpus string anywhere, so the same plan holds at any
+    * corpus size). Initial ranks read it directly; output prefixes
+    * and LCP folds GATHER-join it on position. The fixture is the
+    * first [[SaDocs]] documents (constant-size so the ORACLE can
+    * afford the O(n²)-character naive spelling — sort the actual
+    * suffix strings); ASCII byte order = both engines' string
+    * order, so ranks agree exactly. */
   def suffixArray(s: SparkSession, d: String): DataFrame = {
-    val (corpus, r) = saRanks(s, d)
+    val (chars, r) = saRanks(s, d)
+    // 24-char output prefix: explode each selected position into its
+    // window and gather chars by an equi-join on position — the inner
+    // join truncates at corpus end exactly like substr would.
     r.filter(col("rk") <= SaOut)
-      .crossJoin(broadcast(corpus))
       .select(col("rk").as("sa_rank"), col("pos"),
-        expr("substr(sstr, CAST(pos AS INT) + 1, 24)").as("prefix"))
+        explode(sequence(col("pos"), col("pos") + 23)).as("cpos"))
+      .join(chars.withColumnRenamed("pos", "cpos"), "cpos")
+      .groupBy("sa_rank", "pos")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("cpos"), col("ch")))),
+        x => x("ch")), "").as("prefix"))
       .orderBy("sa_rank")
   }
 
-  /** The converged (pos, rank) table + the 1-row corpus frame —
-    * shared by [[suffixArray]] and [[longestRepeatedSubstrings]]. */
+  /** Distributed (pos, ch) corpus character table: each document's
+    * global offset is a two-phase prefix sum over (doc length + 1)
+    * in doc-id order ('~' joins adjacent documents, as the oracle's
+    * `string_agg(text, '~')` spells it); each doc then explodes into
+    * its own characters — per-doc rows, never a corpus-sized string
+    * on any single row. */
+  private def saChars(s: SparkSession, d: String): DataFrame = {
+    val dl = docs(s, d).filter(col("doc_id") < SaDocs)
+      .select(col("doc_id"), col("text"), (length(col("text")) + 1).as("len1"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val cdl = cached(dl)
+    val offs = cdl.groupBy("pid").agg(sum("len1").as("cnt"))
+      .withColumn("o", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "o")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    val total = cdl.agg(sum("len1")).head.getLong(0)
+    cdl
+      .withColumn("l", coalesce(
+        sum("len1").over(local.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(offs), "pid")
+      // '~'-terminate every doc, then drop the final corpus position
+      // (the trailing separator past the last doc)
+      .select((col("o") + col("l")).as("off"), concat(col("text"), lit("~")).as("t"))
+      .select(col("off"), explode(sequence(lit(0L), length(col("t")) - 1)).as("i"),
+        col("t"))
+      .select((col("off") + col("i")).as("pos"),
+        expr("substr(t, CAST(i AS INT) + 1, 1)").as("ch"))
+      .filter(col("pos") < total - 1)
+  }
+
+  /** The converged (pos, rank) table + the shared (pos, ch) char
+    * table — used by [[suffixArray]] and
+    * [[longestRepeatedSubstrings]]. */
   private def saRanks(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val corpus = cached(docs(s, d).filter(col("doc_id") < SaDocs)
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("doc_id"), col("text")))),
-        x => x("text")), "~").as("sstr")))
-    val n = corpus.select(length(col("sstr"))).head.getInt(0).toLong
+    val chars = cached(saChars(s, d))
+    val n = chars.count()
     // dense rank of the distinct (rk, rk2) keys — two-phase; ALSO
     // applied to the initial single-char ranks, so ranks are dense
     // 1..|keys| even when the doubling loop never runs (an
@@ -328,12 +372,9 @@ object TextAnalysis {
       keyed.join(ids, Seq("rk", "rk2"))
         .select(col("pos"), col("nrk").as("rk"))
     }
-    var r = ckptRound(denseRank(corpus
-      .select(explode(sequence(lit(0L), length(col("sstr")) - 1)).as("pos"),
-        col("sstr"))
+    var r = ckptRound(denseRank(chars
       .select(col("pos"),
-        expr("CAST(ascii(substr(sstr, CAST(pos AS INT) + 1, 1)) AS BIGINT)")
-          .as("rk"),
+        ascii(col("ch")).cast("bigint").as("rk"),
         lit(-1L).as("rk2"))), "graft-sa")
     var off = 1L
     var distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
@@ -346,7 +387,7 @@ object TextAnalysis {
       distinct = r.select(countDistinct(col("rk"))).head.getLong(0)
     }
     System.err.println(s"[sa] n=$n prefix_len=$off distinct=$distinct")
-    (corpus, r)
+    (chars, r)
   }
 
   /** Fold-computed LCP cap — long enough for any repeat in the
@@ -359,30 +400,46 @@ object TextAnalysis {
     * spans`): the maximal LCP in suffix order is the longest string
     * occurring twice, and the top adjacent-pair LCPs rank the most
     * verbatim-duplicated regions. LCP of an adjacent pair is the
-    * MONOTONE prefix-equality count Σ_k [prefix_k(A) = prefix_k(B)]
-    * (k ≤ [[LcpCap]]) — a fixed-shape integer fold spelled
-    * identically in both engines, no early-exit divergence to
-    * worry about. Adjacent pairs come from one rank self-join
-    * (rank, rank+1); no suffix beyond the capped prefix is ever
-    * materialized engine-side. */
+    * first offset k ≤ [[LcpCap]] whose characters differ (or run
+    * out) — spelled as a k-explode + two GATHER equi-joins against
+    * the distributed (pos, ch) table and a min() aggregate, so no
+    * corpus-sized string (and no suffix beyond the capped prefix)
+    * is ever on any row. Distinct suffixes of one string can never
+    * be equal through both ends, so a null char on either side is
+    * a mismatch. Adjacent pairs come from one rank self-join
+    * (rank, rank+1). */
   def longestRepeatedSubstrings(s: SparkSession, d: String): DataFrame = {
-    val (corpus, r) = saRanks(s, d)
+    val (chars, r) = saRanks(s, d)
     val pairs = r.select(col("rk"), col("pos").as("pos_a"))
       .join(r.select((col("rk") - 1).as("rk"), col("pos").as("pos_b")), "rk")
-      .crossJoin(broadcast(corpus))
+    val ca = chars.select(col("pos").as("ka"), col("ch").as("cha"))
+    val cb = chars.select(col("pos").as("kb"), col("ch").as("chb"))
+    val lcps = pairs
       .select(col("pos_a"), col("pos_b"),
-        expr(s"substr(sstr, CAST(pos_a AS INT) + 1, $LcpCap)").as("sa"),
-        expr(s"substr(sstr, CAST(pos_b AS INT) + 1, $LcpCap)").as("sb"))
-    pairs
+        explode(sequence(lit(0L), lit(LcpCap - 1L))).as("k"))
+      .withColumn("ka", col("pos_a") + col("k"))
+      .withColumn("kb", col("pos_b") + col("k"))
+      .join(ca, Seq("ka"), "left")
+      .join(cb, Seq("kb"), "left")
+      .groupBy("pos_a", "pos_b")
+      .agg(coalesce(
+        min(when(!(col("cha") <=> col("chb")), col("k"))),
+        lit(LcpCap.toLong)).as("lcp"))
+    // snippet = chars pos_a .. pos_a + min(lcp, 40) - 1, gathered the
+    // same way; lcp = 0 rows get the empty snippet without entering
+    // the explode (sequence() would run DESCENDING on an empty span)
+    val snip = lcps.filter(col("lcp") > 0)
       .select(col("pos_a"), col("pos_b"),
-        aggregate(sequence(lit(1), lit(LcpCap)), lit(0L),
-          (acc, k) => acc + when(
-            col("sa").substr(lit(1), k) === col("sb").substr(lit(1), k),
-            1L).otherwise(0L)).as("lcp"))
-      .crossJoin(broadcast(corpus))
+        explode(sequence(col("pos_a"),
+          col("pos_a") + least(col("lcp"), lit(40L)) - 1)).as("cpos"))
+      .join(chars.withColumnRenamed("pos", "cpos"), "cpos")
+      .groupBy("pos_a", "pos_b")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("cpos"), col("ch")))),
+        x => x("ch")), "").as("snippet"))
+    lcps.join(snip, Seq("pos_a", "pos_b"), "left")
       .select(col("lcp"), col("pos_a"), col("pos_b"),
-        col("sstr").substr(col("pos_a") + 1,
-          least(col("lcp"), lit(40L))).as("snippet"))
+        coalesce(col("snippet"), lit("")).as("snippet"))
       .orderBy(col("lcp").desc, col("pos_a"), col("pos_b"))
       .limit(10)
   }
@@ -1042,6 +1099,13 @@ object TextAnalysis {
          |WHERE sa_rank <= $SaOut ORDER BY sa_rank""".stripMargin)),
     // oracle: the naive suffix sort again, adjacent ranks by
     // row_number, and the IDENTICAL capped prefix-equality fold
+    // oracle LCPs compare the two MATERIALIZED suffix strings
+    // directly (first char mismatch k; a pair of distinct suffixes
+    // can never run out at the same k, so '' vs char is the
+    // mismatch) — never the one-row corpus string: a `FROM pr, doc`
+    // cross join re-copies the corpus string per pair row in DuckDB
+    // and dominated the whole oracle catalog (measured 5.4 s →
+    // 0.4 s at sf0.01). The snippet reads the pair's own suffix.
     Q("text_lrs", longestRepeatedSubstrings, Some(
       s"""WITH doc AS MATERIALIZED (
          |  SELECT string_agg(text, '~' ORDER BY doc_id) AS sstr
@@ -1050,22 +1114,19 @@ object TextAnalysis {
          |  SELECT g - 1 AS pos, substring(sstr, CAST(g AS INTEGER)) AS suffix
          |  FROM doc, unnest(generate_series(1, length(sstr))) AS t(g)),
          |rk AS MATERIALIZED (
-         |  SELECT pos, row_number() OVER (ORDER BY suffix) AS r FROM suf),
-         |pr AS MATERIALIZED (
-         |  SELECT a.pos AS pos_a, b.pos AS pos_b
-         |  FROM rk a JOIN rk b ON b.r = a.r + 1),
+         |  SELECT pos, suffix, row_number() OVER (ORDER BY suffix) AS r FROM suf),
          |lc AS MATERIALIZED (
-         |  SELECT pos_a, pos_b,
-         |    CAST(list_reduce(list_prepend(0,
-         |      list_transform(generate_series(1, $LcpCap), k ->
-         |        CASE WHEN substring(sstr, CAST(pos_a + 1 AS INTEGER), CAST(k AS INTEGER))
-         |                = substring(sstr, CAST(pos_b + 1 AS INTEGER), CAST(k AS INTEGER))
-         |             THEN 1 ELSE 0 END)), (x, y) -> x + y) AS BIGINT) AS lcp
-         |  FROM pr, doc)
+         |  SELECT a.pos AS pos_a, b.pos AS pos_b, a.suffix AS sfa,
+         |    CAST(COALESCE(list_min(list_filter(
+         |      list_transform(generate_series(0, ${LcpCap - 1}), k ->
+         |        CASE WHEN substring(a.suffix, CAST(1 + k AS INTEGER), 1)
+         |                = substring(b.suffix, CAST(1 + k AS INTEGER), 1)
+         |             THEN NULL ELSE k END), x -> x IS NOT NULL)),
+         |      $LcpCap) AS BIGINT) AS lcp
+         |  FROM rk a JOIN rk b ON b.r = a.r + 1)
          |SELECT lcp, pos_a, pos_b,
-         |  substring(sstr, CAST(pos_a + 1 AS INTEGER),
-         |    CAST(LEAST(lcp, 40) AS INTEGER)) AS snippet
-         |FROM lc, doc
+         |  substring(sfa, 1, CAST(LEAST(lcp, 40) AS INTEGER)) AS snippet
+         |FROM lc
          |ORDER BY lcp DESC, pos_a, pos_b LIMIT 10""".stripMargin)),
     // oracle: the same integer bin — bin() renders the identical
     // binary string in DuckDB, so ⌊log₂⌋+1 needs no float log

@@ -1128,6 +1128,26 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("suffix array: no one-row corpus frame feeds the plan") {
+    // The r14 soft spot: the corpus was a collect_list-concatenated
+    // single-row string, broadcast to every char-access site — a
+    // shape that cannot survive a corpus-sized input. Char access is
+    // now a distributed (pos, ch) table, so the output plan must
+    // contain NO global (groupless) aggregate anywhere: a one-row
+    // frame can only enter via one.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    Seq(graft.operators.TextAnalysis.suffixArray(spark, sf),
+        graft.operators.TextAnalysis.longestRepeatedSubstrings(spark, sf))
+      .foreach { df =>
+        val global = df.queryExecution.optimizedPlan.collect {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }
+        assert(global.isEmpty,
+          s"one-row frames in SA plan: ${global.map(_.simpleString(60))}")
+      }
+    Core.releaseCaches()
+  }
+
   test("longest repeated substrings: claimed repeats verify char-by-char") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TextAnalysis.longestRepeatedSubstrings(spark, sf)
