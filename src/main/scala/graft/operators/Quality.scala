@@ -260,6 +260,63 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** Equi-depth histogram READ from a maintained `(v, cnt)`
+    * FREQUENCY table — the streaming twin's read-time metric. The
+    * per-bucket counts of [[equidepthHist]] depend only on the value
+    * MULTISET (tie order within equal values moves event_ids between
+    * buckets, never counts or min/max), so the histogram derives
+    * exactly from frequencies: each value's rank run is
+    * [cb, cb+cnt) where cb is the cumulative count of smaller
+    * values (the same two-phase range-partition prefix sum —
+    * never a single-partition global window), and its contribution
+    * to bucket b is the integer overlap of that run with b's rank
+    * interval [⌈bn/B⌉, ⌈(b+1)n/B⌉). Each frequency row explodes
+    * into at most the ≤ B buckets it spans — |distinct values| ×
+    * span rows total, never the row count. */
+  def equidepthFromFreqs(freqs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = HistBuckets
+    val parts = cached(freqs.repartitionByRange(32, col("v"))
+      .withColumn("pid", spark_partition_id()))
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy("pid").agg(sum("cnt").as("pcnt"))
+      .select(col("pid"),
+        coalesce(sum("pcnt").over(prior), lit(0L)).as("off"))
+    val local = Window.partitionBy("pid").orderBy("v")
+    val tot = parts.agg(sum("cnt").as("n"))
+    parts
+      .withColumn("lcb", coalesce(
+        sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(offs), "pid")
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("cnt"), (col("off") + col("lcb")).as("cb"), col("n"))
+      .select(col("v"), col("cnt"), col("cb"), col("n"),
+        explode(sequence(expr(s"(cb * $B) div n"),
+          expr(s"((cb + cnt - 1) * $B) div n"))).as("bucket"))
+      .select(col("v"), col("bucket"),
+        (least(expr(s"((bucket + 1) * n + ${B - 1}) div $B"),
+          col("cb") + col("cnt")) -
+          greatest(expr(s"(bucket * n + ${B - 1}) div $B"), col("cb")))
+          .as("contrib"))
+      .groupBy("bucket")
+      .agg(sum("contrib").as("n_rows"),
+        min("v").as("min_cents"), max("v").as("max_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Shared batch/streaming oracle for the equi-depth histogram. */
+  val oEquidepthSql: String =
+    s"""WITH q AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+       |  FROM events),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) - 1 AS rk FROM q),
+       |t AS (SELECT COUNT(*) AS n FROM q)
+       |SELECT CAST((rk * $HistBuckets) // n AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows, MIN(v) AS min_cents, MAX(v) AS max_cents
+       |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Robust outlier gate: per event type the exact MEDIAN of the
     * cents-quantized values, the MAD (median absolute deviation),
     * and the count of values beyond 3σ-equivalent (|v − med| >
@@ -722,15 +779,7 @@ object Quality {
     // oracle: one global ordered row_number (fine at oracle size; the
     // engine's two-phase rank exists for the 100 TB case) over the
     // same cents quantization and the same integer bucket formula
-    Q("quality_equidepth_hist", equidepthHist, Some(
-      s"""WITH q AS (
-         |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
-         |  FROM events),
-         |r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) - 1 AS rk FROM q),
-         |t AS (SELECT COUNT(*) AS n FROM q)
-         |SELECT CAST((rk * $HistBuckets) // n AS BIGINT) AS bucket,
-         |  COUNT(*) AS n_rows, MIN(v) AS min_cents, MAX(v) AS max_cents
-         |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin)),
+    Q("quality_equidepth_hist", equidepthHist, Some(oEquidepthSql)),
     // oracle: quantile_cont IS Spark's percentile (same interpolated
     // (n-1)p formula); the 4.4478 consistency constant is one shared
     // literal so both engines compare against the identical double

@@ -1404,6 +1404,48 @@ object Streams {
     graft.operators.Events.rollingFromPairs(s.read.parquet(curState.get))
   }
 
+  /** Streaming equi-depth histogram maintenance — the LAST additive
+    * read-time-metric family ([[streamAbCuped]]'s value-distribution
+    * sibling): the maintained state is the (cents, cnt) FREQUENCY
+    * table — integer counts, associative and commutative, so any
+    * batch split folds to the same state, with batchId-keyed
+    * versions making redelivery idempotent (v_b derives from
+    * v_{b−1} and a re-driven micro-batch overwrites its own
+    * version). The histogram derives at READ time through
+    * [[graft.operators.Quality.equidepthFromFreqs]] — exact batch
+    * parity because per-bucket counts depend only on the value
+    * multiset, so one oracle serves both. State size is |distinct
+    * cents values|, never event history. */
+  def streamEquidepth(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-eqd-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-eqd-state")
+    @volatile var curState: Option[String] = None
+    def freqs(df: DataFrame): DataFrame = df
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = freqs(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp)
+            .groupBy("v").agg(sum("cnt").as("cnt"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamEquidepth")
+    graft.operators.Quality.equidepthFromFreqs(s.read.parquet(curState.get))
+  }
+
   /** Events written as 4 ts-ordered slices with strictly increasing
     * file mod-times — the replay layout order-SENSITIVE incremental
     * operators need (the [[streamSessionizeNative]] discipline,
@@ -1554,6 +1596,11 @@ object Streams {
     // the same pair table under any replay
     Q("stream_rolling_distinct", streamRollingDistinct,
       Some(graft.operators.Events.oRollingSql)),
+    // oracle: the batch equi-depth oracle verbatim — frequency state
+    // folds to the same multiset under any replay, and per-bucket
+    // counts depend only on the multiset
+    Q("stream_equidepth", streamEquidepth,
+      Some(graft.operators.Quality.oEquidepthSql)),
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents

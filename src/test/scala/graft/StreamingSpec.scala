@@ -43,6 +43,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming equi-depth frequency state folds to the batch histogram") {
+    val streamed = Streams.streamEquidepth(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Quality.equidepthHist(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (cents, cnt) state folds to the same multiset under the
+    // 4-batch split, and per-bucket counts depend only on the
+    // multiset ⇒ exact parity between the interval-contribution
+    // read and the batch rank spelling
+    assert(streamed == batch)
+  }
+
   test("streaming transition matrix carries last events across slice boundaries exactly") {
     val streamed = Streams.streamTransitionMatrix(spark, sf)
       .as[(String, String, Long, Long, Double)].collect().toSeq
