@@ -691,6 +691,120 @@ object Events {
       .orderBy("day")
   }
 
+  /** Lags reported by [[acf]]. */
+  private val AcfMaxLag = 7
+
+  /** Shared batch/streaming oracle for [[acf]]. */
+  val oAcfSql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |idx AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+       |tt AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM idx),
+       |dev AS MATERIALIZED (
+       |  SELECT t, CAST(x AS HUGEINT) * n - s AS e FROM idx, tt),
+       |den AS (SELECT SUM(e * e) AS dn FROM dev),
+       |lg AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag),
+       |num AS (SELECT lag, COUNT(*) AS n_pairs, SUM(a.e * b.e) AS nm
+       |        FROM lg, dev a, dev b WHERE b.t = a.t + lg.lag
+       |        GROUP BY lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE) AS acf
+       |FROM num, den ORDER BY lag""".stripMargin
+
+  /** AUTOCORRELATION function of the daily cents series at lags
+    * 1..[[AcfMaxLag]] — the seasonality/memory diagnostic a forecast
+    * (Holt, seasonal baseline) is validated against: r_k =
+    * Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². Spelled EXACTLY by
+    * multiplying through by n²: e_t = n·x_t − S is an integer
+    * (decimal(38,0) — e² at corpus scale passes 2⁶³), num_k = Σ
+    * e_t·e_{t+k} and den = Σ e_t² are exact integer moments, and the
+    * only float op is the final double division — so the statistic
+    * hash-matches at any scale, unlike a mean-subtracted float fold.
+    *
+    * Scale: the fact collapses to |days| rows in one partial+final
+    * agg; lag pairing is a (t+k)-equi-join on the tiny day frame
+    * (the deliberate tiny single-partition window of the
+    * CUSUM/Holt family). */
+  def acf(s: SparkSession, d: String): DataFrame =
+    acfFromDaily(Tables(s, d, "events")
+      .select(graft.Core.epochUs(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum("cents").as("x")))
+
+  /** The ACF read from a (day, x) daily series — shared by [[acf]]
+    * and the streaming twin (whose maintained state IS this additive
+    * daily table). */
+  def acfFromDaily(daily: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // |days|-row frame: the deliberate tiny single-partition window
+    val byDay = Window.orderBy("day")
+    val idx = daily.withColumn("t", row_number().over(byDay).cast("long"))
+    val tot = idx.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val dev = cached(idx.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (col("x").cast(dec) * col("n") - col("s")).cast(dec).as("e")))
+    val den = dev.agg(sum(col("e") * col("e")).as("dn"))
+    val lags = dev.sparkSession.range(1, AcfMaxLag + 1).toDF("lag")
+    lags.crossJoin(dev.select(col("t").as("ta"), col("e").as("ea")))
+      .join(dev.select(col("t").as("tb"), col("e").as("eb")),
+        col("ta") + col("lag") === col("tb"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ea") * col("eb")).as("nm"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (col("nm").cast("double") / col("dn").cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** INTERVAL-OVERLAP self-join — session CONCURRENCY: for every
+    * 30-min-gap session ([[withSessionIds]], the one shared boundary
+    * definition), how many other sessions overlap it in time (closed
+    * intervals: a.s ≤ b.e ∧ b.s ≤ a.e; same-user sessions are
+    * disjoint by construction so no self-pairs survive), reported as
+    * the concurrency histogram a capacity planner reads.
+    *
+    * Scale spelling: NEVER a theta join. Each interval explodes into
+    * the hour bins it touches; candidates come from a bin EQUI-join
+    * (two intervals that overlap share the hour bin of any overlap
+    * instant, so the filter is lossless), pair-key distinct collapses
+    * multi-bin duplicates, and the exact interval check verifies.
+    * Candidate mass is Σ per-bin density² — bounded by peak
+    * concurrency, not corpus size (the LSH band-join discipline
+    * applied to the time axis). */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val H = 3600L * 1000000000L // hour bin, ns
+    val sess = cached(withSessionIds(load(s, d))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_ns"), max("ts").as("e_ns"))
+      // unique interval id — per-user session ordinals start at 1 and
+      // are bounded by the user's own event count, far under the 1e6
+      // stride at any driver SF (a production run would widen the
+      // stride or use a struct key)
+      .select((col("user_id") * 1000000L + col("session_id")).as("iid"),
+        col("s_ns"), col("e_ns")))
+    val bins = sess.select(col("iid"), col("s_ns"), col("e_ns"),
+      explode(sequence(expr(s"s_ns div $H"), expr(s"e_ns div $H"))).as("bin"))
+    val cand = bins
+      .select(col("bin"), col("iid").as("ia"),
+        col("s_ns").as("sa"), col("e_ns").as("ea"))
+      .join(bins.select(col("bin"), col("iid").as("ib"),
+        col("s_ns").as("sb"), col("e_ns").as("eb")), "bin")
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "ea", "sb", "eb").distinct()
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+    val deg = cand.select(col("ia").as("iid"))
+      .unionByName(cand.select(col("ib").as("iid")))
+      .groupBy("iid").agg(count(lit(1)).as("c"))
+    sess.join(deg, Seq("iid"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("concurrency"))
+      .groupBy("concurrency").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("concurrency")
+  }
+
   /** Holt LINEAR-TREND smoothing of the daily event series — the
     * forecasting step up from [[ewma]]: two coupled recursions,
     * ℓ_t = α·x_t + (1−α)(ℓ_{t−1} + b_{t−1}) and
@@ -973,6 +1087,37 @@ object Events {
         |WINDOW win AS (ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin)),
+    // oracle: the same n²-scaled integer moments (HUGEINT ≡
+    // decimal(38,0) for these magnitudes) and the same single final
+    // double division; lag pairing is the same t+k equi-join
+    Q("events_acf", acf, Some(oAcfSql)),
+    // oracle: the naive interval THETA self-join over the same
+    // session intervals (DuckDB plans it as an IEJoin) — the truth
+    // the engine's bin-blocked candidate join must reproduce
+    Q("join_interval_overlap", intervalOverlap, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |iv AS MATERIALIZED (
+        |  SELECT user_id * 1000000 + session_id AS iid,
+        |    epoch_ns(min(ts)) AS s_ns, epoch_ns(max(ts)) AS e_ns
+        |  FROM sessions GROUP BY user_id, session_id),
+        |p AS (SELECT a.iid AS ia, b.iid AS ib FROM iv a JOIN iv b
+        |      ON a.iid < b.iid AND a.s_ns <= b.e_ns AND b.s_ns <= a.e_ns),
+        |deg AS (SELECT iid, COUNT(*) AS c FROM
+        |        (SELECT ia AS iid FROM p UNION ALL SELECT ib FROM p) q
+        |        GROUP BY iid)
+        |SELECT CAST(COALESCE(c, 0) AS BIGINT) AS concurrency,
+        |  COUNT(*) AS n_sessions
+        |FROM iv LEFT JOIN deg USING (iid)
+        |GROUP BY 1 ORDER BY concurrency""".stripMargin)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

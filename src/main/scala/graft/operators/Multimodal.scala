@@ -219,7 +219,10 @@ object Multimodal {
       b.array()
     }
 
-    def decode(id: Long, wav: Array[Byte]): WavStats = {
+    /** Chunk-walk the RIFF container and return (sample_rate,
+      * PCM16 samples) — the shared front half of [[decode]] and the
+      * frame-feature extractor. */
+    def samples(id: Long, wav: Array[Byte]): (Int, Array[Short]) = {
       val bb = java.nio.ByteBuffer.wrap(wav)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
@@ -230,8 +233,8 @@ object Multimodal {
       require(fourcc() == "WAVE", s"doc $id: not WAVE")
       // chunk walk: real WAVs may carry LIST/fact chunks before data
       var rate = -1
-      var stats: WavStats = null
-      while (stats == null && bb.remaining() >= 8) {
+      var out: Array[Short] = null
+      while (out == null && bb.remaining() >= 8) {
         val tag = fourcc()
         val len = bb.getInt()
         // RIFF pads odd-length chunks to even; skip the pad byte
@@ -247,25 +250,33 @@ object Multimodal {
           case "data" =>
             require(rate > 0, s"doc $id: data before fmt")
             val n = len / 2
-            var i = 0; var abs = 0L; var sq = 0L; var peak = 0L
-            var zc = 0L; var prevSign = 0
-            while (i < n) {
-              val s = bb.getShort().toLong
-              val a = math.abs(s)
-              abs += a; sq += s * s; if (a > peak) peak = a
-              val sign = java.lang.Long.signum(s)
-              if (sign != 0) {
-                if (prevSign != 0 && sign != prevSign) zc += 1
-                prevSign = sign
-              }
-              i += 1
-            }
-            stats = WavStats(id, rate, n, abs, sq, peak, zc)
+            val a = new Array[Short](n)
+            var i = 0
+            while (i < n) { a(i) = bb.getShort(); i += 1 }
+            out = a
           case _ => bb.position(bb.position() + skip) // skip LIST/fact/…
         }
       }
-      require(stats != null, s"doc $id: no data chunk")
-      stats
+      require(out != null, s"doc $id: no data chunk")
+      (rate, out)
+    }
+
+    def decode(id: Long, wav: Array[Byte]): WavStats = {
+      val (rate, smp) = samples(id, wav)
+      var i = 0; var abs = 0L; var sq = 0L; var peak = 0L
+      var zc = 0L; var prevSign = 0
+      while (i < smp.length) {
+        val s = smp(i).toLong
+        val a = math.abs(s)
+        abs += a; sq += s * s; if (a > peak) peak = a
+        val sign = java.lang.Long.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) zc += 1
+          prevSign = sign
+        }
+        i += 1
+      }
+      WavStats(id, rate, smp.length, abs, sq, peak, zc)
     }
   }
 
@@ -311,6 +322,50 @@ object Multimodal {
         case (id, m) => WavCodec.decode(id, m)
       }))
       .toDF().orderBy("doc_id")
+  }
+
+  private val WavFrameLen = 16 // samples per analysis frame
+
+  /** Per-frame audio features, integer-exact (the [[WavStats]]
+    * discipline at frame granularity). */
+  final case class WavFrame(
+      doc_id: Long, frame: Long, abs_sum: Long, energy: Long,
+      peak: Long, zero_crossings: Long)
+
+  /** FRAME-level audio features — the framing step every real audio
+    * pipeline runs between decode and modeling (VAD, silence
+    * trimming, energy-based segmentation all read per-frame energy +
+    * ZCR, not clip aggregates): each decoded clip splits into
+    * [[WavFrameLen]]-sample frames; per frame the abs/square sums,
+    * peak, and within-frame sign-change count — all integers, so the
+    * oracle replays them from the payload bytes. The ZCR resets at
+    * frame boundaries (each frame judged alone, the VAD convention).
+    * Same batched mapPartitions decode shape as [[wavDecode]]; the
+    * output is |docs|·(samples/frame) rows of integers. */
+  def audioFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { case (id, m) =>
+        val (_, smp) = WavCodec.samples(id, m)
+        smp.grouped(WavFrameLen).zipWithIndex.map { case (fr, fi) =>
+          var i = 0; var abs = 0L; var sq = 0L; var peak = 0L
+          var zc = 0L; var prevSign = 0
+          while (i < fr.length) {
+            val v = fr(i).toLong
+            val a = math.abs(v)
+            abs += a; sq += v * v; if (a > peak) peak = a
+            val sign = java.lang.Long.signum(v)
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          WavFrame(id, fi.toLong, abs, sq, peak, zc)
+        }
+      }))
+      .toDF().orderBy("doc_id", "frame")
   }
 
   private val BmpW = 5 // 15 pixel bytes/row → padded to 16: pad is REAL
@@ -1055,6 +1110,35 @@ object Multimodal {
          |  CAST(COALESCE(MAX(zc.z), 0) AS BIGINT) AS zero_crossings
          |FROM s LEFT JOIN zc ON s.doc_id = zc.doc_id
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+    // oracle: the same per-frame replay — frame = j // FrameLen, ZCR
+    // lag-partitioned BY FRAME so the reset-at-boundary convention is
+    // independently recomputed
+    Q("multimodal_audio_features", audioFrames, Some(
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $WavDataBytes // length(text) + 1), 1, $WavDataBytes) AS p
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, j, j // $WavFrameLen AS frame,
+         |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+         |  FROM (
+         |    SELECT doc_id, j,
+         |      ascii(substring(p, 2*j + 1, 1)) + 256 * ascii(substring(p, 2*j + 2, 1)) AS v
+         |    FROM pay, LATERAL (SELECT unnest(range(0, $WavSamples)) AS j) t)),
+         |nz AS (SELECT doc_id, frame, j, sign(smp) AS sgn FROM s WHERE smp <> 0),
+         |zc AS (
+         |  SELECT doc_id, frame, SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS z
+         |  FROM (SELECT doc_id, frame, sgn,
+         |          lag(sgn) OVER (PARTITION BY doc_id, frame ORDER BY j) AS prev
+         |        FROM nz) q
+         |  WHERE prev IS NOT NULL GROUP BY doc_id, frame)
+         |SELECT s.doc_id, CAST(s.frame AS BIGINT) AS frame,
+         |  CAST(SUM(ABS(smp)) AS BIGINT) AS abs_sum,
+         |  CAST(SUM(smp * smp) AS BIGINT) AS energy,
+         |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+         |  CAST(COALESCE(MAX(zc.z), 0) AS BIGINT) AS zero_crossings
+         |FROM s LEFT JOIN zc ON s.doc_id = zc.doc_id AND s.frame = zc.frame
+         |GROUP BY s.doc_id, s.frame ORDER BY s.doc_id, s.frame""".stripMargin)),
     // oracle: indexes the cycled payload's PIXEL byte positions
     // directly (stored row sr, pixel x, channel c at
     // sr*rowSize + 3x + c), skipping the pad bytes and reading the

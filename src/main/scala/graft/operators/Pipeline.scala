@@ -106,6 +106,92 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** CURRICULUM ordering with source interleave — sort the corpus
+    * easy→hard (n_chars as the difficulty proxy) for curriculum
+    * training, but ROUND-ROBIN across sources at each difficulty
+    * ordinal: a naive global sort-by-difficulty puts whole sources
+    * in contiguous runs (web first, code last), which destabilizes
+    * training; ordering by (per-source ordinal, source) guarantees
+    * any N consecutive positions draw from every source still
+    * contributing. Report: per (curriculum decile, source) the doc
+    * count and difficulty range — the balance check that the
+    * interleave holds in every decile.
+    *
+    * Scale: the per-source ordinal is a per-source window (source-
+    * sized partitions; a single outsized source would swap in the
+    * two-phase rank spelling); the global decile IS the two-phase
+    * range-partition rank over (ordinal, source) — never a
+    * single-partition global window. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("k", row_number().over(bySrc).cast("long"))
+    val parts = cached(ranked.repartitionByRange(32, col("k"), col("source"))
+      .withColumn("pid", spark_partition_id()))
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"),
+        coalesce(sum("cnt").over(prior), lit(0L)).as("off"))
+    val local = Window.partitionBy("pid").orderBy("k", "source", "doc_id")
+    val tot = parts.agg(count(lit(1)).as("n"))
+    parts
+      .withColumn("lrk", row_number().over(local).cast("long"))
+      .join(broadcast(offs), "pid")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_chars"),
+        expr("((off + lrk - 1) * 10) div n").as("decile"))
+      .groupBy("decile", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("decile", "source")
+  }
+
+  /** Epochs reported by [[epochShuffle]]. */
+  private val ShuffleEpochs = 3
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the reshuffle-per-epoch a training
+    * loader needs, as a pure function of (content, epoch): epoch e
+    * orders documents by polyHash('e' ∥ e ∥ text), so the permutation
+    * is reproducible across runs/partitionings (the [[hashSplit]]
+    * discipline) yet different per epoch, with doc_id breaking hash
+    * ties. The salt is PREPENDED: a polynomial hash's last character
+    * contributes additively, so an APPENDED epoch digit shifts every
+    * document's hash by the same constant and epochs 1..3 come out
+    * as the identical permutation (caught by the epochs-differ spec
+    * pin; prepending multiplies the salt by 31^len(text), which
+    * genuinely reshuffles). Report: per epoch the exact total and
+    * mean absolute DISPLACEMENT from the doc_id (ingest) order —
+    * the shuffle-quality statistic (≈ n/3 expected for a uniform
+    * permutation; an ineffective salt reports identical sums).
+    *
+    * Scale: per-epoch positions are epoch-partitioned windows (each
+    * epoch's sort shards with it); the displacement report is
+    * |epochs| rows. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    val byEpoch = Window.partitionBy("epoch")
+    val shuffled = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), lit(ShuffleEpochs))).as("epoch"))
+      .withColumn("h", polyHash(concat(lit("e"),
+        col("epoch").cast("string"), col("text"))))
+      .withColumn("pos",
+        row_number().over(byEpoch.orderBy("h", "doc_id")).cast("long") - 1)
+      .withColumn("base",
+        row_number().over(byEpoch.orderBy("doc_id")).cast("long") - 1)
+    shuffled
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("pos") - col("base"))).as("sum_displacement"))
+      .select(col("epoch").cast("long").as("epoch"), col("n_docs"),
+        col("sum_displacement"),
+        (col("sum_displacement").cast("double") /
+          col("n_docs").cast("double")).as("mean_displacement"))
+      .orderBy("epoch")
+  }
+
   /** One-pass column profiler (ingest data-quality gate): per column
     * of `documents` — row count, nulls, exact distinct count, min and
     * max (rendered as strings so heterogeneous columns stack into one
@@ -727,6 +813,42 @@ object Pipeline {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM b GROUP BY 1 ORDER BY split""".stripMargin
     }),
+    // oracle: one global ordered row_number over (ordinal, source)
+    // (fine at oracle size; the engine's two-phase spelling is the
+    // 100 TB case) over the same per-source difficulty ordinal
+    Q("pipeline_curriculum", curriculum, Some(
+      """WITH s AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS k,
+        |    doc_id
+        |  FROM documents),
+        |p AS (SELECT source, n_chars,
+        |        row_number() OVER (ORDER BY k, source, doc_id) - 1 AS pos
+        |      FROM s),
+        |t AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT CAST((pos * 10) // n AS BIGINT) AS decile, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM p, t GROUP BY 1, 2 ORDER BY decile, source""".stripMargin)),
+    // oracle: the same salted polyHash permutation per epoch and the
+    // same exact displacement integers
+    Q("pipeline_epoch_shuffle", epochShuffle, Some(
+      s"""WITH e AS (
+         |  SELECT doc_id, epoch,
+         |    ${oPolyHash("'e' || CAST(epoch AS VARCHAR) || text")} AS h
+         |  FROM documents, (SELECT unnest(generate_series(1, 3)) AS epoch)),
+         |p AS (
+         |  SELECT epoch,
+         |    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1 AS pos,
+         |    row_number() OVER (PARTITION BY epoch ORDER BY doc_id) - 1 AS base
+         |  FROM e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+         |  CAST(SUM(ABS(pos - base)) AS BIGINT) AS sum_displacement,
+         |  CAST(SUM(ABS(pos - base)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_displacement
+         |FROM p GROUP BY epoch ORDER BY epoch""".stripMargin)),
     Q("pipeline_stratified_k", stratifiedK, Some(
       s"""WITH h AS (
          |  SELECT source, n_chars, doc_id, ${oPolyHash("text || '11'")} AS h

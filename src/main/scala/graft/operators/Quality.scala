@@ -317,6 +317,47 @@ object Quality {
        |  COUNT(*) AS n_rows, MIN(v) AS min_cents, MAX(v) AS max_cents
        |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** WEIGHTED MEDIAN per group — the "typical unit price" diagnostic
+    * (price cents weighted by quantity, grouped by return flag):
+    * the plain median treats a 1-unit and a 50-unit line item
+    * equally; the weighted median answers what a typical UNIT sold
+    * for. Exact by the lower-median convention: the smallest value
+    * whose cumulative weight reaches ⌈W/2⌉ — all integers, no
+    * interpolation, so both engines agree bit-for-bit.
+    *
+    * Scale: the fact first collapses to a (flag, cents) frequency
+    * table (one shuffle); cumulative weights use the two-phase
+    * range-partition spelling (per-partition running sums +
+    * broadcast per-(flag, partition) offsets — never a
+    * single-partition global window over the value axis; the
+    * |groups × partitions| offset frame is the only tiny window). */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = cached(Tables(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .groupBy("flag", "cents").agg(sum("w").as("w"))
+      .repartitionByRange(32, col("flag"), col("cents"))
+      .withColumn("pid", spark_partition_id()))
+    val prior = Window.partitionBy("flag").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = fr.groupBy("flag", "pid").agg(sum("w").as("c"))
+      .select(col("flag"), col("pid"),
+        coalesce(sum("c").over(prior), lit(0L)).as("off"))
+    val local = Window.partitionBy("flag", "pid").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = fr.groupBy("flag").agg(sum("w").as("total_weight"))
+    fr.withColumn("lc", sum("w").over(local))
+      .join(broadcast(offs), Seq("flag", "pid"))
+      .join(broadcast(tot), "flag")
+      .filter(col("off") + col("lc") >= expr("(total_weight + 1) div 2"))
+      .groupBy(col("flag").as("l_returnflag"), col("total_weight"))
+      .agg(min("cents").as("median_cents"))
+      .select("l_returnflag", "total_weight", "median_cents")
+      .orderBy("l_returnflag")
+  }
+
   /** Robust outlier gate: per event type the exact MEDIAN of the
     * cents-quantized values, the MAD (median absolute deviation),
     * and the count of values beyond 3σ-equivalent (|v − med| >
@@ -780,6 +821,28 @@ object Quality {
     // engine's two-phase rank exists for the 100 TB case) over the
     // same cents quantization and the same integer bucket formula
     Q("quality_equidepth_hist", equidepthHist, Some(oEquidepthSql)),
+    // oracle: one per-group ordered cumulative sum (fine at oracle
+    // size; the engine's two-phase spelling is the 100 TB case) over
+    // the same integer lower-median rule
+    Q("quality_weighted_median", weightedMedian, Some(
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |fr AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+        |       FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents,
+        |        CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM fr),
+        |t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS total_weight
+        |      FROM fr GROUP BY flag)
+        |SELECT t.flag AS l_returnflag, t.total_weight,
+        |  CAST(MIN(cents) AS BIGINT) AS median_cents
+        |FROM c JOIN t USING (flag)
+        |WHERE cum >= (total_weight + 1) // 2
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin)),
     // oracle: quantile_cont IS Spark's percentile (same interpolated
     // (n-1)p formula); the 4.4478 consistency constant is one shared
     // literal so both engines compare against the identical double

@@ -365,6 +365,49 @@ object TrainingFilters {
       .limit(20)
   }
 
+  /** Interpolated KNESER–NEY smoothed bigram LM — the smoothing that
+    * actually ships in count-based LMs (Chen & Goodman '99): the raw
+    * MLE of [[bigramLm]] assigns zero to unseen pairs and over-trusts
+    * frequent contexts; KN discounts every seen bigram by D and
+    * redistributes the held-out mass through the CONTINUATION
+    * probability (how many distinct contexts a word follows — "san
+    * francisco" gives high c(francisco) but low continuation):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + (D·N₁₊(w1·)/c1) · (N₁₊(·w2)/N₁₊(··))
+    *
+    * D = 3/4 is exactly representable (the power-of-two-fraction
+    * discipline) and every other input is an integer count, so with
+    * the identical cast/op sequence on both engines the probability
+    * is bit-reproducible; c12 ≥ 1 makes the max(c−D, 0) clamp
+    * vacuous. All four statistics derive from the ONE bigram-count
+    * table (the stream is read once): c1 and N₁₊(w1·) share the w1
+    * exchange, N₁₊(·w2) is a w2-keyed count, N₁₊(··) a 1-row frame. */
+  def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), g =>
+        struct(element_at(col("t"), g).as("w1"),
+          element_at(col("t"), g + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .repartition(col("w1")))
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow"))
+    val c2 = c12.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val tt = c12.agg(count(lit(1)).as("tt"))
+    c12.join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_follow"), col("n_precede"),
+        (((col("c12").cast("double") - lit(0.75)) / col("c1").cast("double")) +
+          (lit(0.75) * col("n_follow").cast("double") / col("c1").cast("double")) *
+            (col("n_precede").cast("double") / col("tt").cast("double")))
+          .as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -507,6 +550,26 @@ object TrainingFilters {
          |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
          |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p
          |FROM c12 JOIN c1 USING (w1)
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
+    // oracle: the same four count statistics off one bigram table and
+    // the identical cast/op sequence; the discount is the E-NOTATION
+    // double literal 7.5e-1 (a plain 0.75 would be DECIMAL in DuckDB
+    // — the benford lesson) and 3/4 is exactly representable
+    Q("lm_kneser_ney", kneserNey, Some(
+      s"""WITH t AS (SELECT $oTok AS t FROM documents),
+         |bg AS (SELECT t[g] AS w1, t[g+1] AS w2
+         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+         |             FROM t WHERE len(t) >= 2)),
+         |c12 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |         COUNT(*) AS n_follow FROM c12 GROUP BY w1),
+         |c2 AS (SELECT w2, COUNT(*) AS n_precede FROM c12 GROUP BY w2),
+         |tt AS (SELECT COUNT(*) AS tt FROM c12)
+         |SELECT w1, w2, c12, c1, n_follow, n_precede,
+         |  ((CAST(c12 AS DOUBLE) - 7.5e-1) / CAST(c1 AS DOUBLE))
+         |    + (7.5e-1 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      * (CAST(n_precede AS DOUBLE) / CAST(tt AS DOUBLE)) AS p_kn
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt
          |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
   )
 }

@@ -1446,6 +1446,46 @@ object Streams {
     graft.operators.Quality.equidepthFromFreqs(s.read.parquet(curState.get))
   }
 
+  /** Streaming autocorrelation maintenance — the time-series sibling
+    * of [[streamEquidepth]]: the maintained state is the additive
+    * (day, cents) daily series (integer sums, batchId-keyed versions
+    * for redelivery idempotence), and the lag-1..7 ACF derives at
+    * READ time through [[graft.operators.Events.acfFromDaily]] —
+    * exact batch parity because the statistic is a function of the
+    * daily series alone, so the batch oracle serves both. State is
+    * |days| rows, never event history. */
+  def streamAcf(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-acf-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-acf-state")
+    @volatile var curState: Option[String] = None
+    def daily(df: DataFrame): DataFrame = df
+      .select(graft.Core.epochUs(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum("cents").as("x"))
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = daily(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp)
+            .groupBy("day").agg(sum("x").as("x"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamAcf")
+    graft.operators.Events.acfFromDaily(s.read.parquet(curState.get))
+  }
+
   /** Events written as 4 ts-ordered slices with strictly increasing
     * file mod-times — the replay layout order-SENSITIVE incremental
     * operators need (the [[streamSessionizeNative]] discipline,
@@ -1601,6 +1641,10 @@ object Streams {
     // counts depend only on the multiset
     Q("stream_equidepth", streamEquidepth,
       Some(graft.operators.Quality.oEquidepthSql)),
+    // oracle: the batch ACF oracle verbatim — the additive daily
+    // state folds to the same series under any replay
+    Q("stream_acf", streamAcf,
+      Some(graft.operators.Events.oAcfSql)),
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents

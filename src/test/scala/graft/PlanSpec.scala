@@ -1176,6 +1176,136 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("ACF: lag-k pair counts telescope and coefficients are bounded") {
+    val rows = graft.operators.Events.acf(spark, sf).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    val n0 = rows.head.getAs[Long]("n_pairs") + 1 // n_pairs(1) = n - 1
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == n0 - r.getAs[Long]("lag"))
+      // Cauchy-Schwarz on the truncated sum still bounds |r_k| by ~1;
+      // allow the truncation slack
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9, s"$r")
+    }
+    Core.releaseCaches()
+  }
+
+  test("interval overlap histogram matches a brute-force recount of the sessions") {
+    import org.apache.spark.sql.functions._
+    val hist = graft.operators.Events.intervalOverlap(spark, sf).collect()
+      .map(r => r.getAs[Long]("concurrency") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    // rebuild intervals independently at µs precision (the formatted
+    // sessionize output truncates to seconds, which would move
+    // sub-second boundaries) and count overlaps pairwise
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 30L * 60 * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("is_new").over(run))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s"), max("us").as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"), r.getAs[Long]("e")))
+    val deg = Array.fill(iv.length)(0L)
+    for (i <- iv.indices; j <- (i + 1) until iv.length) {
+      if (iv(i)._2 <= iv(j)._3 && iv(j)._2 <= iv(i)._3) { deg(i) += 1; deg(j) += 1 }
+    }
+    val expect = deg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(hist == expect)
+    Core.releaseCaches()
+  }
+
+  test("Kneser-Ney probabilities are discounted below MLE yet stay in (0, 1)") {
+    val rows = graft.operators.TrainingFilters.kneserNey(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_kn")
+      val mle = r.getAs[Long]("c12").toDouble / r.getAs[Long]("c1").toDouble
+      assert(p > 0.0 && p < 1.0, s"$r")
+      // the discount removes D/c1 and the continuation term adds back
+      // at most D·N1+(w1)/c1 of it — net never exceeds the MLE + the
+      // redistributed share
+      assert(p <= mle + 0.75 * r.getAs[Long]("n_follow").toDouble /
+        r.getAs[Long]("c1").toDouble + 1e-12, s"$r")
+    }
+    Core.releaseCaches()
+  }
+
+  test("weighted median: cumulative weight reaches half exactly at the reported value") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Quality.weightedMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      val med = r.getAs[Long]("median_cents")
+      val grp = raw.filter(_._1 == f)
+      val w = grp.map(_._3).sum
+      assert(w == r.getAs[Long]("total_weight"))
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upto = grp.filter(_._2 <= med).map(_._3).sum
+      val target = (w + 1) / 2
+      assert(below < target && upto >= target, s"$r")
+    }
+    Core.releaseCaches()
+  }
+
+  test("curriculum deciles are size-balanced and difficulty is monotone across deciles") {
+    val rows = graft.operators.Pipeline.curriculum(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val perDecile = rows.groupBy(_.getAs[Long]("decile"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(perDecile.keySet == (0L to 9L).toSet)
+    perDecile.values.foreach(c => assert(math.abs(c - n / 10) <= 1, s"$perDecile"))
+    Core.releaseCaches()
+  }
+
+  test("epoch shuffle: every epoch permutes, epochs differ, doc counts agree") {
+    val rows = graft.operators.Pipeline.epochShuffle(spark, sf).collect()
+      .sortBy(_.getAs[Long]("epoch"))
+    assert(rows.map(_.getAs[Long]("epoch")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+    rows.foreach { r =>
+      // a uniform permutation displaces ~n/3 on average; an unsalted
+      // epoch hash (every epoch identical to ingest order) reports 0
+      assert(r.getAs[Long]("sum_displacement") > 0, s"$r")
+    }
+    // distinct displacement sums prove the per-epoch salt takes effect
+    assert(rows.map(_.getAs[Long]("sum_displacement")).distinct.length >= 2)
+    Core.releaseCaches()
+  }
+
+  test("audio frames: frame features telescope to the clip decode exactly") {
+    val frames = graft.operators.Multimodal.audioFrames(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val clips = graft.operators.Multimodal.wavDecode(spark, sf).collect()
+    assert(clips.nonEmpty)
+    clips.foreach { c =>
+      val id = c.getAs[Long]("doc_id")
+      val fs = frames(id)
+      assert(fs.length == 4) // 64 samples / 16 per frame
+      assert(fs.map(_.getAs[Long]("energy")).sum == c.getAs[Long]("sq_sum"))
+      assert(fs.map(_.getAs[Long]("abs_sum")).sum == c.getAs[Long]("abs_sum"))
+      assert(fs.map(_.getAs[Long]("peak")).max == c.getAs[Long]("peak"))
+      // frame ZCRs drop only the (frames−1) boundary crossings
+      val z = fs.map(_.getAs[Long]("zero_crossings")).sum
+      val zc = c.getAs[Long]("zero_crossings")
+      assert(z <= zc && z >= zc - 3, s"doc $id: $z vs $zc")
+    }
+    Core.releaseCaches()
+  }
+
   test("CUSUM equals the textbook recursion replayed day by day") {
     val rows = graft.operators.Events.cusumChangepoint(spark, sf).collect()
       .sortBy(_.getAs[Long]("day"))
