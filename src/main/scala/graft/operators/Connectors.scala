@@ -38,6 +38,24 @@ object Connectors {
       .orderBy("n_nationkey")
   }
 
+  /** nation → XML (rowTag framing) → read back with an explicit
+    * schema → per-region count. Exercises Spark 4's BUILT-IN xml
+    * data source (the spark-xml package merged into core) on both
+    * the write and read sides; like every connector here, inference
+    * is off and the oracle on the original parquet proves the
+    * round-trip lossless. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-xml")
+    Tables(s, d, "nation").write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(s"$dir/nation_xml")
+    s.read.schema(nationSchema).option("rowTag", "nation")
+      .format("xml").load(s"$dir/nation_xml")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_nation"))
+      .orderBy("n_regionkey")
+  }
+
   /** supplier → JSON lines → read back → per-nation aggregate. */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("graft-json")
@@ -613,6 +631,10 @@ object Connectors {
       """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
         |  md5(text || chr(10)) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("connector_xml", xmlRoundtrip, Some(
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
     Q("connector_json", jsonRoundtrip, Some(
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal

@@ -805,6 +805,69 @@ object Events {
       .orderBy("concurrency")
   }
 
+  /** KAPLAN–MEIER survival estimate of time-to-first-purchase — the
+    * censoring-aware conversion statistic a naive "average days to
+    * purchase" gets wrong: users who had not purchased by the end of
+    * the study window haven't converted YET, and dropping or
+    * counting them as converted both bias the curve. The study
+    * window is the corpus's first 7 days (a cutoff that actually
+    * censors on the driver corpus — a corpus-end horizon censors
+    * nobody because every user stays active to the end); cohort =
+    * users first seen inside the window; duration = first purchase
+    * day − first day if the purchase lands in the window (event
+    * observed), else cutoff − first day (right-censored). At each
+    * distinct event time t: d = conversions at t, n_risk = users
+    * with duration ≥ t (censored included — the point of KM), and
+    * S(t) = Π_{t'≤t} (1 − d/n_risk).
+    *
+    * Exactness: d and n_risk are integers (the at-risk counts come
+    * from a cumulative sum over the duration-frequency table); each
+    * factor is one double division, and the survival products are
+    * ORDERED prefix folds over the collected ≤|durations| KM table
+    * with seed 1.0 — the same IEEE sequence in both engines (the
+    * ewma discipline). Scale: one user-keyed shuffle collapses the
+    * fact; everything after is |distinct durations| rows. */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val usr = Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        graft.Core.epochUs(col("ts")).as("us"))
+      .select(col("user_id"), col("event_type"),
+        expr("us div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+    val endF = usr.agg((min("d0") + 6).as("cutoff"))
+    val freq = cached(usr.crossJoin(broadcast(endF))
+      .filter(col("d0") <= col("cutoff"))
+      .select(
+        when(col("dp").isNotNull && col("dp") <= col("cutoff"),
+          col("dp") - col("d0"))
+          .otherwise(col("cutoff") - col("d0")).as("dur"),
+        when(col("dp").isNotNull && col("dp") <= col("cutoff"), 1L)
+          .otherwise(0L).as("churn"))
+      .groupBy("dur").agg(count(lit(1)).as("m"), sum("churn").as("d")))
+    val tot = freq.agg(sum("m").as("n_users"))
+    // |distinct durations|-row frame: the deliberate tiny window
+    val byT = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val km = freq.crossJoin(broadcast(tot))
+      .withColumn("below", coalesce(sum("m").over(byT), lit(0L)))
+      .withColumn("n_risk", col("n_users") - col("below"))
+      .filter(col("d") > 0)
+      .select(col("dur").as("t"), col("d"), col("n_risk"),
+        (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+          .as("f"))
+    km.agg(sort_array(collect_list(struct(
+        col("t"), col("d"), col("n_risk"), col("f")))).as("a"))
+      .select(explode(expr(
+        """transform(a, (x, i) -> struct(
+          |  x.t AS t, x.d AS d, x.n_risk AS n_risk,
+          |  aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
+          |    (acc, y) -> acc * y.f) AS survival))""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.d").as("d"),
+        col("r.n_risk").as("n_risk"), col("r.survival").as("survival"))
+      .orderBy("t")
+  }
+
   /** Holt LINEAR-TREND smoothing of the daily event series — the
     * forecasting step up from [[ewma]]: two coupled recursions,
     * ℓ_t = α·x_t + (1−α)(ℓ_{t−1} + b_{t−1}) and
@@ -1091,6 +1154,42 @@ object Events {
     // decimal(38,0) for these magnitudes) and the same single final
     // double division; lag pairing is the same t+k equi-join
     Q("events_acf", acf, Some(oAcfSql)),
+    // oracle: the same integer (d, n_risk) table off the duration
+    // frequencies and the same seed-1.0 ordered prefix products —
+    // identical IEEE sequences (1e0 literals: the benford lesson)
+    Q("events_kaplan_meier", kaplanMeier, Some(
+      """WITH ud AS (
+        |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) // 86400000000 END) AS dp
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT MIN(d0) + 6 AS cutoff FROM ud),
+        |u AS (SELECT
+        |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN dp - d0
+        |             ELSE cutoff - d0 END AS dur,
+        |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN 1
+        |             ELSE 0 END AS churn
+        |      FROM ud, e WHERE d0 <= cutoff),
+        |freq AS (SELECT dur, COUNT(*) AS m,
+        |           CAST(SUM(churn) AS BIGINT) AS d FROM u GROUP BY dur),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users FROM freq),
+        |atrisk AS (
+        |  SELECT dur AS t, d,
+        |    n_users - CAST(COALESCE(SUM(m) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM freq, tot),
+        |km AS (SELECT t, d, n_risk,
+        |         1e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+        |       FROM atrisk WHERE d > 0),
+        |lst AS (SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+        |               list(n_risk ORDER BY t) AS ns, list(f ORDER BY t) AS fs
+        |        FROM km)
+        |SELECT ts[i] AS t, ds[i] AS d, ns[i] AS n_risk,
+        |  list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
+        |    (a, b) -> a * b) AS survival
+        |FROM lst, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) q
+        |ORDER BY t""".stripMargin)),
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
     // the engine's bin-blocked candidate join must reproduce

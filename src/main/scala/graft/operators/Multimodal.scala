@@ -968,6 +968,333 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  private val GifW = 16
+  private val GifH = 12
+  private val GifPayload = GifW * GifH // 192 palette indices
+
+  /** Decoded GIF features — the [[PngStats]] report shape, so all
+    * three compressed containers' decodes are directly comparable. */
+  final case class GifStats(
+      doc_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, row0_sum: Long)
+
+  /** Real GIF89a codec (global/local palette, single image, no
+    * interlace), pure JVM — the sixth genuine container codec and the
+    * THIRD compression family after PNG's zlib and QOI's op stream:
+    * GIF-variant LZW with everything that makes it LZW — LSB-first
+    * variable-width code packing (9→12 bits), a live prefix/suffix
+    * dictionary, CLEAR-code resets when the table fills at 4096, the
+    * KwKwK first-use case, EOI, and 255-byte sub-block framing. Both
+    * directions are implemented and cross-validated against the JDK's
+    * own ImageIO GIF codec in BOTH directions (our encode → ImageIO
+    * read; ImageIO write → our decode), so the bit conventions are
+    * pinned to a third-party implementation, not to this file's own
+    * mirror image. */
+  object GifCodec {
+    private val MinCode = 8 // LZW min code size for a 256-color palette
+    private val Clear = 1 << MinCode
+    private val Eoi = Clear + 1
+
+    /** The fixture palette: index i → (i, 255−i, (7·i) mod 256) —
+      * three DIFFERENT per-channel formulas, so a decoder that reads
+      * the wrong table offset or channel order desyncs visibly; the
+      * oracle recomputes channels from the index arithmetic. */
+    private[graft] def palette: Array[Byte] = {
+      val t = new Array[Byte](256 * 3)
+      var i = 0
+      while (i < 256) {
+        t(3 * i) = i.toByte
+        t(3 * i + 1) = (255 - i).toByte
+        t(3 * i + 2) = ((7 * i) % 256).toByte
+        i += 1
+      }
+      t
+    }
+
+    /** GIF-LZW encode of a palette-index stream (raw code bytes,
+      * before sub-block framing). */
+    private[graft] def lzwEncode(ix: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = 0L; var bits = 0
+      var width = MinCode + 1
+      def put(code: Int): Unit = {
+        cur |= code.toLong << bits; bits += width
+        while (bits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; bits -= 8 }
+      }
+      var dict = new java.util.HashMap[Integer, Integer]()
+      var next = Eoi + 1
+      put(Clear)
+      var prev = -1
+      var k = 0
+      while (k < ix.length) {
+        val c = ix(k)
+        require(c >= 0 && c < Clear, s"palette index $c out of range")
+        if (prev < 0) prev = c
+        else {
+          val key = Integer.valueOf((prev << 8) | c)
+          val hit = dict.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev)
+            dict.put(key, Integer.valueOf(next))
+            next += 1
+            // width timing: the decoder adds each entry ONE CODE
+            // LATER than the encoder (it needs the next code's first
+            // char), so the encoder widens one step after its table
+            // reaches capacity — `>`, not `==` — or the two sides
+            // read different widths for exactly one code (pinned by
+            // the ImageIO cross-validation specs)
+            if (next > (1 << width) && width < 12) width += 1
+            else if (next == 4096) { // table full: reset, spec-style
+              put(Clear)
+              dict = new java.util.HashMap[Integer, Integer]()
+              next = Eoi + 1
+              width = MinCode + 1
+            }
+            prev = c
+          }
+        }
+        k += 1
+      }
+      if (prev >= 0) put(prev)
+      put(Eoi)
+      if (bits > 0) out.write((cur & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** GIF-LZW decode of raw code bytes → exactly `n` palette
+      * indices. */
+    private[graft] def lzwDecode(id: Long, data: Array[Byte], n: Int): Array[Int] = {
+      val out = new Array[Int](n)
+      var oi = 0
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      var next = Eoi + 1
+      var width = MinCode + 1
+      var cur = 0L; var bits = 0; var p = 0
+      var prev = -1
+      val stack = new Array[Int](4096)
+      def read(): Int = {
+        while (bits < width) {
+          require(p < data.length, s"doc $id: truncated LZW stream")
+          cur |= (data(p) & 0xffL) << bits; bits += 8; p += 1
+        }
+        val c = (cur & ((1L << width) - 1)).toInt
+        cur >>= width; bits -= width
+        c
+      }
+      def firstChar(code0: Int): Int = {
+        var c = code0
+        while (c >= Clear) c = prefix(c)
+        c
+      }
+      def expand(code0: Int): Unit = {
+        var sp = 0
+        var c = code0
+        while (c >= Clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          require(oi < n, s"doc $id: LZW output overflows raster")
+          out(oi) = stack(sp); oi += 1
+        }
+      }
+      var done = false
+      while (!done) {
+        val code = read()
+        if (code == Clear) { next = Eoi + 1; width = MinCode + 1; prev = -1 }
+        else if (code == Eoi) done = true
+        else if (prev < 0) {
+          require(code < Clear, s"doc $id: first code after CLEAR not literal")
+          expand(code); prev = code
+        } else {
+          require(code <= next, s"doc $id: LZW code $code beyond table $next")
+          // KwKwK: the code being defined right now — its expansion is
+          // prev's expansion plus prev's own first character
+          val fc = if (code == next) firstChar(prev) else firstChar(code)
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = fc
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          expand(code)
+          prev = code
+        }
+      }
+      require(oi == n, s"doc $id: LZW decoded $oi of $n pixels")
+      out
+    }
+
+    private def subBlocks(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      while (off < raw.length) {
+        val len = math.min(255, raw.length - off)
+        out.write(len)
+        out.write(raw, off, len)
+        off += len
+      }
+      out.write(0) // block terminator
+      out.toByteArray
+    }
+
+    /** Full GIF89a write: header, screen descriptor, 256-color global
+      * table, image descriptor, LZW data in sub-blocks, trailer. */
+    private[graft] def encode(
+        w: Int, h: Int, ix: Array[Int], pal: Array[Byte]): Array[Byte] = {
+      require(pal.length == 256 * 3, "palette must be 256 RGB entries")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      le16(w); le16(h)
+      out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+      out.write(0); out.write(0) // bg index, aspect
+      out.write(pal)
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0) // no local table, not interlaced
+      out.write(MinCode)
+      out.write(subBlocks(lzwEncode(ix)))
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Chunk-walk + LZW decode → (w, h, RGB pixels). Handles 87a/89a,
+      * extension blocks (skipped via their sub-block framing), and a
+      * local color table overriding the global one. */
+    private[graft] def pixels(id: Long, gif: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(gif.length > 13 &&
+        new String(gif, 0, 3, java.nio.charset.StandardCharsets.US_ASCII) == "GIF",
+        s"doc $id: not GIF")
+      def u8(p: Int): Int = gif(p) & 0xff
+      def le16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+      var pos = 6
+      val sw = le16(pos); val sh = le16(pos + 2)
+      val packed = u8(pos + 4)
+      pos += 7
+      var pal: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val sz = 3 * (2 << (packed & 7))
+        pal = java.util.Arrays.copyOfRange(gif, pos, pos + sz)
+        pos += sz
+      }
+      while (true) {
+        require(pos < gif.length, s"doc $id: truncated gif")
+        u8(pos) match {
+          case 0x21 => // extension: label byte, then sub-blocks
+            pos += 2
+            while ({ require(pos < gif.length, s"doc $id: truncated gif")
+              u8(pos) != 0 }) pos += 1 + u8(pos)
+            pos += 1
+          case 0x2c =>
+            val w = le16(pos + 5); val h = le16(pos + 7)
+            val ipacked = u8(pos + 9)
+            pos += 10
+            if ((ipacked & 0x80) != 0) { // local color table wins
+              val sz = 3 * (2 << (ipacked & 7))
+              pal = java.util.Arrays.copyOfRange(gif, pos, pos + sz)
+              pos += sz
+            }
+            require(pal != null, s"doc $id: no color table")
+            val minCode = u8(pos); pos += 1
+            require(minCode == MinCode, s"doc $id: min code $minCode unsupported")
+            val data = new java.io.ByteArrayOutputStream()
+            while ({ require(pos < gif.length, s"doc $id: truncated gif")
+              u8(pos) != 0 }) {
+              val len = u8(pos)
+              require(pos + 1 + len <= gif.length,
+                s"doc $id: truncated gif sub-block")
+              data.write(gif, pos + 1, len)
+              pos += 1 + len
+            }
+            var ix = lzwDecode(id, data.toByteArray, w * h)
+            if ((ipacked & 0x40) != 0) {
+              // interlaced: decoded rows arrive in the four GIF
+              // passes (every 8th from 0, every 8th from 4, every
+              // 4th from 2, every 2nd from 1) — reorder to top-down.
+              // The JDK's own writer emits interlaced GIFs by
+              // default, so the cross-validation spec exercises this.
+              val order =
+                (0 until h by 8) ++ (4 until h by 8) ++
+                  (2 until h by 4) ++ (1 until h by 2)
+              val de = new Array[Int](w * h)
+              var src = 0
+              order.foreach { dstRow =>
+                System.arraycopy(ix, src * w, de, dstRow * w, w)
+                src += 1
+              }
+              ix = de
+            }
+            val pix = new Array[Int](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val c = ix(i)
+              pix(3 * i) = pal(3 * c) & 0xff
+              pix(3 * i + 1) = pal(3 * c + 1) & 0xff
+              pix(3 * i + 2) = pal(3 * c + 2) & 0xff
+              i += 1
+            }
+            require(w <= sw && h <= sh, s"doc $id: frame exceeds screen")
+            return (w, h, pix)
+          case 0x3b =>
+            throw new IllegalArgumentException(s"doc $id: no image before trailer")
+          case other =>
+            throw new IllegalArgumentException(s"doc $id: unknown gif block $other")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    def decode(id: Long, gif: Array[Byte]): GifStats = {
+      val (w, h, pix) = pixels(id, gif)
+      val stride = w * 3
+      var rs = 0L; var gs = 0L; var bs = 0L; var row0 = 0L
+      var i = 0
+      while (i < pix.length) {
+        rs += pix(i); gs += pix(i + 1); bs += pix(i + 2)
+        if (i < stride) row0 += pix(i) + pix(i + 1) + pix(i + 2)
+        i += 3
+      }
+      GifStats(id, w, h, rs, gs, bs, row0)
+    }
+
+    /** Fixture GIF: palette indices are the document's bytes cycled
+      * over the raster (same rule the oracle replays through the
+      * palette formulas), compressed through the REAL LZW encoder. */
+    private[graft] def encodeFixture(id: Long, text: String): Array[Byte] = {
+      require(text.nonEmpty && text.forall(_ < 0x80),
+        s"media fixture requires non-empty ASCII text; got doc_id=$id")
+      val ix = new Array[Int](GifPayload)
+      var i = 0
+      while (i < GifPayload) { ix(i) = text.charAt(i % text.length).toInt; i += 1 }
+      encode(GifW, GifH, ix, palette)
+    }
+  }
+
+  /** documents → REAL binary GIF files ([[GifCodec.encodeFixture]]). */
+  def gifTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, GifCodec.encodeFixture(id, t))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** Registered query: real GIF decode — header walk, sub-block
+    * reassembly, variable-width LZW, palette mapping — in the same
+    * batched partition-local mapPartitions shape as [[pngDecode]]. */
+  def gifDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gifTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => GifCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Oracle for [[pngDecode]] AND [[pngRoundtrip]]: pixels ARE the
     * cycled text bytes (filter-0 scanlines in the fixture; the
     * round-trip preserves pixels by construction), so the oracle
@@ -1275,6 +1602,26 @@ object Multimodal {
     // path to the same numbers runs through real chunk-walk +
     // Inflater (Adler-verified) + unfilter
     Q("multimodal_png_decode", pngDecode, Some(oPngStatsSql)),
+    // oracle: palette indices ARE the cycled text bytes and the three
+    // channel formulas are pure index arithmetic — the engine's only
+    // path to the same numbers runs through real sub-block reassembly
+    // + variable-width LZW + palette lookup
+    Q("multimodal_gif_decode", gifDecode, Some(
+      s"""WITH pay AS (
+         |  SELECT doc_id,
+         |    substring(repeat(text, $GifPayload // length(text) + 1), 1, $GifPayload) AS p
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, j, ascii(substring(p, j + 1, 1)) AS ix
+         |  FROM pay, LATERAL (SELECT unnest(range(0, $GifPayload)) AS j) t)
+         |SELECT doc_id,
+         |  CAST($GifW AS BIGINT) AS width, CAST($GifH AS BIGINT) AS height,
+         |  CAST(SUM(ix) AS BIGINT) AS r_sum,
+         |  CAST(SUM(255 - ix) AS BIGINT) AS g_sum,
+         |  CAST(SUM((7 * ix) % 256) AS BIGINT) AS b_sum,
+         |  CAST(SUM(CASE WHEN j < $GifW THEN
+         |    ix + (255 - ix) + (7 * ix) % 256 ELSE 0 END) AS BIGINT) AS row0_sum
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     // oracle: the png-decode oracle VERBATIM — the round-trip through
     // the general encoder (filtered scanlines, stored-block DEFLATE,
     // CRC chunks) must leave every pixel, and so every stat, unchanged

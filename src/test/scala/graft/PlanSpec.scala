@@ -1306,6 +1306,27 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("Kaplan-Meier survival replays the product-limit recursion and decreases") {
+    val rows = graft.operators.Events.kaplanMeier(spark, sf).collect()
+      .sortBy(_.getAs[Long]("t"))
+    assert(rows.nonEmpty)
+    var acc = 1.0
+    var last = Double.MaxValue
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d"); val n = r.getAs[Long]("n_risk")
+      assert(d > 0 && n >= d, s"$r")
+      acc = acc * (1.0 - d.toDouble / n.toDouble)
+      val s = r.getAs[Double]("survival")
+      assert(s == acc, s"replay mismatch at $r: $acc")
+      assert(s < last && s >= 0.0)
+      last = s
+    }
+    // at-risk counts are non-increasing in t
+    val ns = rows.map(_.getAs[Long]("n_risk")).toSeq
+    assert(ns == ns.sorted.reverse)
+    Core.releaseCaches()
+  }
+
   test("CUSUM equals the textbook recursion replayed day by day") {
     val rows = graft.operators.Events.cusumChangepoint(spark, sf).collect()
       .sortBy(_.getAs[Long]("day"))
