@@ -827,15 +827,20 @@ object Events {
     * with seed 1.0 — the same IEEE sequence in both engines (the
     * ewma discipline). Scale: one user-keyed shuffle collapses the
     * fact; everything after is |distinct durations| rows. */
-  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
-    val usr = Tables(s, d, "events")
+  def kaplanMeier(s: SparkSession, d: String): DataFrame =
+    kmFromUserDays(Tables(s, d, "events")
       .select(col("user_id"), col("event_type"),
         graft.Core.epochUs(col("ts")).as("us"))
       .select(col("user_id"), col("event_type"),
         expr("us div 86400000000").as("day"))
       .groupBy("user_id")
       .agg(min("day").as("d0"),
-        min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+        min(when(col("event_type") === "purchase", col("day"))).as("dp")))
+
+  /** The KM estimate read from a per-user (d0 = first day, dp = first
+    * purchase day or null) table — shared by [[kaplanMeier]] and the
+    * streaming twin (whose maintained state IS this min-fold). */
+  def kmFromUserDays(usr: DataFrame): DataFrame = {
     val endF = usr.agg((min("d0") + 6).as("cutoff"))
     val freq = cached(usr.crossJoin(broadcast(endF))
       .filter(col("d0") <= col("cutoff"))
@@ -1060,6 +1065,41 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Shared batch/streaming oracle for [[kaplanMeier]]. */
+  val oKaplanMeierSql: String =
+          """WITH ud AS (
+            |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0,
+            |    MIN(CASE WHEN event_type = 'purchase'
+            |             THEN epoch_us(ts) // 86400000000 END) AS dp
+            |  FROM events GROUP BY user_id),
+            |e AS (SELECT MIN(d0) + 6 AS cutoff FROM ud),
+            |u AS (SELECT
+            |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN dp - d0
+            |             ELSE cutoff - d0 END AS dur,
+            |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN 1
+            |             ELSE 0 END AS churn
+            |      FROM ud, e WHERE d0 <= cutoff),
+            |freq AS (SELECT dur, COUNT(*) AS m,
+            |           CAST(SUM(churn) AS BIGINT) AS d FROM u GROUP BY dur),
+            |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users FROM freq),
+            |atrisk AS (
+            |  SELECT dur AS t, d,
+            |    n_users - CAST(COALESCE(SUM(m) OVER (ORDER BY dur
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            |      AS n_risk
+            |  FROM freq, tot),
+            |km AS (SELECT t, d, n_risk,
+            |         1e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+            |       FROM atrisk WHERE d > 0),
+            |lst AS (SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+            |               list(n_risk ORDER BY t) AS ns, list(f ORDER BY t) AS fs
+            |        FROM km)
+            |SELECT ts[i] AS t, ds[i] AS d, ns[i] AS n_risk,
+            |  list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
+            |    (a, b) -> a * b) AS survival
+            |FROM lst, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) q
+            |ORDER BY t""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // oracle: the identical left fold over the identical total order;
     // alpha = 1/8 is exactly representable so the IEEE sequences agree
@@ -1157,39 +1197,7 @@ object Events {
     // oracle: the same integer (d, n_risk) table off the duration
     // frequencies and the same seed-1.0 ordered prefix products —
     // identical IEEE sequences (1e0 literals: the benford lesson)
-    Q("events_kaplan_meier", kaplanMeier, Some(
-      """WITH ud AS (
-        |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0,
-        |    MIN(CASE WHEN event_type = 'purchase'
-        |             THEN epoch_us(ts) // 86400000000 END) AS dp
-        |  FROM events GROUP BY user_id),
-        |e AS (SELECT MIN(d0) + 6 AS cutoff FROM ud),
-        |u AS (SELECT
-        |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN dp - d0
-        |             ELSE cutoff - d0 END AS dur,
-        |        CASE WHEN dp IS NOT NULL AND dp <= cutoff THEN 1
-        |             ELSE 0 END AS churn
-        |      FROM ud, e WHERE d0 <= cutoff),
-        |freq AS (SELECT dur, COUNT(*) AS m,
-        |           CAST(SUM(churn) AS BIGINT) AS d FROM u GROUP BY dur),
-        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users FROM freq),
-        |atrisk AS (
-        |  SELECT dur AS t, d,
-        |    n_users - CAST(COALESCE(SUM(m) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS n_risk
-        |  FROM freq, tot),
-        |km AS (SELECT t, d, n_risk,
-        |         1e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
-        |       FROM atrisk WHERE d > 0),
-        |lst AS (SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
-        |               list(n_risk ORDER BY t) AS ns, list(f ORDER BY t) AS fs
-        |        FROM km)
-        |SELECT ts[i] AS t, ds[i] AS d, ns[i] AS n_risk,
-        |  list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
-        |    (a, b) -> a * b) AS survival
-        |FROM lst, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) q
-        |ORDER BY t""".stripMargin)),
+    Q("events_kaplan_meier", kaplanMeier, Some(oKaplanMeierSql)),
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
     // the engine's bin-blocked candidate join must reproduce

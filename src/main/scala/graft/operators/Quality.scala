@@ -306,6 +306,27 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** Shared batch/streaming oracle for [[weightedMedian]]. */
+  val oWeightedMedianSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |fr AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+      |       FROM li GROUP BY 1, 2),
+      |c AS (SELECT flag, cents,
+      |        CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM fr),
+      |t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS total_weight
+      |      FROM fr GROUP BY flag)
+      |SELECT t.flag AS l_returnflag, t.total_weight,
+      |  CAST(MIN(cents) AS BIGINT) AS median_cents
+      |FROM c JOIN t USING (flag)
+      |WHERE cum >= (total_weight + 1) // 2
+      |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
   /** Shared batch/streaming oracle for the equi-depth histogram. */
   val oEquidepthSql: String =
     s"""WITH q AS (
@@ -331,13 +352,19 @@ object Quality {
     * broadcast per-(flag, partition) offsets — never a
     * single-partition global window over the value axis; the
     * |groups × partitions| offset frame is the only tiny window). */
-  def weightedMedian(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fr = cached(Tables(s, d, "lineitem")
+  def weightedMedian(s: SparkSession, d: String): DataFrame =
+    weightedMedianFromFreq(Tables(s, d, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         round(col("l_quantity")).cast("long").as("w"))
-      .groupBy("flag", "cents").agg(sum("w").as("w"))
+      .groupBy("flag", "cents").agg(sum("w").as("w")))
+
+  /** The weighted median read from a (flag, cents, w) frequency
+    * table — shared by [[weightedMedian]] and the streaming twin
+    * (whose maintained state IS this additive fold). */
+  def weightedMedianFromFreq(freqs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = cached(freqs
       .repartitionByRange(32, col("flag"), col("cents"))
       .withColumn("pid", spark_partition_id()))
     val prior = Window.partitionBy("flag").orderBy("pid")
@@ -824,25 +851,7 @@ object Quality {
     // oracle: one per-group ordered cumulative sum (fine at oracle
     // size; the engine's two-phase spelling is the 100 TB case) over
     // the same integer lower-median rule
-    Q("quality_weighted_median", weightedMedian, Some(
-      """WITH li AS (
-        |  SELECT l_returnflag AS flag,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-        |    CAST(round(l_quantity) AS BIGINT) AS w
-        |  FROM lineitem),
-        |fr AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
-        |       FROM li GROUP BY 1, 2),
-        |c AS (SELECT flag, cents,
-        |        CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |      FROM fr),
-        |t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS total_weight
-        |      FROM fr GROUP BY flag)
-        |SELECT t.flag AS l_returnflag, t.total_weight,
-        |  CAST(MIN(cents) AS BIGINT) AS median_cents
-        |FROM c JOIN t USING (flag)
-        |WHERE cum >= (total_weight + 1) // 2
-        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin)),
+    Q("quality_weighted_median", weightedMedian, Some(oWeightedMedianSql)),
     // oracle: quantile_cont IS Spark's percentile (same interpolated
     // (n-1)p formula); the 4.4478 consistency constant is one shared
     // literal so both engines compare against the identical double

@@ -1486,6 +1486,90 @@ object Streams {
     graft.operators.Events.acfFromDaily(s.read.parquet(curState.get))
   }
 
+  /** Streaming Kaplan–Meier maintenance — the MIN-fold state family
+    * (the third idempotence class next to batch-keyed-additive and
+    * plain-union-set): the maintained state is per-user (first day,
+    * first purchase day), and MIN is idempotent and commutative, so
+    * ANY batch split or redelivery folds to the same state with no
+    * batch keying at all. The survival curve derives at read time
+    * through [[graft.operators.Events.kmFromUserDays]] — exact batch
+    * parity, one shared oracle. State is |users| rows. */
+  def streamKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-km-src")
+    graft.Tables(s, d, "events")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-km-state")
+    @volatile var curState: Option[String] = None
+    def fold(df: DataFrame): DataFrame = df
+      .select(col("user_id"), col("event_type"),
+        graft.Core.epochUs(col("ts")).as("us"))
+      .select(col("user_id"), col("event_type"),
+        expr("us div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = fold(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp)
+            .groupBy("user_id")
+            .agg(min("d0").as("d0"), min("dp").as("dp"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamKaplanMeier")
+    graft.operators.Events.kmFromUserDays(s.read.parquet(curState.get))
+  }
+
+  /** Streaming weighted-median maintenance over a LINEITEM feed —
+    * [[streamEquidepth]]'s grouped sibling, and the one streaming
+    * query fed by the fact table rather than events/documents: the
+    * maintained state is the additive (flag, cents, weight)
+    * frequency table (batchId-keyed versions for redelivery), and
+    * the per-group lower weighted median derives at read time
+    * through [[graft.operators.Quality.weightedMedianFromFreq]] —
+    * exact batch parity, one shared oracle. */
+  def streamWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-wmed-src")
+    val li = graft.Tables(s, d, "lineitem")
+    li.repartitionByRange(4, col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-wmed-state")
+    @volatile var curState: Option[String] = None
+    def fold(df: DataFrame): DataFrame = df
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .groupBy("flag", "cents").agg(sum("w").as("w"))
+    val q = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bp = fold(batch)
+        val merged = curState match {
+          case None => bp
+          case Some(p) => s.read.parquet(p).unionByName(bp)
+            .groupBy("flag", "cents").agg(sum("w").as("w"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamWeightedMedian")
+    graft.operators.Quality.weightedMedianFromFreq(s.read.parquet(curState.get))
+  }
+
   /** Events written as 4 ts-ordered slices with strictly increasing
     * file mod-times — the replay layout order-SENSITIVE incremental
     * operators need (the [[streamSessionizeNative]] discipline,
@@ -1645,6 +1729,14 @@ object Streams {
     // state folds to the same series under any replay
     Q("stream_acf", streamAcf,
       Some(graft.operators.Events.oAcfSql)),
+    // oracle: the batch KM oracle verbatim — per-user MIN state is
+    // idempotent under any batch split or redelivery, no keying
+    Q("stream_kaplan_meier", streamKaplanMeier,
+      Some(graft.operators.Events.oKaplanMeierSql)),
+    // oracle: the batch weighted-median oracle verbatim — the
+    // (flag, cents, weight) frequency state folds to the same table
+    Q("stream_weighted_median", streamWeightedMedian,
+      Some(graft.operators.Quality.oWeightedMedianSql)),
     Q("stream_user_stats", streamUserStats, Some(
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents

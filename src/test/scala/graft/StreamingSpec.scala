@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming Kaplan-Meier min-fold state replays the batch curve") {
+    val streamed = Streams.streamKaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val batch = graft.operators.Events.kaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // MIN is idempotent and commutative, so the per-user state needs
+    // no batch keying and any replay folds to the same table
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("streaming weighted median frequency state folds to the batch medians") {
+    val streamed = Streams.streamWeightedMedian(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = graft.operators.Quality.weightedMedian(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming transition matrix carries last events across slice boundaries exactly") {
     val streamed = Streams.streamTransitionMatrix(spark, sf)
       .as[(String, String, Long, Long, Double)].collect().toSeq
