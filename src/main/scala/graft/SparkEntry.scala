@@ -82,6 +82,16 @@ object SparkEntry {
     "events_sessionize_native",
     "events_funnel", "events_anomaly", "events_range_frame",
     "events_retention", "events_value_deciles",
+    // r15 admissions, each a plan family nothing else times, with
+    // measured sf0.1 min-of-2 numbers: events_acf (exact n²-scaled
+    // integer moments + t+k lag equi-join, 1.06 s),
+    // join_interval_overlap (hour-bin-blocked interval self-join +
+    // exact verify — the only interval-join family, 3.67 s),
+    // lm_kneser_ney (four count statistics off one bigram table,
+    // 1.61 s), multimodal_gif_decode (variable-width LZW + palette
+    // mapping — the only entropy-coded decode family, 0.64 s)
+    "events_acf", "join_interval_overlap", "lm_kneser_ney",
+    "multimodal_gif_decode",
     // text analysis — text_langid is a demoted shape-twin (per-row
     // scan + tiny agg, timed under text_stats/filter_unigram_score)
     "text_bpe_tokens", "text_stats", "text_fingerprint",

@@ -501,6 +501,59 @@ object Quality {
       .orderBy("arm")
   }
 
+  /** MANN–WHITNEY U rank-sum test on per-user spend — the
+    * NONPARAMETRIC member of the A/B family ([[abCuped]] compares
+    * means, [[abConversionZtest]] proportions): heavy-tailed spend
+    * distributions defeat mean tests, and the rank test's answer —
+    * does one arm stochastically dominate — is the robust launch
+    * question. Everything is integer-exact until the final z:
+    * midranks over tied cents are kept DOUBLED (2·cb + cnt + 1 ∈ ℤ,
+    * the half-integer dodge), so the rank sum, 2U₁ = R₁·2 −
+    * n₁(n₁+1), and the tie correction Σ(t³−t) are exact longs; the
+    * normal-approximation z = (2U₁ − n₀n₁) / (2·√Var) is one fixed
+    * shape of double ops with the tie-corrected variance
+    * Var = n₀n₁/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Scale: the fact collapses to |users| rows; ranks come from the
+    * cents-frequency table (|distinct values| rows) — per-arm rank
+    * sums are a frequency-weighted aggregate, so no per-user rank
+    * row ever needs a global window (the tiny cumulative here is
+    * over distinct cents values; the two-phase spelling swaps in if
+    * the value domain outgrows a partition). */
+  def abMannWhitney(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val user = cached(Tables(s, d, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id").agg(sum("cents").as("y"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(2654435761L), lit(HashMod)) % 2))
+    val freq = user.groupBy("y")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("t1"))
+    // |distinct spend values|-row frame: the deliberate tiny window
+    val byY = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = freq
+      .withColumn("cb", coalesce(sum("t").over(byY), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cb") + col("t") + 1L)
+    ranked.agg(
+        sum(col("t") - col("t1")).as("n0"),
+        sum(col("t1")).as("n1"),
+        sum(col("t1") * col("mr2")).as("r1_2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("n0"), col("n1"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u1_2"),
+        col("ties"),
+        ((col("r1_2") - col("n1") * (col("n1") + 1) - col("n0") * col("n1"))
+          .cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n0") * col("n1")).cast("double") / lit(12.0) *
+              ((col("n0") + col("n1") + 1).cast("double") -
+                col("ties").cast("double") /
+                  ((col("n0") + col("n1")).cast("double") *
+                    (col("n0") + col("n1") - 1).cast("double"))))))
+          .as("z"))
+  }
+
   /** Two-proportion z-test on conversion — [[abCuped]]'s sibling for
     * BINARY outcomes: per hash arm, the share of users whose purchase
     * spend exceeds the global median user spend, and the
@@ -852,6 +905,35 @@ object Quality {
     // size; the engine's two-phase spelling is the 100 TB case) over
     // the same integer lower-median rule
     Q("quality_weighted_median", weightedMedian, Some(oWeightedMedianSql)),
+    // oracle: the same doubled midranks over the cents-frequency
+    // table, the same exact longs through 2U1 and the tie term, and
+    // the identical z shape (e-notation double literals)
+    Q("ab_mann_whitney", abMannWhitney, Some(
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT y,
+         |        (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm
+         |      FROM u),
+         |f AS (SELECT y, COUNT(*) AS t,
+         |        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+         |      FROM a GROUP BY y),
+         |r AS (SELECT t, t1,
+         |        2 * COALESCE(SUM(t) OVER (ORDER BY y
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          + t + 1 AS mr2
+         |      FROM f),
+         |m AS (SELECT CAST(SUM(t - t1) AS BIGINT) AS n0,
+         |        CAST(SUM(t1) AS BIGINT) AS n1,
+         |        CAST(SUM(t1 * mr2) AS BIGINT) AS r1_2,
+         |        CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM r)
+         |SELECT n0, n1, CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_2, ties,
+         |  CAST(r1_2 - n1 * (n1 + 1) - n0 * n1 AS DOUBLE) /
+         |  (2e0 * sqrt(CAST(n0 * n1 AS DOUBLE) / 12e0 *
+         |    (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+         |      (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE))))) AS z
+         |FROM m""".stripMargin)),
     // oracle: quantile_cont IS Spark's percentile (same interpolated
     // (n-1)p formula); the 4.4478 consistency constant is one shared
     // literal so both engines compare against the identical double

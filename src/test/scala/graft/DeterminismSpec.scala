@@ -54,7 +54,14 @@ class DeterminismSpec extends SparkSpec {
     // two-stage countDistinct, measured 1.50 s min-of-2 at sf0.1) —
     // together ~2.9 s against the ~4.4 s the budget went down this
     // round.
-    assert(SparkEntry.benchSet.size <= 81)
+    // +4 (r15) admit events_acf (1.06 s), join_interval_overlap
+    // (3.67 s), lm_kneser_ney (1.61 s), multimodal_gif_decode
+    // (0.64 s) — all measured min-of-2 at sf0.1 this round; each is
+    // a plan family nothing else times (exact-moment lag join,
+    // bin-blocked interval self-join, four-statistic bigram rollup,
+    // entropy-coded LZW decode). ~7 s added against the ~18 s the
+    // oracle-side compare budget went DOWN this round (34 → 16 s).
+    assert(SparkEntry.benchSet.size <= 85)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
 }

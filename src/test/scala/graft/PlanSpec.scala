@@ -1306,6 +1306,36 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("Mann-Whitney U matches a brute-force midrank recount") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Quality.abMannWhitney(spark, sf).collect().head
+    // independent recount: collect per-user spends + arms, assign
+    // doubled midranks by sorting, sum over arm 1
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id").agg(sum("c").as("y"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("y")))
+    val armOf = (u: Long) =>
+      (((u * 2654435761L) % Core.HashMod) + Core.HashMod) % Core.HashMod % 2
+    val sorted = users.sortBy(_._2)
+    // doubled midrank per distinct value: 2*cb + t + 1
+    val mr2 = sorted.groupBy(_._2).map { case (y, g) =>
+      val cb = sorted.count(_._2 < y).toLong
+      y -> (2 * cb + g.length + 1)
+    }
+    val n1 = users.count(u => armOf(u._1) == 1).toLong
+    val n0 = users.length - n1
+    val r1_2 = users.filter(u => armOf(u._1) == 1).map(u => mr2(u._2)).sum
+    val u1_2 = r1_2 - n1 * (n1 + 1)
+    assert(row.getAs[Long]("n0") == n0 && row.getAs[Long]("n1") == n1)
+    assert(row.getAs[Long]("u1_2") == u1_2, s"$row")
+    // hash A/A split: z should be sane and finite
+    val z = row.getAs[Double]("z")
+    assert(!z.isNaN && math.abs(z) < 5.0, s"z=$z")
+    Core.releaseCaches()
+  }
+
   test("Kaplan-Meier survival replays the product-limit recursion and decreases") {
     val rows = graft.operators.Events.kaplanMeier(spark, sf).collect()
       .sortBy(_.getAs[Long]("t"))
