@@ -1631,6 +1631,66 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** FELLEGI–SUNTER probabilistic record linkage — the classic
+    * m/u-weight scoring (Fellegi & Sunter, JASA 1969) the
+    * deterministic ER rules above feed: per comparison FIELD k
+    * (market segment equality, $1000 account-balance bucket
+    * equality, last-name-character equality), m_k = P(agree | match)
+    * and u_k = P(agree | non-match) are estimated from the
+    * nationkey-BLOCKED candidate pairs labeled by the family's
+    * deterministic rule (name edit distance ≤ 1), Laplace-smoothed
+    * (a+1)/(n+2) so a degenerate field can never divide by zero;
+    * each pair's composite likelihood ratio is
+    * w = Π_k (m_k/u_k if agree else (1−m_k)/(1−u_k)).
+    * The OUTPUT is the clerical-review queue FS exists for: the top
+    * NON-match pairs by weight — agreement patterns the hard rule
+    * missed but the model scores match-like.
+    *
+    * Exactness: all agreement counts are integers from one blocked
+    * pass; the six smoothed probabilities, three ratios, and the
+    * 2-multiplication product are a FIXED double shape spelled
+    * identically in both engines. Scale: candidates are the nation
+    * block equi-join (never all-pairs), the m/u frame is 1 row
+    * broadcast back, and the queue is a top-k. */
+  def erFellegiSunter(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("balb"),
+        expr("substring(c_name, length(c_name), 1)").as("lc"))
+    val a = cust.toDF("ka", "na", "nat", "sega", "balba", "lca")
+    val b = cust.toDF("kb", "nb", "natb", "segb", "balbb", "lcb")
+    val pairs = cached(a.join(b,
+        col("nat") === col("natb") && col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        when(levenshtein(col("na"), col("nb")) <= 1, 1L).otherwise(0L)
+          .as("is_match"),
+        when(col("sega") === col("segb"), 1L).otherwise(0L).as("g1"),
+        when(col("balba") === col("balbb"), 1L).otherwise(0L).as("g2"),
+        when(col("lca") === col("lcb"), 1L).otherwise(0L).as("g3")))
+    val mu = pairs.agg(
+      sum("is_match").as("nm"),
+      (count(lit(1)) - sum("is_match")).as("nu"),
+      sum(col("is_match") * col("g1")).as("am1"),
+      sum(col("is_match") * col("g2")).as("am2"),
+      sum(col("is_match") * col("g3")).as("am3"),
+      sum((lit(1L) - col("is_match")) * col("g1")).as("au1"),
+      sum((lit(1L) - col("is_match")) * col("g2")).as("au2"),
+      sum((lit(1L) - col("is_match")) * col("g3")).as("au3"))
+    def m(k: Int) = (col(s"am$k").cast("double") + lit(1.0)) /
+      (col("nm").cast("double") + lit(2.0))
+    def u(k: Int) = (col(s"au$k").cast("double") + lit(1.0)) /
+      (col("nu").cast("double") + lit(2.0))
+    def r(k: Int) = when(col(s"g$k") === 1L, m(k) / u(k))
+      .otherwise((lit(1.0) - m(k)) / (lit(1.0) - u(k)))
+    pairs.filter(col("is_match") === 0L)
+      .crossJoin(broadcast(mu))
+      .select(col("ka"), col("kb"), col("g1"), col("g2"), col("g3"),
+        (r(1) * r(2) * r(3)).as("weight"))
+      .orderBy(col("weight").desc, col("ka"), col("kb"))
+      .limit(20)
+  }
+
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
     * the all-pairs ground truth — the dedup twin of
     * `sim_lsh_recall`: a single accounting row (n_exact, hits,
@@ -2450,6 +2510,54 @@ object Dedup {
     // sqrt-of-self-dot CTE) instead of re-folded per pair — the same
     // IEEE sequence (fold → sqrt → product → divide), so the cosine
     // is bit-identical, at a third of the per-pair float work
+    // oracle: the same blocked pass, integer agreement counts, and
+    // the identical smoothed-ratio product (e-notation literals; both
+    // engines truncate integer division toward zero, checked)
+    Q("er_fellegi_sunter", erFellegiSunter, Some(
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb,
+        |    substring(c_name, length(c_name), 1) AS lc
+        |  FROM customer),
+        |p AS MATERIALIZED (
+        |  SELECT a.k AS ka, b.k AS kb,
+        |    CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN 1 ELSE 0 END AS is_match,
+        |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS g3
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k),
+        |mu AS (SELECT
+        |    CAST(SUM(is_match) AS BIGINT) AS nm,
+        |    CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS nu,
+        |    CAST(SUM(is_match * g1) AS BIGINT) AS am1,
+        |    CAST(SUM(is_match * g2) AS BIGINT) AS am2,
+        |    CAST(SUM(is_match * g3) AS BIGINT) AS am3,
+        |    CAST(SUM((1 - is_match) * g1) AS BIGINT) AS au1,
+        |    CAST(SUM((1 - is_match) * g2) AS BIGINT) AS au2,
+        |    CAST(SUM((1 - is_match) * g3) AS BIGINT) AS au3
+        |  FROM p)
+        |SELECT ka, kb,
+        |  CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+        |  CAST(g3 AS BIGINT) AS g3,
+        |  (CASE WHEN g1 = 1
+        |     THEN ((CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
+        |   * CASE WHEN g2 = 1
+        |     THEN ((CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END)
+        |   * CASE WHEN g3 = 1
+        |     THEN ((CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
+        |  AS weight
+        |FROM p, mu WHERE is_match = 0
+        |ORDER BY weight DESC, ka, kb LIMIT 20""".stripMargin)),
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH nm AS MATERIALIZED (
          |  SELECT vec_id, embedding,

@@ -501,6 +501,55 @@ object Quality {
       .orderBy("arm")
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES on per-user spend — the most-used
+    * causal baseline next to [[abCuped]]'s variance reduction: the
+    * 2×2 of (arm × pre/post-midpoint) mean cents per user, each
+    * arm's post−pre trend, and DiD = trend₁ − trend₀ — the estimate
+    * that survives a level difference between arms that a plain
+    * post-period comparison would misread as an effect. Sums are
+    * exact cents in decimal(38,0); the six means and three
+    * differences are a fixed double shape. The deterministic hash
+    * arms make this an A/A on the driver corpus — DiD ≈ 0 is itself
+    * the parallel-trends sanity check. One events scan, a
+    * |users|-row agg, a 2-row arm frame. */
+  def abDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val udc = Tables(s, d, "events")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        epochUs(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+    val mid = udc.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val user = udc.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") > col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(2654435761L), lit(HashMod)) % 2)
+    val arm = user.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"))
+    val trend = (col("sy").cast("double") / col("n_users").cast("double")) -
+      (col("sx").cast("double") / col("n_users").cast("double"))
+    val t = arm.select(col("arm"), col("n_users"),
+      (col("sx").cast("double") / col("n_users").cast("double"))
+        .as("mean_pre_cents"),
+      (col("sy").cast("double") / col("n_users").cast("double"))
+        .as("mean_post_cents"),
+      trend.as("trend_cents"))
+    // the 1-row estimate joins back onto both arm rows so the output
+    // is one tidy 2-row frame carrying its own headline number
+    val did = t.agg(
+      sum(when(col("arm") === 1, col("trend_cents")).otherwise(0.0)).as("t1"),
+      sum(when(col("arm") === 0, col("trend_cents")).otherwise(0.0)).as("t0"))
+      .select((col("t1") - col("t0")).as("did_cents"))
+    t.crossJoin(broadcast(did)).orderBy("arm")
+  }
+
   /** MANN–WHITNEY U rank-sum test on per-user spend — the
     * NONPARAMETRIC member of the A/B family ([[abCuped]] compares
     * means, [[abConversionZtest]] proportions): heavy-tailed spend
@@ -905,6 +954,34 @@ object Quality {
     // size; the engine's two-phase spelling is the 100 TB case) over
     // the same integer lower-median rule
     Q("quality_weighted_median", weightedMedian, Some(oWeightedMedianSql)),
+    // oracle: the same exact-cents 2x2 and the identical mean/trend
+    // double shapes; the zero branches are 0e0 double literals
+    Q("ab_diff_in_diff", abDiffInDiff, Some(
+      s"""WITH udc AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM udc),
+         |u AS (SELECT user_id,
+         |        CAST(SUM(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |        CAST(SUM(CASE WHEN day > mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+         |        (user_id * 2654435761) % ${graft.Core.HashMod} % 2 AS arm
+         |      FROM udc, m GROUP BY user_id, arm),
+         |a AS (SELECT arm, COUNT(*) AS n_users,
+         |        SUM(CAST(x AS HUGEINT)) AS sx,
+         |        SUM(CAST(y AS HUGEINT)) AS sy FROM u GROUP BY arm),
+         |t AS (SELECT arm, n_users,
+         |        CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_pre_cents,
+         |        CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post_cents,
+         |        CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) AS trend_cents
+         |      FROM a),
+         |d AS (SELECT SUM(CASE WHEN arm = 1 THEN trend_cents ELSE 0e0 END)
+         |           - SUM(CASE WHEN arm = 0 THEN trend_cents ELSE 0e0 END)
+         |        AS did_cents FROM t)
+         |SELECT t.arm, t.n_users, mean_pre_cents, mean_post_cents,
+         |  trend_cents, did_cents
+         |FROM t, d ORDER BY arm""".stripMargin)),
     // oracle: the same doubled midranks over the cents-frequency
     // table, the same exact longs through 2U1 and the tie term, and
     // the identical z shape (e-notation double literals)

@@ -217,6 +217,46 @@ object Udaf {
           Sketches.kmvEstimate(col("u"), k)).as("est_both"))
   }
 
+  /** KMV set ALGEBRA — [[kmvIntersect]] completed into the full
+    * union/difference toolkit a sketch-backed audience system needs:
+    * from the same two year sketches, est∪ = the merged sketch's own
+    * estimate and the one-sided differences by inclusion–exclusion
+    * (|A∖B| = |A∪B| − |B|), next to their exact twins. Same
+    * determinism contract as the intersect row: the k minima are a
+    * SET property, every estimate a fixed integer/IEEE expression,
+    * so DuckDB replays the sketch values and the row hash-matches —
+    * no error-band oracle needed. Scale: one aggregation pass,
+    * 2×64-long partial state; the exact twins are the expensive
+    * columns a 100 TB run would drop. */
+  def kmvSetAlgebra(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val perCust = Tables(s, d, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("y") === 1995, lit(1)).otherwise(lit(0))).as("in95"),
+        max(when(col("y") === 1996, lit(1)).otherwise(lit(0))).as("in96"))
+    val hc = (lit(Sketches.seedA(40)) * col("o_custkey") + lit(Sketches.seedB(40))) % Sketches.P
+    perCust
+      .agg(
+        sum(when(col("in95") === 1 && col("in96") === 0, 1L).otherwise(0L))
+          .as("exact_only_1995"),
+        sum(when(col("in96") === 1 && col("in95") === 0, 1L).otherwise(0L))
+          .as("exact_only_1996"),
+        count(lit(1)).as("exact_union"),
+        Sketches.minKHashes(when(col("in95") === 1, hc), k).as("ska"),
+        Sketches.minKHashes(when(col("in96") === 1, hc), k).as("skb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .select(
+        col("exact_only_1995"), col("exact_only_1996"), col("exact_union"),
+        Sketches.kmvEstimate(col("u"), k).as("est_union"),
+        (Sketches.kmvEstimate(col("u"), k) -
+          Sketches.kmvEstimate(col("skb"), k)).as("est_only_1995"),
+        (Sketches.kmvEstimate(col("u"), k) -
+          Sketches.kmvEstimate(col("ska"), k)).as("est_only_1996"))
+  }
+
   /** Count-Min frequency sketch over the raw token stream
     * ([[graft.plans.CountMinSketch]], depth 3 × width 16): estimated
     * counts for the exact top-10 words next to their true counts.
@@ -431,6 +471,38 @@ object Udaf {
          |  ${est("skb.l")} AS est_1996,
          |  (CAST(len(list_filter(u.l, x -> list_contains(ska.l, x) AND list_contains(skb.l, x))) AS DOUBLE)
          |     / CAST(len(u.l) AS DOUBLE)) * (${est("u.l")}) AS est_both
+         |FROM ex, ska, skb, u""".stripMargin
+    }),
+    // oracle: the same replayed sketches; union estimate from the
+    // merged minima, differences by the same inclusion-exclusion
+    Q("sketch_kmv_union_diff", kmvSetAlgebra, Some {
+      val est = (l: String) =>
+        s"CASE WHEN len($l) < 64 THEN CAST(len($l) AS DOUBLE) " +
+          s"ELSE CAST(${63L * Sketches.P} AS DOUBLE) / CAST($l[64] AS DOUBLE) END"
+      s"""WITH per AS (
+         |  SELECT o_custkey,
+         |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in95,
+         |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in96
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         |  GROUP BY o_custkey),
+         |h AS (SELECT in95, in96,
+         |  (${Sketches.seedA(40)} * o_custkey + ${Sketches.seedB(40)}) % ${Sketches.P} AS h
+         |  FROM per),
+         |ska AS (SELECT COALESCE(list_slice(list_sort(list(h)), 1, 64), []) AS l
+         |  FROM h WHERE in95 = 1),
+         |skb AS (SELECT COALESCE(list_slice(list_sort(list(h)), 1, 64), []) AS l
+         |  FROM h WHERE in96 = 1),
+         |u AS (SELECT list_slice(list_sort(list_distinct(list_cat(ska.l, skb.l))), 1, 64) AS l
+         |  FROM ska, skb),
+         |ex AS (SELECT
+         |  CAST(SUM(CASE WHEN in95 = 1 AND in96 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e95,
+         |  CAST(SUM(CASE WHEN in96 = 1 AND in95 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e96,
+         |  COUNT(*) AS eu FROM per)
+         |SELECT ex.e95 AS exact_only_1995, ex.e96 AS exact_only_1996,
+         |  ex.eu AS exact_union,
+         |  ${est("u.l")} AS est_union,
+         |  (${est("u.l")}) - (${est("skb.l")}) AS est_only_1995,
+         |  (${est("u.l")}) - (${est("ska.l")}) AS est_only_1996
          |FROM ex, ska, skb, u""".stripMargin
     }),
     Q("sketch_countmin", countMinWords, Some(

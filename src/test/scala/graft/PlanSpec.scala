@@ -1306,6 +1306,80 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("difference-in-differences is the arm-trend difference, shared by both rows") {
+    val rows = graft.operators.Quality.abDiffInDiff(spark, sf).collect()
+      .sortBy(_.getAs[Long]("arm"))
+    assert(rows.length == 2)
+    val t0 = rows(0).getAs[Double]("trend_cents")
+    val t1 = rows(1).getAs[Double]("trend_cents")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("did_cents") == t1 - t0, s"$r")
+      assert(r.getAs[Double]("trend_cents") ==
+        r.getAs[Double]("mean_post_cents") - r.getAs[Double]("mean_pre_cents"))
+    }
+    Core.releaseCaches()
+  }
+
+  test("Fellegi-Sunter queue matches a brute-force m/u recount") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Dedup.erFellegiSunter(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent recount over the same nation-blocked pairs
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("balb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pairs = for {
+      i <- cust.indices; j <- (i + 1) until cust.length
+      if cust(i)._3 == cust(j)._3
+    } yield {
+      val (x, y) = if (cust(i)._1 < cust(j)._1) (cust(i), cust(j)) else (cust(j), cust(i))
+      (x._1, y._1, lev(x._2, y._2) <= 1,
+        x._4 == y._4, x._5 == y._5, x._2.last == y._2.last)
+    }
+    val nm = pairs.count(_._3).toDouble
+    val nu = pairs.length - nm
+    def m(sel: ((Long, Long, Boolean, Boolean, Boolean, Boolean)) => Boolean) =
+      (pairs.count(p => p._3 && sel(p)) + 1.0) / (nm + 2.0)
+    def u(sel: ((Long, Long, Boolean, Boolean, Boolean, Boolean)) => Boolean) =
+      (pairs.count(p => !p._3 && sel(p)) + 1.0) / (nu + 2.0)
+    val (m1, u1) = (m(_._4), u(_._4)); val (m2, u2) = (m(_._5), u(_._5))
+    val (m3, u3) = (m(_._6), u(_._6))
+    def w(p: (Long, Long, Boolean, Boolean, Boolean, Boolean)): Double =
+      (if (p._4) m1 / u1 else (1.0 - m1) / (1.0 - u1)) *
+        (if (p._5) m2 / u2 else (1.0 - m2) / (1.0 - u2)) *
+        (if (p._6) m3 / u3 else (1.0 - m3) / (1.0 - u3))
+    val expect = pairs.filterNot(_._3)
+      .map(p => (p._1, p._2, w(p)))
+      .sortBy(p => (-p._3, p._1, p._2)).take(out.length)
+    out.zip(expect).foreach { case (r, (ka, kb, wt)) =>
+      assert(r.getAs[Long]("ka") == ka && r.getAs[Long]("kb") == kb, s"$r vs ($ka,$kb)")
+      assert(math.abs(r.getAs[Double]("weight") - wt) < 1e-9, s"$r vs $wt")
+    }
+    Core.releaseCaches()
+  }
+
+  test("KMV set algebra: exact identities hold and estimates track the union") {
+    val r = graft.operators.Udaf.kmvSetAlgebra(spark, sf).collect().head
+    val eu = r.getAs[Long]("exact_union")
+    assert(eu > 0)
+    val est = r.getAs[Double]("est_union")
+    assert(math.abs(est - eu) / eu.toDouble < 0.5, s"$r")
+    // inclusion-exclusion identities between the reported estimates
+    assert(r.getAs[Double]("est_only_1995") <= est &&
+      r.getAs[Double]("est_only_1996") <= est)
+    Core.releaseCaches()
+  }
+
   test("Mann-Whitney U matches a brute-force midrank recount") {
     import org.apache.spark.sql.functions._
     val row = graft.operators.Quality.abMannWhitney(spark, sf).collect().head
