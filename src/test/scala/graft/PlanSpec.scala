@@ -1190,6 +1190,16 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("interval overlap candidates ride the bin equi-join — no nested-loop join") {
+    // the scale claim as a plan property: the candidate join must be
+    // a hash/sort-merge EQUI-join on the hour bin; a theta spelling
+    // would surface as CartesianProduct or BroadcastNestedLoopJoin
+    val plan = executed(graft.operators.Events.intervalOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    Core.releaseCaches()
+  }
+
   test("interval overlap histogram matches a brute-force recount of the sessions") {
     import org.apache.spark.sql.functions._
     val hist = graft.operators.Events.intervalOverlap(spark, sf).collect()
