@@ -805,6 +805,24 @@ object Events {
       .orderBy("concurrency")
   }
 
+  /** PEAK LOAD — [[intervalOverlap]]'s time-axis twin: per hour bin,
+    * how many sessions were active (span intersects the hour), top
+    * hours first — the capacity dashboard's headline view where the
+    * overlap histogram is the per-session view. Same lossless
+    * hour-bin explode; the report is one (bin)-keyed count, so the
+    * only shuffle carries hour keys. */
+  def peakLoad(s: SparkSession, d: String): DataFrame = {
+    val H = 3600L * 1000000000L
+    withSessionIds(load(s, d))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_ns"), max("ts").as("e_ns"))
+      .select(explode(sequence(expr(s"s_ns div $H"), expr(s"e_ns div $H")))
+        .as("hour_bin"))
+      .groupBy("hour_bin").agg(count(lit(1)).as("n_active"))
+      .orderBy(col("n_active").desc, col("hour_bin"))
+      .limit(20)
+  }
+
   /** KAPLAN–MEIER survival estimate of time-to-first-purchase — the
     * censoring-aware conversion statistic a naive "average days to
     * purchase" gets wrong: users who had not purchased by the end of
@@ -1198,6 +1216,26 @@ object Events {
     // frequencies and the same seed-1.0 ordered prefix products —
     // identical IEEE sequences (1e0 literals: the benford lesson)
     Q("events_kaplan_meier", kaplanMeier, Some(oKaplanMeierSql)),
+    // oracle: the same sessions exploded over the same hour bins —
+    // generate_series per interval, one grouped count
+    Q("events_peak_load", peakLoad, Some(
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |iv AS (SELECT epoch_ns(min(ts)) // 3600000000000 AS b0,
+        |              epoch_ns(max(ts)) // 3600000000000 AS b1
+        |       FROM sessions GROUP BY user_id, session_id),
+        |bins AS (SELECT unnest(generate_series(b0, b1)) AS hour_bin FROM iv)
+        |SELECT hour_bin, COUNT(*) AS n_active
+        |FROM bins GROUP BY hour_bin
+        |ORDER BY n_active DESC, hour_bin LIMIT 20""".stripMargin)),
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
     // the engine's bin-blocked candidate join must reproduce

@@ -1200,6 +1200,37 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("peak load equals a brute-force hour-bin recount of the sessions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Events.peakLoad(spark, sf).collect()
+      .map(r => r.getAs[Long]("hour_bin") -> r.getAs[Long]("n_active"))
+    assert(out.nonEmpty)
+    val counts = out.map(_._2).toSeq
+    assert(counts == counts.sorted.reverse)
+    // rebuild sessions at µs precision and recount hour membership
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 30L * 60 * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("is_new").over(run))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s"), max("us").as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("e")))
+    val H = 3600L * 1000000L // hour in µs (ns bins ≡ µs bins here)
+    val brute = iv.flatMap { case (a, b) => (a / H) to (b / H) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top = brute.toSeq.sortBy(p => (-p._2, p._1)).take(out.length)
+    assert(out.toSeq == top)
+    Core.releaseCaches()
+  }
+
   test("interval overlap histogram matches a brute-force recount of the sessions") {
     import org.apache.spark.sql.functions._
     val hist = graft.operators.Events.intervalOverlap(spark, sf).collect()
