@@ -86,7 +86,8 @@ object SparkEntry {
     // measured sf0.1 min-of-2 numbers: events_acf (exact n²-scaled
     // integer moments + t+k lag equi-join, 1.06 s),
     // join_interval_overlap (hour-bin-blocked interval self-join +
-    // exact verify — the only interval-join family, 3.67 s),
+    // exact verify — the only interval-join family; 3.67 s at
+    // admission, 2.25 s after the dedup-free max-start-bin emission),
     // lm_kneser_ney (four count statistics off one bigram table,
     // 1.61 s), multimodal_gif_decode (variable-width LZW + palette
     // mapping — the only entropy-coded decode family, 0.64 s)

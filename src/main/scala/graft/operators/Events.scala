@@ -788,13 +788,18 @@ object Events {
         col("s_ns"), col("e_ns")))
     val bins = sess.select(col("iid"), col("s_ns"), col("e_ns"),
       explode(sequence(expr(s"s_ns div $H"), expr(s"e_ns div $H"))).as("bin"))
+    // multi-bin duplicate suppression WITHOUT a distinct shuffle (the
+    // spatial-join reporting trick): a pair sharing several bins is
+    // emitted only at the max of the two start bins — always a shared
+    // bin when the pair shares any, so no candidate is lost, and it
+    // is unique per pair, so none repeats
     val cand = bins
       .select(col("bin"), col("iid").as("ia"),
         col("s_ns").as("sa"), col("e_ns").as("ea"))
       .join(bins.select(col("bin"), col("iid").as("ib"),
         col("s_ns").as("sb"), col("e_ns").as("eb")), "bin")
       .filter(col("ia") < col("ib"))
-      .select("ia", "ib", "sa", "ea", "sb", "eb").distinct()
+      .filter(col("bin") === greatest(expr(s"sa div $H"), expr(s"sb div $H")))
       .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
     val deg = cand.select(col("ia").as("iid"))
       .unionByName(cand.select(col("ib").as("iid")))

@@ -55,7 +55,8 @@ class DeterminismSpec extends SparkSpec {
     // together ~2.9 s against the ~4.4 s the budget went down this
     // round.
     // +4 (r15) admit events_acf (1.06 s), join_interval_overlap
-    // (3.67 s), lm_kneser_ney (1.61 s), multimodal_gif_decode
+    // (3.67 s at admission; 2.25 s after the same-round dedup-free
+    // max-start-bin emission), lm_kneser_ney (1.61 s), multimodal_gif_decode
     // (0.64 s) — all measured min-of-2 at sf0.1 this round; each is
     // a plan family nothing else times (exact-moment lag join,
     // bin-blocked interval self-join, four-statistic bigram rollup,
