@@ -459,6 +459,37 @@ object Connectors {
       .select("n_v1", "n_v2", "v1_id_sum", "v2_id_sum")
   }
 
+  /** Snapshot RESTORE through the DSv2 sink — the lakehouse rollback
+    * idiom completed: time travel ([[dsv2TimeTravel]]) reads an old
+    * snapshot; RESTORE makes it current again AS A NEW COMMIT (v3 =
+    * v1's content), never by deleting history — v2 stays readable
+    * under `versionAsOf`, exactly how production table formats spell
+    * rollback so concurrent readers of v2 are never invalidated. The
+    * query reads all three versions and reports per-version digests:
+    * a green row proves the restore wrote v1's content bit-for-bit
+    * while preserving the superseded snapshot. */
+  def dsv2Restore(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-dsv2-restore")
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    def sink(df: DataFrame): Unit =
+      df.write.format("graft.sources.GraftDocsSink")
+        .option("path", dir).mode("overwrite").save()
+    sink(docs.filter(col("doc_id") % 2 === 0)) // v1
+    sink(docs)                                 // v2
+    // RESTORE: read the pinned v1 snapshot, commit it as v3
+    sink(s.read.format("graft.sources.GraftDocsSink")
+      .option("path", dir).option("versionAsOf", "1").load())
+    def stats(ver: String, tag: Int): DataFrame =
+      s.read.format("graft.sources.GraftDocsSink")
+        .option("path", dir).option("versionAsOf", ver).load()
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("n_chars"))
+        .select(lit(tag.toLong).as("version"), col("n_docs"),
+          col("id_sum"), col("n_chars"))
+    stats("1", 1).unionAll(stats("2", 2)).unionAll(stats("3", 3))
+      .orderBy("version")
+  }
+
   /** Incremental JOIN-view maintenance — the delta identity every IVM
     * engine rests on: with both sides split into base and delta,
     * V_new = (O∖ΔO ⋈ L∖ΔL) ∪ (ΔO ⋈ L∖ΔL) ∪ (O∖ΔO ⋈ ΔL) ∪ (ΔO ⋈ ΔL).
@@ -631,6 +662,21 @@ object Connectors {
       """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
         |  md5(text || chr(10)) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // oracle: versions 1 and 3 are the even half, 2 the full corpus —
+    // derived straight from documents, so a restore that republished
+    // the wrong snapshot (or clobbered v2) breaks the hash
+    Q("maint_snapshot_restore", dsv2Restore, Some(
+      """WITH e AS (SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s,
+        |             CAST(SUM(strlen(text)) AS BIGINT) AS c
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |a AS (SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s,
+        |        CAST(SUM(strlen(text)) AS BIGINT) AS c
+        |      FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version, e.n AS n_docs,
+        |  e.s AS id_sum, e.c AS n_chars FROM e
+        |UNION ALL SELECT 2, a.n, a.s, a.c FROM a
+        |UNION ALL SELECT 3, e.n, e.s, e.c FROM e
+        |ORDER BY version""".stripMargin)),
     Q("connector_xml", xmlRoundtrip, Some(
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  MIN(n_name) AS first_nation
