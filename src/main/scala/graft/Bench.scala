@@ -152,6 +152,28 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The r15 verdict's per-query r14/r15 comparison had to be
+    // reconstructed from truncated 2 KB stdout tails — so the detail
+    // also lands as a COMMITTED round artifact next to the driver's
+    // BENCH_r{N}.json. The round number is inferred from the committed
+    // artifacts themselves: this run belongs to round max+1 (the
+    // driver writes BENCH_r{N} AFTER the round's bench). Written only
+    // when run from the repo root on the full bench set, so a
+    // SPARK_GRAFT_BENCH_ONLY profiling subset can't masquerade as the
+    // round's numbers.
+    if (only.isEmpty) {
+      val rPat = "BENCH_r(\\d+)\\.json".r
+      val round = Option(new java.io.File(".").listFiles).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case rPat(n) => Some(n.toInt)
+          case _ => None
+        }).reduceOption(_ max _).map(_ + 1)
+      round.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"BENCH_DETAIL_r$r%02d.json"),
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2+adaptive-3rd-warmed","pass_totals":$passTotals,"errors":$errJson,"queries":${qjson(slowest)},"sf":"$sfDir"}"""
     println(summary)

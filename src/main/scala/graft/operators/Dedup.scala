@@ -2506,10 +2506,6 @@ object Dedup {
          |  CAST(m.cn AS DOUBLE) / CAST(x.dg + y.dg - m.cn AS DOUBLE) AS jaccard
          |FROM miss m JOIN okd x ON x.v = m.a JOIN okd y ON y.v = m.b
          |ORDER BY m.a, m.b""".stripMargin)),
-    // oracle norms are precomputed ONCE per vector (a MATERIALIZED
-    // sqrt-of-self-dot CTE) instead of re-folded per pair — the same
-    // IEEE sequence (fold → sqrt → product → divide), so the cosine
-    // is bit-identical, at a third of the per-pair float work
     // oracle: the same blocked pass, integer agreement counts, and
     // the identical smoothed-ratio product (e-notation literals; both
     // engines truncate integer division toward zero, checked)
@@ -2558,6 +2554,10 @@ object Dedup {
         |  AS weight
         |FROM p, mu WHERE is_match = 0
         |ORDER BY weight DESC, ka, kb LIMIT 20""".stripMargin)),
+    // oracle norms are precomputed ONCE per vector (a MATERIALIZED
+    // sqrt-of-self-dot CTE) instead of re-folded per pair — the same
+    // IEEE sequence (fold → sqrt → product → divide), so the cosine
+    // is bit-identical, at a third of the per-pair float work
     Q("dedup_embedding_recall", embeddingRecall, Some(
       s"""WITH nm AS MATERIALIZED (
          |  SELECT vec_id, embedding,

@@ -775,17 +775,33 @@ object Events {
     * Candidate mass is Σ per-bin density² — bounded by peak
     * concurrency, not corpus size (the LSH band-join discipline
     * applied to the time axis). */
-  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val H = 3600L * 1000000000L // hour bin, ns
-    val sess = cached(withSessionIds(load(s, d))
+  def intervalOverlap(s: SparkSession, d: String): DataFrame =
+    overlapHistogram(sessionIntervals(s, d))
+
+  /** The (iid, s_ns, e_ns) session-interval frame [[intervalOverlap]]
+    * and its streaming twin both consume. Interval identity is the
+    * (user, session) pair AS A STRUCT — unique at any session
+    * cardinality by construction. (An arithmetic `user*stride +
+    * session` key silently ALIASES once a user's session ordinal
+    * crosses the stride, and because the oracle would share the
+    * encoding, both engines would agree on the wrong histogram —
+    * wrong-but-green. The struct key removes the trap instead of
+    * guarding it.) */
+  private[graft] def sessionIntervals(s: SparkSession, d: String): DataFrame =
+    withSessionIds(load(s, d))
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("s_ns"), max("ts").as("e_ns"))
-      // unique interval id — per-user session ordinals start at 1 and
-      // are bounded by the user's own event count, far under the 1e6
-      // stride at any driver SF (a production run would widen the
-      // stride or use a struct key)
-      .select((col("user_id") * 1000000L + col("session_id")).as("iid"),
-        col("s_ns"), col("e_ns")))
+      .select(struct(col("user_id"), col("session_id")).as("iid"),
+        col("s_ns"), col("e_ns"))
+
+  /** The concurrency histogram over ANY (iid, s_ns, e_ns) interval
+    * frame — the bin-blocked candidate join + exact verify documented
+    * on [[intervalOverlap]]. Factored so the streaming twin and the
+    * key-collision spec (which feeds intervals whose ordinals would
+    * alias any fixed arithmetic stride) run the identical plan. */
+  private[graft] def overlapHistogram(iv: DataFrame): DataFrame = {
+    val H = 3600L * 1000000000L // hour bin, ns
+    val sess = cached(iv)
     val bins = sess.select(col("iid"), col("s_ns"), col("e_ns"),
       explode(sequence(expr(s"s_ns div $H"), expr(s"e_ns div $H"))).as("bin"))
     // multi-bin duplicate suppression WITHOUT a distinct shuffle (the
@@ -1123,6 +1139,38 @@ object Events {
             |FROM lst, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) q
             |ORDER BY t""".stripMargin
 
+  /** join_interval_overlap's oracle — the naive interval THETA
+    * self-join over the gap-sessionized intervals. Shared VERBATIM by
+    * the streaming twin, whose maintained interval state must
+    * converge to the same histogram in any arrival order. */
+  private[graft] val oIntervalOverlapSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked),
+      |iv AS MATERIALIZED (
+      |  SELECT user_id AS u, session_id AS sid,
+      |    epoch_ns(min(ts)) AS s_ns, epoch_ns(max(ts)) AS e_ns
+      |  FROM sessions GROUP BY user_id, session_id),
+      |p AS (SELECT a.u AS ua, a.sid AS sa, b.u AS ub, b.sid AS sb
+      |      FROM iv a JOIN iv b
+      |      ON (a.u, a.sid) < (b.u, b.sid)
+      |         AND a.s_ns <= b.e_ns AND b.s_ns <= a.e_ns),
+      |deg AS (SELECT u, sid, COUNT(*) AS c FROM
+      |        (SELECT ua AS u, sa AS sid FROM p
+      |         UNION ALL SELECT ub, sb FROM p) q
+      |        GROUP BY u, sid)
+      |SELECT CAST(COALESCE(c, 0) AS BIGINT) AS concurrency,
+      |  COUNT(*) AS n_sessions
+      |FROM iv LEFT JOIN deg USING (u, sid)
+      |GROUP BY 1 ORDER BY concurrency""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // oracle: the identical left fold over the identical total order;
     // alpha = 1/8 is exactly representable so the IEEE sequences agree
@@ -1243,31 +1291,11 @@ object Events {
         |ORDER BY n_active DESC, hour_bin LIMIT 20""".stripMargin)),
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
-    // the engine's bin-blocked candidate join must reproduce
-    Q("join_interval_overlap", intervalOverlap, Some(
-      """WITH marked AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM marked),
-        |iv AS MATERIALIZED (
-        |  SELECT user_id * 1000000 + session_id AS iid,
-        |    epoch_ns(min(ts)) AS s_ns, epoch_ns(max(ts)) AS e_ns
-        |  FROM sessions GROUP BY user_id, session_id),
-        |p AS (SELECT a.iid AS ia, b.iid AS ib FROM iv a JOIN iv b
-        |      ON a.iid < b.iid AND a.s_ns <= b.e_ns AND b.s_ns <= a.e_ns),
-        |deg AS (SELECT iid, COUNT(*) AS c FROM
-        |        (SELECT ia AS iid FROM p UNION ALL SELECT ib FROM p) q
-        |        GROUP BY iid)
-        |SELECT CAST(COALESCE(c, 0) AS BIGINT) AS concurrency,
-        |  COUNT(*) AS n_sessions
-        |FROM iv LEFT JOIN deg USING (iid)
-        |GROUP BY 1 ORDER BY concurrency""".stripMargin)),
+    // the engine's bin-blocked candidate join must reproduce.
+    // Interval identity is the raw (user_id, session_id) pair (the
+    // engine's struct key), never an arithmetic encoding that could
+    // alias at scale and agree wrongly with the engine.
+    Q("join_interval_overlap", intervalOverlap, Some(oIntervalOverlapSql)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
     Q("events_rolling_distinct", rollingDistinct, Some(oRollingSql)),

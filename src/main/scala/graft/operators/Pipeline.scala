@@ -166,22 +166,57 @@ object Pipeline {
     * the shuffle-quality statistic (≈ n/3 expected for a uniform
     * permutation; an ineffective salt reports identical sums).
     *
-    * Scale: per-epoch positions are epoch-partitioned windows (each
-    * epoch's sort shards with it); the displacement report is
-    * |epochs| rows. */
+    * Scale: per-epoch positions use the TWO-PHASE range-partition
+    * rank (the [[curriculum]] spelling, generalized per epoch) — a
+    * `Window.partitionBy(epoch)` would put each epoch's ENTIRE corpus
+    * in one window partition, i.e. |epochs| single-task global sorts
+    * (the r15 advice catch). Here the exploded (epoch, h, doc_id)
+    * rows range-partition across 32 tasks; per-(epoch, pid) counts
+    * broadcast back as offsets (|epochs|×32 rows) and local
+    * row_numbers complete the global rank. The ingest-order base rank
+    * is epoch-independent, so it is computed ONCE over doc_id (same
+    * two-phase shape) and equi-joined back. Text never shuffles —
+    * hashes are computed map-side and only (epoch, doc_id, h) rows
+    * move. The displacement report is |epochs| rows. */
   def epochShuffle(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
-    val byEpoch = Window.partitionBy("epoch")
-    val shuffled = docs
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // global rank of doc_id (ingest order), two-phase
+    val dparts = cached(docs.select(col("doc_id"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val doffs = dparts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(sum("cnt").over(prior), lit(0L)).as("off"))
+    val based = dparts
+      .withColumn("lrk", row_number()
+        .over(Window.partitionBy("pid").orderBy("doc_id")).cast("long"))
+      .join(broadcast(doffs), "pid")
+      .select(col("doc_id"), (col("off") + col("lrk") - 1).as("base"))
+    // global rank of (h, doc_id) WITHIN each epoch, two-phase: range
+    // partitioning on (epoch, h, doc_id) keeps every pid's rows ≥ all
+    // lower pids' rows in that order, so a per-(epoch, pid') count
+    // prefix-sum over pid' < pid is each row's epoch-global offset
+    val hashed = docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), lit(ShuffleEpochs))).as("epoch"))
-      .withColumn("h", polyHash(concat(lit("e"),
-        col("epoch").cast("string"), col("text"))))
-      .withColumn("pos",
-        row_number().over(byEpoch.orderBy("h", "doc_id")).cast("long") - 1)
-      .withColumn("base",
-        row_number().over(byEpoch.orderBy("doc_id")).cast("long") - 1)
-    shuffled
+      .select(col("epoch"), col("doc_id"),
+        polyHash(concat(lit("e"), col("epoch").cast("string"), col("text")))
+          .as("h"))
+    val parts = cached(hashed
+      .repartitionByRange(32, col("epoch"), col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val offs = parts.groupBy("epoch", "pid").agg(count(lit(1)).as("cnt"))
+      .select(col("epoch"), col("pid"),
+        coalesce(sum("cnt").over(Window.partitionBy("epoch").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    parts
+      .withColumn("lrk", row_number()
+        .over(Window.partitionBy("epoch", "pid").orderBy("h", "doc_id"))
+        .cast("long"))
+      .join(broadcast(offs), Seq("epoch", "pid"))
+      .select(col("epoch"), col("doc_id"), (col("off") + col("lrk") - 1).as("pos"))
+      .join(based, "doc_id")
       .groupBy("epoch")
       .agg(count(lit(1)).as("n_docs"),
         sum(abs(col("pos") - col("base"))).as("sum_displacement"))

@@ -968,6 +968,169 @@ object Relational {
       .orderBy("price_c")
   }
 
+  /** TPC-H Q2-SHAPED minimum-cost supplier, partsupp-free: for every
+    * small STANDARD part, which EUROPE supplier offers it cheapest?
+    * Q2's defining plan shape is the CORRELATED MIN-COST SUBQUERY
+    * over the same relation the detail branch reads — decorrelated
+    * (as Catalyst would) into a per-part min aggregate joined back on
+    * (part, EXACT decimal cost equality), so ties at the min report
+    * every tying supplier, TPC-H semantics. The offering relation is
+    * DERIVED from lineitem (the driver corpus ships no partsupp —
+    * TESTDATA.md): per (part, supplier), the minimum discounted line
+    * price ever shipped, exact DECIMAL end to end (a double cost
+    * would make the min-equality tie set diverge between engines
+    * under reordered sums).
+    *
+    * Scale: lineitem shuffles ONCE on the (partkey, suppkey) pair;
+    * both consumers — the min-per-part branch and the detail branch —
+    * read the identical regional subtree, which exchange reuse
+    * materializes once (PlanSpec pins the ReusedExchange). The region
+    * restriction broadcasts as a filtered nation-key set; part's
+    * selective filter prunes before its join; the final top-100 is a
+    * TakeOrdered, never a global sort. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val offers = li(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).as("cost"))
+    val eurKeys = Tables(s, d, "nation")
+      .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("eu_nk"), col("n_name"))
+    val regional = offers
+      .join(Tables(s, d, "supplier"), col("sk") === col("s_suppkey"))
+      .join(broadcast(eurKeys), col("s_nationkey") === col("eu_nk"))
+    val minCost = regional.groupBy(col("pk").as("mpk"))
+      .agg(min(col("cost")).as("min_cost"))
+    regional
+      .join(minCost, col("pk") === col("mpk") && col("cost") === col("min_cost"))
+      .join(Tables(s, d, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 7)
+        .select("p_partkey", "p_brand"),
+        col("pk") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        col("cost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20-SHAPED excess-shipper chain, partsupp-free: which ASIA
+    * suppliers CONCENTRATED their shipments of red parts in 1998 —
+    * more quantity that year than all other years combined, yet not
+    * exclusively (so single-burst pairs don't trivially qualify)?
+    * Q20's defining shape is a SEMI-JOIN OF A SEMI-JOIN: supplier
+    * semi-joins the qualifying (part, supplier) relation, which
+    * itself semi-joins the name-filtered part list, with the quantity
+    * threshold correlated per (part, supplier). The correlated
+    * `availqty > 0.5·sum(qty in window)` comparison becomes a
+    * CONDITIONAL aggregate off ONE lineitem scan — all-time sum vs
+    * in-1998 sum per pair, filtered `2·y > all ∧ y < all`,
+    * integer-exact (quantities are integral and ride longs; both
+    * engines compare the same integers) — never a second fact pass
+    * (PlanSpec pins the single scan).
+    *
+    * Scale: one (partkey, suppkey) fact shuffle; the part list
+    * semi-joins BEFORE touching supplier, so the supplier semi-probe
+    * sees only qualifying pairs; nation/region ride a broadcast;
+    * output is |suppliers|-bounded. */
+  def q20ExcessShippers(s: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val ship = li(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(qty).as("all_qty"),
+        sum(when(year(col("l_shipdate")) === 1998, qty).otherwise(0L))
+          .as("y_qty"))
+      .filter(col("y_qty") * 2 > col("all_qty") &&
+        col("y_qty") < col("all_qty"))
+    val redParts = Tables(s, d, "part")
+      .filter(col("p_name").startsWith("red "))
+      .select(col("p_partkey"))
+    val asiaKeys = Tables(s, d, "nation")
+      .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"), col("n_name"))
+    Tables(s, d, "supplier")
+      .join(ship.join(redParts, col("pk") === col("p_partkey"), "left_semi"),
+        col("s_suppkey") === col("sk"), "left_semi")
+      .join(broadcast(asiaKeys), col("s_nationkey") === col("asia_nk"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
+      .orderBy("s_name", "s_suppkey")
+  }
+
+  /** TPC-H Q11-SHAPED value concentration, partsupp-free: which parts
+    * carry an outsized share of one nation's shipped value? Q11's
+    * defining shape is the HAVING-AGAINST-A-GLOBAL-SCALAR: the same
+    * grouped rollup feeds both the per-part values and (re-aggregated)
+    * the global threshold — so the rollup is [[graft.Core.cached]]
+    * (one fact scan; the [[topSupplier]] discipline) and the 1-row
+    * total broadcasts back. The per-part value is the exact-decimal
+    * discounted-price sum of NATION_3's shipments; the threshold test
+    * `value · 10000 > total` keeps BOTH sides exact decimals —
+    * multiplying by the integer instead of the 1e-4 fraction avoids
+    * introducing any rounding either engine could order differently.
+    * Scale: one nation-pruned fact shuffle on partkey; the rollup is
+    * |parts| rows (pinnable); threshold and sort are rollup-sized. */
+  def q11ValueConcentration(s: SparkSession, d: String): DataFrame = {
+    val natKeys = Tables(s, d, "nation")
+      .filter(col("n_name") === "NATION_3")
+      .select(col("n_nationkey").as("nk"))
+    val suppKeys = Tables(s, d, "supplier")
+      .join(broadcast(natKeys), col("s_nationkey") === col("nk"))
+      .select(col("s_suppkey").as("sk"))
+    val vals = cached(li(s, d)
+      .join(broadcast(suppKeys), col("l_suppkey") === col("sk"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .as("val_dec")))
+    val tot = vals.agg(sum(col("val_dec")).as("tot_dec"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("val_dec") * 10000 > col("tot_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("val_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16-SHAPED supplier-count report, partsupp-free: how many
+    * DISTINCT suppliers ship each (brand, type, size) of the
+    * non-excluded catalog — excluding distrusted suppliers via Q16's
+    * defining NOT IN (a NULL-AWARE anti-join; the exclusion list is
+    * suppliers in negative account balance, the corpus's stand-in
+    * for the `%Complaints%` comment filter). The (part, supplier)
+    * relation is the distinct pair projection of lineitem; part
+    * carries Q16's triple predicate (brand ≠, type NOT LIKE prefix,
+    * size IN-list).
+    *
+    * Scale: pairs collapse in a partial+final (pk, sk) distinct
+    * before any join; the exclusion list is |suppliers|-bounded and
+    * broadcasts. The exclusion keys are non-null, so the plain
+    * LEFT ANTI here is semantically identical to Q16's NOT IN — the
+    * null-aware variant itself is exercised (and PlanSpec-pinned) by
+    * `join_null_aware_anti`. count(DISTINCT sk) per attribute triple
+    * is the standard two-stage expand aggregate. */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = li(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val excluded = Tables(s, d, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = Tables(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#4" &&
+        !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs
+      .join(parts, col("pk") === col("p_partkey"))
+      .join(excluded, col("sk") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("sk")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val queries: Seq[Q] = Seq(
     // oracle: single global window (fine at sf0.01; the Spark side is
     // the two-phase scale spelling of the same running max)
@@ -1328,6 +1491,84 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+    // oracle: the classic correlated-subquery spelling — cost equals
+    // the per-part regional minimum — which DuckDB decorrelates the
+    // same way the engine spells explicitly; the min-equality ties
+    // compare exact decimals on both sides
+    Q("q2_shape_min_cost", q2MinCostSupplier, Some(
+      """WITH offers AS MATERIALIZED (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |      AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |regional AS MATERIALIZED (
+        |  SELECT o.pk, o.cost, s.s_name, s.s_acctbal, n.n_name
+        |  FROM offers o
+        |  JOIN supplier s ON o.sk = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'EUROPE')
+        |SELECT rg.s_acctbal, rg.s_name, rg.n_name, p.p_partkey, p.p_brand,
+        |  CAST(rg.cost AS DOUBLE) AS supply_cost
+        |FROM regional rg
+        |JOIN part p ON rg.pk = p.p_partkey
+        |WHERE p.p_type = 'STANDARD' AND p.p_size <= 7
+        |  AND rg.cost = (SELECT MIN(r2.cost) FROM regional r2
+        |                 WHERE r2.pk = rg.pk)
+        |ORDER BY rg.s_acctbal DESC, rg.n_name, rg.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin)),
+    // oracle: the classic nested-IN spelling of the semi-join chain;
+    // the quantity threshold compares the same exact integers
+    Q("q20_shape_excess_semi", q20ExcessShippers, Some(
+      """WITH ship AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS all_qty,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1998
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS y_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |WHERE s.s_suppkey IN (
+        |  SELECT sk FROM ship
+        |  WHERE 2 * y_qty > all_qty AND y_qty < all_qty
+        |    AND pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'))
+        |ORDER BY s_name, s_suppkey""".stripMargin)),
+    // oracle: the classic HAVING-against-a-scalar-subquery spelling;
+    // the threshold compares exact decimals ×10000 on both sides
+    Q("q11_shape_value_conc", q11ValueConcentration, Some(
+      """WITH sk AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |vals AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |      AS val_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM sk)
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(val_dec) AS tot_dec FROM vals)
+        |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS value
+        |FROM vals CROSS JOIN tot
+        |WHERE val_dec * 10000 > tot_dec
+        |ORDER BY value DESC, p_partkey""".stripMargin)),
+    // oracle: the classic distinct-pair + triple-predicate + NOT IN
+    // spelling; the exclusion keys are non-null so NOT IN ≡ anti-join
+    Q("q16_shape_supplier_cnt", q16SupplierCounts, Some(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
     Q("q15_top_supplier", topSupplier, Some(
       s"""WITH revenue AS (
          |  SELECT l_suppkey, SUM($discPrice) AS rev_dec

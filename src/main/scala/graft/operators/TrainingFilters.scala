@@ -408,6 +408,69 @@ object TrainingFilters {
       .limit(20)
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM LM with bigram back-off — the
+    * two-level join chain [[kneserNey]]'s flat four-statistic rollup
+    * doesn't exercise (Chen & Goodman '99, the full recursion):
+    *
+    *   P(w3|w1w2) = (c123−D)/c12· + (D·N₁₊(w1w2·)/c12·) · P₂(w3|w2)
+    *   P₂(w3|w2)  = (N₁₊(·w2w3)−D)/N₁₊(·w2·)
+    *                  + (D·N₁₊(w2·)/N₁₊(·w2·)) · N₁₊(·w3)/N₁₊(··)
+    *
+    * The lower-order distribution uses CONTINUATION TYPE counts, which
+    * Chen–Goodman define FROM the higher-order table — so ALL six
+    * statistics derive from the ONE trigram-count table (the token
+    * stream is read once): c12·/N₁₊(w1w2·) share the (w1,w2) rollup,
+    * the type table N₁₊(·w2w3) is a (w2,w3) rollup of c123, and the
+    * three bigram-level statistics are rollups of THAT. D = 3/4 at
+    * both levels (exactly representable); every other input is an
+    * integer count and the cast/op sequence is mirrored in the
+    * oracle, so both probabilities are bit-reproducible.
+    *
+    * Scale: c123 and the type table are cached (each feeds 2–3
+    * consumers); all joins are vocabulary-keyed equi-joins (partial →
+    * final aggregates; AQE broadcasts the small rollups at driver SF
+    * and shuffles them at corpus scale); only the 1-row type total is
+    * an explicit broadcast. The report is a c123-ordered top-20
+    * TakeOrdered. */
+  def kneserNeyTrigram(s: SparkSession, d: String): DataFrame = {
+    val tg = docs(s, d)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 2), g =>
+        struct(element_at(col("t"), g).as("w1"),
+          element_at(col("t"), g + 1).as("w2"),
+          element_at(col("t"), g + 2).as("w3")))).as("b"))
+      .select(col("b.w1"), col("b.w2"), col("b.w3"))
+    val c123 = cached(tg.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123")))
+    val ctx12 = c123.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n_follow12"))
+    val mid23 = cached(c123.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("n_mid")))
+    val mid2 = mid23.groupBy("w2")
+      .agg(sum("n_mid").as("n_mid2"), count(lit(1)).as("n_types2"))
+    val cont3 = mid23.groupBy("w3").agg(count(lit(1)).as("n_prec3"))
+    val tt2 = mid23.agg(count(lit(1)).as("tt2"))
+    val D = lit(0.75)
+    val pKn2 =
+      ((col("n_mid").cast("double") - D) / col("n_mid2").cast("double")) +
+        (D * col("n_types2").cast("double") / col("n_mid2").cast("double")) *
+          (col("n_prec3").cast("double") / col("tt2").cast("double"))
+    c123.join(ctx12, Seq("w1", "w2"))
+      .join(mid23, Seq("w2", "w3"))
+      .join(mid2, "w2")
+      .join(cont3, "w3")
+      .crossJoin(broadcast(tt2))
+      .withColumn("p_kn2", pKn2)
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        col("p_kn2"),
+        (((col("c123").cast("double") - D) / col("c12").cast("double")) +
+          (D * col("n_follow12").cast("double") / col("c12").cast("double")) *
+            col("p_kn2")).as("p_kn3"))
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(20)
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -571,5 +634,35 @@ object TrainingFilters {
          |      * (CAST(n_precede AS DOUBLE) / CAST(tt AS DOUBLE)) AS p_kn
          |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt
          |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
+    // oracle: the same six statistics off the same single trigram
+    // table; p_kn2 is aliased in a subquery so both engines run the
+    // identical IEEE sequence for the back-off product
+    Q("lm_kn_trigram", kneserNeyTrigram, Some(
+      s"""WITH t AS (SELECT $oTok AS t FROM documents),
+         |tg AS (SELECT t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
+         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS g
+         |             FROM t WHERE len(t) >= 3)),
+         |c123 AS MATERIALIZED (
+         |  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+         |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |            COUNT(*) AS n_follow12 FROM c123 GROUP BY 1, 2),
+         |mid23 AS MATERIALIZED (
+         |  SELECT w2, w3, COUNT(*) AS n_mid FROM c123 GROUP BY 1, 2),
+         |mid2 AS (SELECT w2, CAST(SUM(n_mid) AS BIGINT) AS n_mid2,
+         |           COUNT(*) AS n_types2 FROM mid23 GROUP BY 1),
+         |cont3 AS (SELECT w3, COUNT(*) AS n_prec3 FROM mid23 GROUP BY 1),
+         |tt2 AS (SELECT COUNT(*) AS tt2 FROM mid23),
+         |j AS (
+         |  SELECT w1, w2, w3, c123, c12, n_follow12,
+         |    ((CAST(n_mid AS DOUBLE) - 7.5e-1) / CAST(n_mid2 AS DOUBLE))
+         |      + (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
+         |        * (CAST(n_prec3 AS DOUBLE) / CAST(tt2 AS DOUBLE)) AS p_kn2
+         |  FROM c123 JOIN ctx12 USING (w1, w2) JOIN mid23 USING (w2, w3)
+         |  JOIN mid2 USING (w2) JOIN cont3 USING (w3) CROSS JOIN tt2)
+         |SELECT w1, w2, w3, c123, c12, p_kn2,
+         |  ((CAST(c123 AS DOUBLE) - 7.5e-1) / CAST(c12 AS DOUBLE))
+         |    + (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE))
+         |      * p_kn2 AS p_kn3
+         |FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 20""".stripMargin)),
   )
 }

@@ -823,6 +823,90 @@ object Streams {
       idx.groupBy("doc_id").agg(max("nf").as("nf")))
   }
 
+  /** Streaming session-interval maintenance — the r15 interval
+    * family's twin, closing its batch-only gap: events ARRIVE in a
+    * deliberately time-SCATTERED replay (hash-partitioned by
+    * event_id across 4 micro-batches, so every batch holds a
+    * time-interleaved slice of every user's events — the adversarial
+    * arrival order) and `foreachBatch` maintains each user's merged
+    * session intervals with a GAP-TOLERANT INTERVAL-MERGE fold:
+    * batch events enter as point intervals, (state ∪ points)
+    * re-merges per user, spans closer than the 30-min gap fuse.
+    * The fold is ORDER-INDEPENDENT — a merged span's endpoints are
+    * true event times and its interior gaps can never matter for a
+    * future merge (they were ≤ gap when fused and stay so), so any
+    * arrival order converges to the batch sessionization, including
+    * the bridging case where a later batch's event FUSES two spans
+    * an earlier batch left apart. The concurrency histogram runs at
+    * READ time over the maintained intervals through literally the
+    * same [[graft.operators.Events.overlapHistogram]] plan as the
+    * batch report (the [[streamAnnUpsert]] read-time-pairing
+    * discipline).
+    *
+    * Scale: state is one (user, s_ns, e_ns) row per session — 24
+    * bytes each, |users|·|sessions| total; the per-batch fold
+    * shuffles batch points plus the state leaf on user_id and each
+    * user's lambda-fold is O(own sessions). At production scale the
+    * state merge is a MERGE touching only arriving users' rows
+    * (state is user-partitioned; a batch names its users); the
+    * full-state rewrite here is the verify-harness equivalent. */
+  /** The gap-tolerant interval-merge fold over (user_id, s_ns, e_ns)
+    * rows: per user, sort the spans and fuse any closer than the
+    * 30-min session gap (`x.s ≤ last.e + gap` — the same STRICT `>`
+    * new-session rule as the batch sessionizer). Idempotent and
+    * order-independent, so (state ∪ batch-points) re-folds converge
+    * regardless of arrival order; the spec pins the bridging case. */
+  private[graft] def mergeIntervals(rows: DataFrame): DataFrame = {
+    val gapNs = 30L * 60 * 1000000000L
+    rows
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("s_ns"), col("e_ns")))).as("a"))
+      .select(col("user_id"), explode(expr(
+        s"""aggregate(slice(a, 2, size(a) - 1), array(a[0]),
+           |  (acc, x) -> CASE
+           |    WHEN x.s_ns <= element_at(acc, -1).e_ns + ${gapNs}L
+           |    THEN concat(slice(acc, 1, size(acc) - 1), array(named_struct(
+           |      's_ns', element_at(acc, -1).s_ns,
+           |      'e_ns', greatest(element_at(acc, -1).e_ns, x.e_ns))))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin)).as("iv"))
+      .select(col("user_id"), col("iv.s_ns").as("s_ns"),
+        col("iv.e_ns").as("e_ns"))
+  }
+
+  def streamIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.Core.tempDir("graft-iv-src")
+    graft.Tables(s, d, "events")
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stateRoot = graft.Core.tempDir("graft-iv-state")
+    @volatile var curState: Option[String] = None
+    def fold(rows: DataFrame): DataFrame = mergeIntervals(rows)
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pts = batch
+          .withColumn("ns", graft.Core.epochNs(col("ts").cast("timestamp")))
+          .select(col("user_id"), col("ns").as("s_ns"), col("ns").as("e_ns"))
+        val merged = curState match {
+          case None => fold(pts)
+          case Some(p) => fold(s.read.parquet(p).unionByName(pts))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamIntervalOverlap")
+    // read-time pairing: identical plan to the batch report; interval
+    // identity is (user, span start) — unique, sessions are disjoint
+    graft.operators.Events.overlapHistogram(
+      s.read.parquet(curState.get)
+        .select(struct(col("user_id"), col("s_ns").as("start_ns")).as("iid"),
+          col("s_ns"), col("e_ns")))
+  }
+
   /** Streaming NEAR-dup ingest filter — the fuzzy sibling of
     * [[streamDedupExact]]: documents ARRIVE (file replay, 4
     * micro-batches) and only band-bucket canonicals survive. The
@@ -1874,6 +1958,11 @@ object Streams {
     // row, so the batch pair-report oracle is the streaming truth too
     Q("stream_winnowing_pairs", streamWinnowingPairs,
       Some(graft.operators.TrainingFilters.oWinnowPairsSql)),
+    // the order-independent interval-merge fold converges to the
+    // batch sessionization, so the batch theta-join oracle is the
+    // streaming truth too (time-scattered arrival included)
+    Q("stream_interval_overlap", streamIntervalOverlap,
+      Some(graft.operators.Events.oIntervalOverlapSql)),
     Q("stream_hll_users", streamHllUsers, Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound

@@ -61,4 +61,34 @@ class CoreSpec extends SparkSpec {
       c12.inputFiles.forall(_.contains("graft-bpe-ckpt")),
       s"state should read ONLY the checkpoint leaf, got: ${c12.inputFiles.take(3).mkString(", ")}")
   }
+
+  test("every .collect() in src/main is a 1-row limit(1) loop-control read") {
+    // The SCALE.md invariant, pinned grep-ably: no DATA-bearing
+    // collect may land in the engine. The three legal sites today are
+    // iterative loop-control reads (MMR round winner ×2, BPE argmax)
+    // — each collects a TakeOrdered/limit(1) single row to inline as
+    // a literal in the next round's plan. Any new `.collect()` must
+    // either sit within 2 lines of its `limit(1)` or be consciously
+    // admitted here by raising the pinned count WITH a justification.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(files.nonEmpty, s"no sources under $root — cwd moved?")
+    val sites = files.flatMap { p =>
+      val lines = java.nio.file.Files.readAllLines(p).asScala.toVector
+      lines.zipWithIndex.collect {
+        case (l, i)
+            if l.contains(".collect()") &&
+              !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+          val window = lines.slice(math.max(0, i - 2), i + 1)
+          (s"$p:${i + 1}", window.exists(_.contains("limit(1)")))
+      }
+    }
+    val illegal = sites.filterNot(_._2).map(_._1)
+    assert(illegal.isEmpty,
+      s"data-bearing .collect() without a limit(1) within 2 lines: ${illegal.mkString(", ")}")
+    assert(sites.size == 3,
+      s"loop-control collect census changed (expected 3): ${sites.map(_._1).mkString(", ")}")
+  }
 }

@@ -1263,6 +1263,56 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("q2 shape: the offering rollup is computed once — exchange reuse fires") {
+    // Q2's decorrelated min-cost subquery and the detail branch read
+    // the identical regional subtree; materializing it twice would
+    // double the fact shuffle. The pin: the executed plan carries a
+    // ReusedExchange (and no second lineitem scan pair beyond it).
+    val df = Relational.q2MinCostSupplier(spark, sf)
+    // collect() drives THIS QueryExecution (a noop write would plan a
+    // fresh one), so the AQE final plan with reuse nodes is visible
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(1200))
+    Core.releaseCaches()
+  }
+
+  test("q20 shape: one lineitem scan feeds the semi-join chain") {
+    val df = Relational.q20ExcessShippers(spark, sf)
+    val s = formatted(df)
+    // the conditional aggregate derives all-time AND in-1998 sums off
+    // a single fact pass — a second Scan of lineitem means the
+    // correlated threshold regressed to its own subquery scan
+    // each scan node's Location line names its parquet once
+    val liScans = s.split("\n").count(_.contains("lineitem.parquet"))
+    assert(liScans == 1, s"lineitem scanned $liScans times:\n${s.take(800)}")
+    // both semi-join levels survive planning
+    assert("LeftSemi".r.findAllIn(s).size >= 2, s.take(800))
+    Core.releaseCaches()
+  }
+
+  test("interval identity is collision-free at ANY session ordinal (struct key)") {
+    // the r15 advice trap: a user_id*1e6+session_id key aliases
+    // (u=1, sid=2_000_000) with (u=3, sid=0) — and an oracle sharing
+    // the encoding agrees on the wrong histogram. The struct key must
+    // keep them distinct: both intervals overlap each other and
+    // nothing else, so the correct histogram is {1 → 2, 0 → 1}.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 2000000L, 0L, 100L), // aliases (3, 0) under the old stride
+      (3L, 0L, 50L, 200L), //     overlaps ONLY the row above
+      (9L, 7L, 10000L, 10001L)) // overlaps nothing
+      .toDF("user_id", "session_id", "s_ns", "e_ns")
+      .select(struct(col("user_id"), col("session_id")).as("iid"),
+        col("s_ns"), col("e_ns"))
+    val hist = graft.operators.Events.overlapHistogram(iv).collect()
+      .map(r => r.getAs[Long]("concurrency") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(hist == Map(1L -> 2L, 0L -> 1L))
+    Core.releaseCaches()
+  }
+
   test("Kneser-Ney probabilities are discounted below MLE yet stay in (0, 1)") {
     val rows = graft.operators.TrainingFilters.kneserNey(spark, sf).collect()
     assert(rows.length == 20)

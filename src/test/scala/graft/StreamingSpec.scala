@@ -35,6 +35,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("interval-merge fold is order-independent, including the bridging case") {
+    // a later batch's event can FUSE two spans an earlier batch left
+    // apart (0 min and 50 min are separate sessions until a 25-min
+    // event bridges them); incremental re-fold of (state ∪ point)
+    // must equal the all-at-once fold
+    val M = 60L * 1000000000L // one minute in ns
+    def pts(ts: Long*) = ts.map(t => (1L, t * M, t * M))
+      .toDF("user_id", "s_ns", "e_ns")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val allAtOnce = rows(Streams.mergeIntervals(pts(0L, 50L, 25L)))
+    assert(allAtOnce == Set((1L, 0L, 50L * M))) // one fused span
+    val state1 = Streams.mergeIntervals(pts(0L, 50L))
+    assert(rows(state1).size == 2) // apart until the bridge arrives
+    val state2 = Streams.mergeIntervals(state1.unionByName(pts(25L)))
+    assert(rows(state2) == allAtOnce)
+    // strictness: a gap of EXACTLY 30 min stays one session (batch
+    // rule is `> 30 min` starts a new one)…
+    assert(rows(Streams.mergeIntervals(pts(0L, 30L))).size == 1)
+    // …and 30 min + 1 ns splits
+    assert(rows(Streams.mergeIntervals(
+      Seq((1L, 0L, 0L), (1L, 30L * M + 1L, 30L * M + 1L))
+        .toDF("user_id", "s_ns", "e_ns"))).size == 2)
+  }
+
+  test("streaming interval state converges to the batch concurrency histogram") {
+    val streamed = Streams.streamIntervalOverlap(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val batch = Events.intervalOverlap(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    Core.releaseCaches()
+  }
+
   test("streaming rolling distinct's set state folds to the batch report") {
     val streamed = Streams.streamRollingDistinct(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
