@@ -1295,6 +1295,439 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  final case class JpegStats(
+      doc_id: Long, width: Long, height: Long,
+      dc_dequant: Long, n_nonzero_ac: Long,
+      px_sum: Long, px_min: Long, px_max: Long, row0_sum: Long)
+
+  /** Real baseline-DCT JPEG codec (JFIF-less interchange format:
+    * SOI/DQT/SOF0/DHT/SOS/EOI), grayscale, one 8×8 block — the
+    * ubiquitous training-corpus image format and the codec family's
+    * first TRANSFORM codec: after the entropy layer (canonical
+    * Huffman with DC difference categories, AC (run, size) symbols,
+    * EOB/ZRL, 0xFF byte-stuffing) the payload is FREQUENCY-domain
+    * coefficients that only become pixels through dequantization and
+    * an inverse DCT. JPEG is lossy in general, so unlike the
+    * PNG/GIF/QOI fixtures the pixels canNOT be the document's bytes;
+    * instead the fixture is built at the COEFFICIENT level (quantized
+    * coefficients are a pure function of the text) and decoding is
+    * made exactly reproducible by a FIXED-POINT integer IDCT — the
+    * implementation class real decoders ship (libjpeg's default
+    * islow is exactly this); the JPEG standard specifies IDCT
+    * accuracy bounds, not an implementation, so a 12-bit integer
+    * kernel is a conforming choice (measured ≤ 1 gray level from the
+    * exact float IDCT on the fixture distribution, inside the spec's
+    * tolerance). The DuckDB oracle replays the same integer kernel,
+    * so both engines agree bit-for-bit — and the engine's ONLY path
+    * to those integers runs through the real marker walk, DHT table
+    * build, bit-unstuffing Huffman decode, dequantize, and IDCT.
+    * Tables are READ FROM THE FILE (DQT/DHT), never assumed: the
+    * decoder handles any valid baseline single-component stream and
+    * rejects progressive (SOF2) and multi-component frames with
+    * explicit errors. Cross-validated against the JDK's own ImageIO
+    * JPEG reader (our encode → ImageIO read, per-pixel tolerance 2:
+    * two independent conforming IDCTs may differ by ±1 each). */
+  object JpegCodec {
+    private val N = 8
+    /** Annex-K luminance quantization table, NATURAL order. */
+    private[graft] val QNat: Array[Int] = Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99)
+    /** Zigzag scan: k-th transmitted coefficient's NATURAL index. */
+    private[graft] val ZZ: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    /** 12-bit fixed-point IDCT kernel: K(u·8+x) =
+      * round(4096 · c(u) · cos((2x+1)uπ/16)), c(0)=1/(2√2), else 1/2
+      * — embedded as literals (not computed at class init) so the
+      * DuckDB oracle carries the IDENTICAL integers. */
+    private[graft] val K: Array[Long] = Array(
+      1448, 1448, 1448, 1448, 1448, 1448, 1448, 1448,
+      2009, 1703, 1138, 400, -400, -1138, -1703, -2009,
+      1892, 784, -784, -1892, -1892, -784, 784, 1892,
+      1703, -400, -2009, -1138, 1138, 2009, 400, -1703,
+      1448, -1448, -1448, 1448, 1448, -1448, -1448, 1448,
+      1138, -2009, 400, 1703, -1703, -400, 2009, -1138,
+      784, -1892, 1892, -784, -784, 1892, -1892, 784,
+      400, -1138, 1703, -2009, 2009, -1703, 1138, -400)
+    // pixel = ((Σ + 2^23 + 2^18·2^24) >> 24) − 2^18 + 128: the bias
+    // keeps the numerator non-negative (|Σ| < 2^42), so the shift is
+    // the same floor division in Scala and in the oracle's `//`
+    private val RoundBias = (1L << 23) + (1L << 42)
+    /** Standard (Annex K) luminance DC table: BITS then HUFFVAL. */
+    private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals = (0 to 11).toArray
+    /** Standard (Annex K) luminance AC table. */
+    private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val AcVals: Array[Int] = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+
+    /** Canonical code assignment: symbol → (code, length). */
+    private def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var vi = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) {
+          m += vals(vi) -> (code, len)
+          code += 1; vi += 1; i += 1
+        }
+        code <<= 1
+        len += 1
+      }
+      m.result()
+    }
+    private val DcEnc = canonical(DcBits, DcVals)
+    private val AcEnc = canonical(AcBits, AcVals)
+
+    /** The quantized zigzag coefficients of a document: DC from the
+      * first byte, ACs in [−3, 3] from a stride-7 walk of the text
+      * (≈1/7 zeros, so runs, ZRL-free but EOB-bearing streams, and
+      * occasional 0xFF stuffing cases all occur naturally). The
+      * oracle replays this rule verbatim. */
+    private[graft] def coefficients(text: String): Array[Int] = {
+      val v = new Array[Int](64)
+      v(0) = text.charAt(0).toInt - 64
+      var k = 1
+      while (k < 64) {
+        v(k) = (text.charAt((k * 7) % text.length).toInt % 7) - 3
+        k += 1
+      }
+      v
+    }
+
+    private final class BitWriter {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0
+      private var nb = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1)
+          nb += 1
+          if (nb == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00) // byte stuffing
+            acc = 0; nb = 0
+          }
+          i -= 1
+        }
+      }
+      def flushOnes(): Unit =
+        if (nb > 0) { put((1 << (8 - nb)) - 1, 8 - nb) }
+    }
+
+    /** Amplitude size category (number of bits). */
+    private def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    /** Amplitude bits: v itself if positive, else v−1's low bits. */
+    private def amp(v: Int, t: Int): Int =
+      if (v >= 0) v else v + (1 << t) - 1
+
+    private def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + payload.length)
+      b.put(0xff.toByte).put(marker.toByte)
+      b.putShort((payload.length + 2).toShort)
+      b.put(payload)
+      b.array()
+    }
+
+    /** Encode one 8×8 grayscale baseline JPEG from quantized zigzag
+      * coefficients. */
+    private[graft] def encode(zz: Array[Int]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array(0xff.toByte, 0xd8.toByte)) // SOI
+      // DQT: Pq/Tq=0, 64 entries in zigzag order
+      val dqt = new Array[Byte](65)
+      dqt(0) = 0
+      var k = 0
+      while (k < 64) { dqt(k + 1) = QNat(ZZ(k)).toByte; k += 1 }
+      o.write(seg(0xdb, dqt))
+      // SOF0: 8-bit, 8×8, 1 component (id 1, sampling 1×1, q-table 0)
+      o.write(seg(0xc0, Array[Byte](8, 0, N.toByte, 0, N.toByte, 1, 1, 0x11, 0)))
+      // DHT: DC class 0 id 0, then AC class 1 id 0
+      o.write(seg(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)))
+      o.write(seg(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)))
+      // SOS: 1 component, DC/AC table 0, spectral 0..63
+      o.write(seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)))
+      val bw = new BitWriter
+      // DC: difference from predictor 0 (single block)
+      val t = cat(zz(0))
+      val (dcode, dlen) = DcEnc(t)
+      bw.put(dcode, dlen)
+      if (t > 0) bw.put(amp(zz(0), t), t)
+      // AC: (run, size) symbols with ZRL and EOB
+      var run = 0
+      k = 1
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val s = cat(v)
+          val (ac, al) = AcEnc((run << 4) | s)
+          bw.put(ac, al)
+          bw.put(amp(v, s), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) } // EOB
+      bw.flushOnes()
+      o.write(bw.out.toByteArray)
+      o.write(Array(0xff.toByte, 0xd9.toByte)) // EOI
+      o.toByteArray
+    }
+
+    private final class BitReader(a: Array[Byte], var pos: Int, id: Long) {
+      private var acc = 0
+      private var nb = 0
+      def bit(): Int = {
+        if (nb == 0) {
+          require(pos < a.length, s"doc $id: truncated entropy data")
+          var b = a(pos) & 0xff; pos += 1
+          if (b == 0xff) {
+            require(pos < a.length && a(pos) == 0,
+              s"doc $id: marker inside entropy data")
+            pos += 1 // stuffed zero
+          }
+          acc = b; nb = 8
+        }
+        nb -= 1
+        (acc >> nb) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+    }
+
+    /** DHT-driven canonical decoder: (length, code) → symbol. */
+    private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+      private val byLen: Array[Map[Int, Int]] = {
+        var code = 0; var vi = 0
+        val t = new Array[Map[Int, Int]](17)
+        var len = 1
+        while (len <= 16) {
+          val b = Map.newBuilder[Int, Int]
+          var i = 0
+          while (i < bits(len - 1)) { b += code -> vals(vi); code += 1; vi += 1; i += 1 }
+          t(len) = b.result()
+          code <<= 1
+          len += 1
+        }
+        t
+      }
+      def decode(br: BitReader, id: Long): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | br.bit(); len += 1
+          byLen(len).get(code) match {
+            case Some(sym) => return sym
+            case None =>
+          }
+        }
+        throw new IllegalArgumentException(s"doc $id: invalid huffman code")
+      }
+    }
+
+    private def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** Decode one baseline grayscale JPEG → (w, h, dequantized
+      * natural-order coefficients, pixels). */
+    private[graft] def pixels(id: Long, a: Array[Byte]): (Int, Int, Array[Long], Array[Int]) = {
+      require(a.length > 4 && (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd8,
+        s"doc $id: not JPEG (no SOI)")
+      def u8(p: Int): Int = a(p) & 0xff
+      def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+      var pos = 2
+      var q: Array[Int] = null // zigzag-order table, from DQT
+      var dcT: HuffTable = null
+      var acT: HuffTable = null
+      var w = -1; var h = -1
+      while (true) {
+        require(pos + 1 < a.length, s"doc $id: truncated jpeg")
+        require(u8(pos) == 0xff, s"doc $id: expected marker at $pos")
+        val m = u8(pos + 1)
+        pos += 2
+        m match {
+          case 0xd9 => throw new IllegalArgumentException(s"doc $id: EOI before SOS")
+          case 0xc2 => throw new IllegalArgumentException(
+            s"doc $id: progressive JPEG (SOF2) unsupported — baseline only")
+          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xc0 =>
+            throw new IllegalArgumentException(s"doc $id: non-baseline SOF ${mm.toHexString}")
+          case 0xdb =>
+            val len = u16(pos)
+            require(u8(pos + 2) == 0, s"doc $id: only 8-bit DQT supported")
+            q = Array.tabulate(64)(i => u8(pos + 3 + i))
+            pos += len
+          case 0xc0 =>
+            val len = u16(pos)
+            require(u8(pos + 2) == 8, s"doc $id: precision != 8")
+            h = u16(pos + 3); w = u16(pos + 5)
+            require(u8(pos + 7) == 1, s"doc $id: multi-component frames unsupported")
+            require(w == N && h == N, s"doc $id: single-MCU ${N}x$N frames only, got ${w}x$h")
+            pos += len
+          case 0xc4 =>
+            val len = u16(pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              require(th == 0, s"doc $id: only table id 0 used")
+              val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcT = t else acT = t
+              p += 17 + n
+            }
+            pos += len
+          case 0xda =>
+            val len = u16(pos)
+            require(dcT != null && acT != null && q != null && w > 0,
+              s"doc $id: SOS before tables/frame")
+            val br = new BitReader(a, pos + len, id)
+            val zz = new Array[Int](64)
+            val t = dcT.decode(br, id)
+            zz(0) = extend(br.bits(t), t) // predictor 0: diff IS the DC
+            var k = 1
+            while (k < 64) {
+              val rs = acT.decode(br, id)
+              if (rs == 0x00) k = 64 // EOB
+              else if (rs == 0xf0) k += 16 // ZRL
+              else {
+                k += (rs >> 4)
+                require(k < 64, s"doc $id: AC run past block end")
+                val s = rs & 15
+                zz(k) = extend(br.bits(s), s)
+                k += 1
+              }
+            }
+            // dequantize through the FILE's table, de-zigzag
+            val d = new Array[Long](64)
+            k = 0
+            while (k < 64) { d(ZZ(k)) = zz(k).toLong * q(k); k += 1 }
+            // fixed-point IDCT + level shift + clamp
+            val pix = new Array[Int](N * N)
+            var y = 0
+            while (y < N) {
+              var x = 0
+              while (x < N) {
+                var s = 0L
+                var r = 0
+                while (r < N) {
+                  var c = 0
+                  while (c < N) {
+                    s += d(r * 8 + c) * K(r * 8 + y) * K(c * 8 + x)
+                    c += 1
+                  }
+                  r += 1
+                }
+                val p = ((s + RoundBias) >> 24) - (1L << 18) + 128
+                pix(y * N + x) = math.max(0L, math.min(255L, p)).toInt
+                x += 1
+              }
+              y += 1
+            }
+            // remaining bytes must close with EOI (pad bits allowed)
+            var e = br.pos
+            var seen = false
+            while (e + 1 < a.length && !seen) {
+              if (u8(e) == 0xff && u8(e + 1) == 0xd9) seen = true else e += 1
+            }
+            require(seen, s"doc $id: missing EOI")
+            return (w, h, d, pix)
+          case _ => // APPn/COM/etc: skip by length
+            pos += u16(pos)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    def decode(id: Long, a: Array[Byte]): JpegStats = {
+      val (w, h, d, pix) = pixels(id, a)
+      var nz = 0L
+      var i = 1
+      while (i < 64) { if (d(ZZ(i)) != 0) nz += 1; i += 1 }
+      var sum = 0L; var mn = 255L; var mx = 0L; var row0 = 0L
+      i = 0
+      while (i < pix.length) {
+        val p = pix(i)
+        sum += p
+        if (p < mn) mn = p
+        if (p > mx) mx = p
+        if (i < w) row0 += p
+        i += 1
+      }
+      JpegStats(id, w, h, d(0), nz, sum, mn, mx, row0)
+    }
+
+    private[graft] def encodeFixture(id: Long, text: String): Array[Byte] = {
+      require(text.nonEmpty && text.forall(_ < 0x80),
+        s"media fixture requires non-empty ASCII text; got doc_id=$id")
+      encode(coefficients(text))
+    }
+  }
+
+  /** documents → REAL binary baseline JPEG files
+    * ([[JpegCodec.encodeFixture]]). */
+  def jpegTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, JpegCodec.encodeFixture(id, t))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** Registered query: real baseline-DCT JPEG decode — marker walk,
+    * DHT table build, unstuffed Huffman entropy decode, dequantize,
+    * fixed-point integer IDCT — in the same batched partition-local
+    * mapPartitions shape as [[pngDecode]]/[[gifDecode]]. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jpegTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => JpegCodec.decode(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Oracle for [[pngDecode]] AND [[pngRoundtrip]]: pixels ARE the
     * cycled text bytes (filter-0 scanlines in the fixture; the
     * round-trip preserves pixels by construction), so the oracle
@@ -1622,6 +2055,54 @@ object Multimodal {
          |  CAST(SUM(CASE WHEN j < $GifW THEN
          |    ix + (255 - ix) + (7 * ix) % 256 ELSE 0 END) AS BIGINT) AS row0_sum
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // oracle: JPEG is lossy, so pixels cannot index the text — the
+    // fixture is COEFFICIENT-level (quantized zigzag values are a
+    // pure function of the text) and the oracle replays coefficient
+    // rule → dequantize → the SAME 12-bit integer IDCT kernel →
+    // level shift/clamp, all exact integer arithmetic; the engine's
+    // only path to the same integers is the real entropy decode
+    Q("multimodal_jpeg_decode", jpegDecode, Some {
+      val zzL = JpegCodec.ZZ.mkString("[", ", ", "]")
+      val qzL = JpegCodec.ZZ.map(JpegCodec.QNat).mkString("[", ", ", "]")
+      val kL = JpegCodec.K.mkString("[", ", ", "]")
+      s"""WITH cf AS (
+         |  SELECT doc_id, k,
+         |    CASE WHEN k = 0 THEN ascii(substring(text, 1, 1)) - 64
+         |         ELSE (ascii(substring(text, ((k * 7) % length(text)) + 1, 1)) % 7) - 3
+         |    END AS v
+         |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS k) t),
+         |d AS (
+         |  SELECT doc_id, CAST(v * qz[k + 1] AS BIGINT) AS dd,
+         |    zz[k + 1] // 8 AS r, zz[k + 1] % 8 AS c
+         |  FROM cf, (SELECT $zzL AS zz, $qzL AS qz)),
+         |px AS (
+         |  SELECT doc_id, y, x,
+         |    CAST(SUM(dd * kk[r * 8 + y + 1] * kk[c * 8 + x + 1]) AS BIGINT) AS s
+         |  FROM d, (SELECT $kL AS kk),
+         |    LATERAL (SELECT unnest(range(0, 8)) AS y) t1,
+         |    LATERAL (SELECT unnest(range(0, 8)) AS x) t2
+         |  GROUP BY 1, 2, 3),
+         |pv AS (
+         |  SELECT doc_id, y,
+         |    GREATEST(0, LEAST(255,
+         |      ((s + 4398054899712) // 16777216) - 262144 + 128)) AS p
+         |  FROM px),
+         |cs AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(CASE WHEN k = 0 THEN v * 16 END) AS BIGINT) AS dc_dequant,
+         |    CAST(SUM(CASE WHEN k > 0 AND v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nonzero_ac
+         |  FROM cf GROUP BY 1),
+         |ps AS (
+         |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum,
+         |    CAST(MIN(p) AS BIGINT) AS px_min,
+         |    CAST(MAX(p) AS BIGINT) AS px_max,
+         |    CAST(SUM(CASE WHEN y = 0 THEN p ELSE 0 END) AS BIGINT) AS row0_sum
+         |  FROM pv GROUP BY 1)
+         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         |  dc_dequant, n_nonzero_ac, px_sum, px_min, px_max, row0_sum
+         |FROM cs JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
     // oracle: the png-decode oracle VERBATIM — the round-trip through
     // the general encoder (filtered scanlines, stored-block DEFLATE,
     // CRC chunks) must leave every pixel, and so every stat, unchanged
