@@ -1728,6 +1728,78 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Registered query: JPEG ENCODE → DECODE round-trip through the
+    * general entropy encoder — the decoded stream's quantized
+    * coefficients are recovered exactly (d = v·Q, so the division is
+    * lossless) and re-encoded through the real Huffman/stuffing/
+    * marker framing, then decoded again. Coefficients are unchanged
+    * by construction (the entropy layer is lossless — the spec pins
+    * it), so the SAME oracle as [[jpegDecode]] checks the whole
+    * encode→decode loop under the driver gate. */
+  def jpegRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jpegTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, m) =>
+        val (_, _, dd, _) = JpegCodec.pixels(id, m)
+        val zz = Array.tabulate(64)(k =>
+          (dd(JpegCodec.ZZ(k)) / JpegCodec.QNat(JpegCodec.ZZ(k))).toInt)
+        JpegCodec.decode(id, JpegCodec.encode(zz))
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Oracle for [[jpegDecode]] AND [[jpegRoundtrip]]: JPEG is lossy,
+    * so pixels cannot index the text — the fixture is
+    * COEFFICIENT-level (quantized zigzag values are a pure function
+    * of the text) and the oracle replays coefficient rule →
+    * dequantize → the SAME 12-bit integer IDCT kernel → level
+    * shift/clamp, all exact integer arithmetic; the engine's only
+    * path to the same integers is the real entropy decode (and, for
+    * the round-trip, the real entropy ENCODE as well). */
+  private def oJpegStatsSql: String = {
+    val zzL = JpegCodec.ZZ.mkString("[", ", ", "]")
+    val qzL = JpegCodec.ZZ.map(JpegCodec.QNat).mkString("[", ", ", "]")
+    val kL = JpegCodec.K.mkString("[", ", ", "]")
+    s"""WITH cf AS (
+       |  SELECT doc_id, k,
+       |    CASE WHEN k = 0 THEN ascii(substring(text, 1, 1)) - 64
+       |         ELSE (ascii(substring(text, ((k * 7) % length(text)) + 1, 1)) % 7) - 3
+       |    END AS v
+       |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS k) t),
+       |d AS (
+       |  SELECT doc_id, CAST(v * qz[k + 1] AS BIGINT) AS dd,
+       |    zz[k + 1] // 8 AS r, zz[k + 1] % 8 AS c
+       |  FROM cf, (SELECT $zzL AS zz, $qzL AS qz)),
+       |px AS (
+       |  SELECT doc_id, y, x,
+       |    CAST(SUM(dd * kk[r * 8 + y + 1] * kk[c * 8 + x + 1]) AS BIGINT) AS s
+       |  FROM d, (SELECT $kL AS kk),
+       |    LATERAL (SELECT unnest(range(0, 8)) AS y) t1,
+       |    LATERAL (SELECT unnest(range(0, 8)) AS x) t2
+       |  GROUP BY 1, 2, 3),
+       |pv AS (
+       |  SELECT doc_id, y,
+       |    GREATEST(0, LEAST(255,
+       |      ((s + 4398054899712) // 16777216) - 262144 + 128)) AS p
+       |  FROM px),
+       |cs AS (
+       |  SELECT doc_id,
+       |    CAST(MAX(CASE WHEN k = 0 THEN v * 16 END) AS BIGINT) AS dc_dequant,
+       |    CAST(SUM(CASE WHEN k > 0 AND v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_nonzero_ac
+       |  FROM cf GROUP BY 1),
+       |ps AS (
+       |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum,
+       |    CAST(MIN(p) AS BIGINT) AS px_min,
+       |    CAST(MAX(p) AS BIGINT) AS px_max,
+       |    CAST(SUM(CASE WHEN y = 0 THEN p ELSE 0 END) AS BIGINT) AS row0_sum
+       |  FROM pv GROUP BY 1)
+       |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       |  dc_dequant, n_nonzero_ac, px_sum, px_min, px_max, row0_sum
+       |FROM cs JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for [[pngDecode]] AND [[pngRoundtrip]]: pixels ARE the
     * cycled text bytes (filter-0 scanlines in the fixture; the
     * round-trip preserves pixels by construction), so the oracle
@@ -2061,48 +2133,11 @@ object Multimodal {
     // rule → dequantize → the SAME 12-bit integer IDCT kernel →
     // level shift/clamp, all exact integer arithmetic; the engine's
     // only path to the same integers is the real entropy decode
-    Q("multimodal_jpeg_decode", jpegDecode, Some {
-      val zzL = JpegCodec.ZZ.mkString("[", ", ", "]")
-      val qzL = JpegCodec.ZZ.map(JpegCodec.QNat).mkString("[", ", ", "]")
-      val kL = JpegCodec.K.mkString("[", ", ", "]")
-      s"""WITH cf AS (
-         |  SELECT doc_id, k,
-         |    CASE WHEN k = 0 THEN ascii(substring(text, 1, 1)) - 64
-         |         ELSE (ascii(substring(text, ((k * 7) % length(text)) + 1, 1)) % 7) - 3
-         |    END AS v
-         |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS k) t),
-         |d AS (
-         |  SELECT doc_id, CAST(v * qz[k + 1] AS BIGINT) AS dd,
-         |    zz[k + 1] // 8 AS r, zz[k + 1] % 8 AS c
-         |  FROM cf, (SELECT $zzL AS zz, $qzL AS qz)),
-         |px AS (
-         |  SELECT doc_id, y, x,
-         |    CAST(SUM(dd * kk[r * 8 + y + 1] * kk[c * 8 + x + 1]) AS BIGINT) AS s
-         |  FROM d, (SELECT $kL AS kk),
-         |    LATERAL (SELECT unnest(range(0, 8)) AS y) t1,
-         |    LATERAL (SELECT unnest(range(0, 8)) AS x) t2
-         |  GROUP BY 1, 2, 3),
-         |pv AS (
-         |  SELECT doc_id, y,
-         |    GREATEST(0, LEAST(255,
-         |      ((s + 4398054899712) // 16777216) - 262144 + 128)) AS p
-         |  FROM px),
-         |cs AS (
-         |  SELECT doc_id,
-         |    CAST(MAX(CASE WHEN k = 0 THEN v * 16 END) AS BIGINT) AS dc_dequant,
-         |    CAST(SUM(CASE WHEN k > 0 AND v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_nonzero_ac
-         |  FROM cf GROUP BY 1),
-         |ps AS (
-         |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum,
-         |    CAST(MIN(p) AS BIGINT) AS px_min,
-         |    CAST(MAX(p) AS BIGINT) AS px_max,
-         |    CAST(SUM(CASE WHEN y = 0 THEN p ELSE 0 END) AS BIGINT) AS row0_sum
-         |  FROM pv GROUP BY 1)
-         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-         |  dc_dequant, n_nonzero_ac, px_sum, px_min, px_max, row0_sum
-         |FROM cs JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin
-    }),
+    Q("multimodal_jpeg_decode", jpegDecode, Some(oJpegStatsSql)),
+    // oracle: the jpeg-decode oracle VERBATIM — the round-trip
+    // through the general entropy encoder must leave every quantized
+    // coefficient, and so every pixel and stat, unchanged
+    Q("multimodal_jpeg_roundtrip", jpegRoundtrip, Some(oJpegStatsSql)),
     // oracle: the png-decode oracle VERBATIM — the round-trip through
     // the general encoder (filtered scanlines, stored-block DEFLATE,
     // CRC chunks) must leave every pixel, and so every stat, unchanged
