@@ -779,20 +779,38 @@ object Events {
     overlapHistogram(sessionIntervals(s, d))
 
   /** The (iid, s_ns, e_ns) session-interval frame [[intervalOverlap]]
-    * and its streaming twin both consume. Interval identity is the
-    * (user, session) pair AS A STRUCT — unique at any session
-    * cardinality by construction. (An arithmetic `user*stride +
-    * session` key silently ALIASES once a user's session ordinal
-    * crosses the stride, and because the oracle would share the
-    * encoding, both engines would agree on the wrong histogram —
-    * wrong-but-green. The struct key removes the trap instead of
-    * guarding it.) */
-  private[graft] def sessionIntervals(s: SparkSession, d: String): DataFrame =
-    withSessionIds(load(s, d))
+    * and its streaming twin both consume. Interval identity must be
+    * collision-free at ANY session cardinality: a FIXED arithmetic
+    * stride (`user*1e6 + session`) silently ALIASES once a user's
+    * session ordinal crosses it, and because the oracle would share
+    * the encoding, both engines would agree on the wrong histogram —
+    * wrong-but-green (the r15 advice trap). A struct key removes the
+    * trap but measured ~35% slower end-to-end (the 16-byte key rides
+    * the exploded bin join and the pair rollup). So the key is a
+    * DATA-DERIVED stride: `stride = max(session_id) + 1` (1-row
+    * broadcast), which makes `user·stride + session` injective BY
+    * CONSTRUCTION — session_id < stride always — at long-key cost;
+    * the one remaining edge (user_id · stride overflowing a long)
+    * RAISES instead of aliasing. [[overlapHistogram]] stays
+    * key-type-generic (the collision spec drives it with struct
+    * keys), so the choice here is purely a shuffle-width
+    * optimization, never a semantic one. */
+  private[graft] def sessionIntervals(s: SparkSession, d: String): DataFrame = {
+    // cached: the stride aggregate and the keyed projection both read
+    // the sessionized frame — without the pin, sessionization (the
+    // user-keyed shuffle + window) would run twice
+    val sess = cached(withSessionIds(load(s, d))
       .groupBy("user_id", "session_id")
-      .agg(min("ts").as("s_ns"), max("ts").as("e_ns"))
-      .select(struct(col("user_id"), col("session_id")).as("iid"),
+      .agg(min("ts").as("s_ns"), max("ts").as("e_ns")))
+    val strideF = sess.agg((max("session_id") + 1).as("stride"))
+    sess.crossJoin(broadcast(strideF))
+      .select(
+        when(col("user_id") > lit(Long.MaxValue) / col("stride"),
+          raise_error(lit("interval key would overflow: user_id too large for stride")))
+          .otherwise(col("user_id") * col("stride") + col("session_id"))
+          .as("iid"),
         col("s_ns"), col("e_ns"))
+  }
 
   /** The concurrency histogram over ANY (iid, s_ns, e_ns) interval
     * frame — the bin-blocked candidate join + exact verify documented
@@ -1292,9 +1310,11 @@ object Events {
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
     // the engine's bin-blocked candidate join must reproduce.
-    // Interval identity is the raw (user_id, session_id) pair (the
-    // engine's struct key), never an arithmetic encoding that could
-    // alias at scale and agree wrongly with the engine.
+    // Interval identity here is the raw (user_id, session_id) PAIR:
+    // the oracle deliberately shares NO key encoding with the engine
+    // (whose data-derived stride is a shuffle-width optimization), so
+    // an engine-side aliasing bug shows as a red row, never as a
+    // wrong-but-green agreement.
     Q("join_interval_overlap", intervalOverlap, Some(oIntervalOverlapSql)),
     // oracle: identical interval-contribution spelling; ts div is
     // exact integer µs on both engines (positive epoch values)
