@@ -850,11 +850,17 @@ object Events {
     * overlap histogram is the per-session view. Same lossless
     * hour-bin explode; the report is one (bin)-keyed count, so the
     * only shuffle carries hour keys. */
-  def peakLoad(s: SparkSession, d: String): DataFrame = {
-    val H = 3600L * 1000000000L
-    withSessionIds(load(s, d))
+  def peakLoad(s: SparkSession, d: String): DataFrame =
+    peakFromIntervals(withSessionIds(load(s, d))
       .groupBy("user_id", "session_id")
-      .agg(min("ts").as("s_ns"), max("ts").as("e_ns"))
+      .agg(min("ts").as("s_ns"), max("ts").as("e_ns")))
+
+  /** The peak-load report off ANY (s_ns, e_ns) interval frame —
+    * shared by [[peakLoad]] and the streaming twin, which reads it
+    * over its incrementally maintained interval state. */
+  private[graft] def peakFromIntervals(iv: DataFrame): DataFrame = {
+    val H = 3600L * 1000000000L
+    iv
       .select(explode(sequence(expr(s"s_ns div $H"), expr(s"e_ns div $H")))
         .as("hour_bin"))
       .groupBy("hour_bin").agg(count(lit(1)).as("n_active"))
@@ -1189,6 +1195,28 @@ object Events {
       |FROM iv LEFT JOIN deg USING (u, sid)
       |GROUP BY 1 ORDER BY concurrency""".stripMargin
 
+  /** events_peak_load's oracle — shared verbatim by the streaming
+    * twin (same maintained interval state as stream_interval_overlap,
+    * different read-time report). */
+  private[graft] val oPeakLoadSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked),
+      |iv AS (SELECT epoch_ns(min(ts)) // 3600000000000 AS b0,
+      |              epoch_ns(max(ts)) // 3600000000000 AS b1
+      |       FROM sessions GROUP BY user_id, session_id),
+      |bins AS (SELECT unnest(generate_series(b0, b1)) AS hour_bin FROM iv)
+      |SELECT hour_bin, COUNT(*) AS n_active
+      |FROM bins GROUP BY hour_bin
+      |ORDER BY n_active DESC, hour_bin LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // oracle: the identical left fold over the identical total order;
     // alpha = 1/8 is exactly representable so the IEEE sequences agree
@@ -1289,24 +1317,7 @@ object Events {
     Q("events_kaplan_meier", kaplanMeier, Some(oKaplanMeierSql)),
     // oracle: the same sessions exploded over the same hour bins —
     // generate_series per interval, one grouped count
-    Q("events_peak_load", peakLoad, Some(
-      """WITH marked AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM marked),
-        |iv AS (SELECT epoch_ns(min(ts)) // 3600000000000 AS b0,
-        |              epoch_ns(max(ts)) // 3600000000000 AS b1
-        |       FROM sessions GROUP BY user_id, session_id),
-        |bins AS (SELECT unnest(generate_series(b0, b1)) AS hour_bin FROM iv)
-        |SELECT hour_bin, COUNT(*) AS n_active
-        |FROM bins GROUP BY hour_bin
-        |ORDER BY n_active DESC, hour_bin LIMIT 20""".stripMargin)),
+    Q("events_peak_load", peakLoad, Some(oPeakLoadSql)),
     // oracle: the naive interval THETA self-join over the same
     // session intervals (DuckDB plans it as an IEJoin) — the truth
     // the engine's bin-blocked candidate join must reproduce.

@@ -873,14 +873,17 @@ object Streams {
         col("iv.e_ns").as("e_ns"))
   }
 
-  def streamIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+  /** The interval-state replay both interval twins share: scatter the
+    * events by event_id hash across 4 micro-batches, maintain the
+    * per-user merged session spans through [[mergeIntervals]], and
+    * return the final state as a (user_id, s_ns, e_ns) frame. */
+  private def replayedIntervals(s: SparkSession, d: String, tag: String): DataFrame = {
     val srcDir = graft.Core.tempDir("graft-iv-src")
     graft.Tables(s, d, "events")
       .repartition(4, col("event_id"))
       .write.mode("overwrite").parquet(srcDir)
     val stateRoot = graft.Core.tempDir("graft-iv-state")
     @volatile var curState: Option[String] = None
-    def fold(rows: DataFrame): DataFrame = mergeIntervals(rows)
     val q = s.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
@@ -890,22 +893,36 @@ object Streams {
           .withColumn("ns", graft.Core.epochNs(col("ts").cast("timestamp")))
           .select(col("user_id"), col("ns").as("s_ns"), col("ns").as("e_ns"))
         val merged = curState match {
-          case None => fold(pts)
-          case Some(p) => fold(s.read.parquet(p).unionByName(pts))
+          case None => mergeIntervals(pts)
+          case Some(p) => mergeIntervals(s.read.parquet(p).unionByName(pts))
         }
         val next = s"$stateRoot/v$batchId"
         merged.write.mode("overwrite").parquet(next)
         curState = Some(next)
       }
       .start()
-    awaitAndLog(q, "streamIntervalOverlap")
+    awaitAndLog(q, tag)
+    s.read.parquet(curState.get)
+  }
+
+  def streamIntervalOverlap(s: SparkSession, d: String): DataFrame =
     // read-time pairing: identical plan to the batch report; interval
     // identity is (user, span start) — unique, sessions are disjoint
     graft.operators.Events.overlapHistogram(
-      s.read.parquet(curState.get)
+      replayedIntervals(s, d, "streamIntervalOverlap")
         .select(struct(col("user_id"), col("s_ns").as("start_ns")).as("iid"),
           col("s_ns"), col("e_ns")))
-  }
+
+  /** Streaming PEAK LOAD — the interval family's time-axis report
+    * over the SAME maintained state as [[streamIntervalOverlap]]:
+    * per-user merged session spans, re-folded per micro-batch in any
+    * arrival order, read at the end through the batch
+    * [[graft.operators.Events.peakFromIntervals]] plan (hour-bin
+    * explode + one bin-keyed count). One state family, two read-time
+    * reports — the equidepth/ACF discipline applied to intervals. */
+  def streamPeakLoad(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.peakFromIntervals(
+      replayedIntervals(s, d, "streamPeakLoad"))
 
   /** Streaming NEAR-dup ingest filter — the fuzzy sibling of
     * [[streamDedupExact]]: documents ARRIVE (file replay, 4
@@ -1963,6 +1980,10 @@ object Streams {
     // streaming truth too (time-scattered arrival included)
     Q("stream_interval_overlap", streamIntervalOverlap,
       Some(graft.operators.Events.oIntervalOverlapSql)),
+    // same maintained interval state, second read-time report — the
+    // batch peak-load oracle is the streaming truth too
+    Q("stream_peak_load", streamPeakLoad,
+      Some(graft.operators.Events.oPeakLoadSql)),
     Q("stream_hll_users", streamHllUsers, Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound
