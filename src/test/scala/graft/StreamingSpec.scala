@@ -60,6 +60,22 @@ class StreamingSpec extends SparkSpec {
         .toDF("user_id", "s_ns", "e_ns"))).size == 2)
   }
 
+  test("interval-merge fold is idempotent under redelivery") {
+    // the at-least-once contract the scaladoc claims: a micro-batch
+    // delivered twice (or folded again over already-merged state)
+    // must leave the state bit-identical — duplicate points fuse into
+    // the spans they already belong to
+    val M = 60L * 1000000000L
+    val pts = Seq((1L, 0L, 0L), (1L, 25 * M, 25 * M), (2L, 99 * M, 99 * M))
+      .toDF("user_id", "s_ns", "e_ns")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val once = rows(Streams.mergeIntervals(pts))
+    assert(rows(Streams.mergeIntervals(pts.unionByName(pts))) == once)
+    val state = Streams.mergeIntervals(pts)
+    assert(rows(Streams.mergeIntervals(state.unionByName(pts))) == once)
+  }
+
   test("streaming interval state converges to the batch concurrency histogram") {
     val streamed = Streams.streamIntervalOverlap(spark, sf)
       .as[(Long, Long)].collect().toSeq
