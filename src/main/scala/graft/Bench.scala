@@ -162,12 +162,19 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY profiling subset can't masquerade as the
     // round's numbers.
     if (only.isEmpty) {
+      // Round inference hazard: a manual rerun AFTER the driver has
+      // already committed this round's BENCH_r{N}.json would label
+      // its detail as round N+1. SPARK_GRAFT_ROUND pins the number
+      // explicitly for such reruns; the max+1 inference remains the
+      // default because the driver's own bench always runs BEFORE
+      // its BENCH_r{N}.json exists.
       val rPat = "BENCH_r(\\d+)\\.json".r
-      val round = Option(new java.io.File(".").listFiles).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case rPat(n) => Some(n.toInt)
-          case _ => None
-        }).reduceOption(_ max _).map(_ + 1)
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .orElse(Option(new java.io.File(".").listFiles).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case rPat(n) => Some(n.toInt)
+            case _ => None
+          }).reduceOption(_ max _).map(_ + 1))
       round.foreach { r =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(f"BENCH_DETAIL_r$r%02d.json"),

@@ -803,9 +803,16 @@ object Events {
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("s_ns"), max("ts").as("e_ns")))
     val strideF = sess.agg((max("session_id") + 1).as("stride"))
+    // the guard is INTEGER arithmetic end to end: Column./ is double
+    // division (imprecise past 2^53), so the bound uses `div`, and it
+    // is exact per row — user·stride + session > Long.Max iff
+    // user > (Long.Max − session) div stride (session < stride by
+    // construction). Negative ids can't ride the fast path either.
     sess.crossJoin(broadcast(strideF))
       .select(
-        when(col("user_id") > lit(Long.MaxValue) / col("stride"),
+        when(col("user_id") < 0 || col("session_id") < 0 ||
+          col("user_id") >
+            expr(s"(${Long.MaxValue}L - session_id) div stride"),
           raise_error(lit("interval key would overflow: user_id too large for stride")))
           .otherwise(col("user_id") * col("stride") + col("session_id"))
           .as("iid"),

@@ -1569,6 +1569,40 @@ object Multimodal {
     /** Decode one baseline grayscale JPEG → (w, h, dequantized
       * natural-order coefficients, pixels). */
     private[graft] def pixels(id: Long, a: Array[Byte]): (Int, Int, Array[Long], Array[Int]) = {
+      val (w, h, zz, q) = entropyDecode(id, a)
+      // dequantize through the FILE's table, de-zigzag
+      val d = new Array[Long](64)
+      var k = 0
+      while (k < 64) { d(ZZ(k)) = zz(k).toLong * q(k); k += 1 }
+      // fixed-point IDCT + level shift + clamp
+      val pix = new Array[Int](N * N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) {
+          var s = 0L
+          var r = 0
+          while (r < N) {
+            var c = 0
+            while (c < N) {
+              s += d(r * 8 + c) * K(r * 8 + y) * K(c * 8 + x)
+              c += 1
+            }
+            r += 1
+          }
+          val p = ((s + RoundBias) >> 24) - (1L << 18) + 128
+          pix(y * N + x) = math.max(0L, math.min(255L, p)).toInt
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, d, pix)
+    }
+
+    /** The entropy layer alone → (w, h, quantized zigzag values, the
+      * FILE's zigzag-order quant table) — what [[jpegRoundtrip]]
+      * needs; [[pixels]] adds dequantize + IDCT on top. */
+    private[graft] def entropyDecode(id: Long, a: Array[Byte]): (Int, Int, Array[Int], Array[Int]) = {
       require(a.length > 4 && (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd8,
         s"doc $id: not JPEG (no SOI)")
       def u8(p: Int): Int = a(p) & 0xff
@@ -1636,32 +1670,6 @@ object Multimodal {
                 k += 1
               }
             }
-            // dequantize through the FILE's table, de-zigzag
-            val d = new Array[Long](64)
-            k = 0
-            while (k < 64) { d(ZZ(k)) = zz(k).toLong * q(k); k += 1 }
-            // fixed-point IDCT + level shift + clamp
-            val pix = new Array[Int](N * N)
-            var y = 0
-            while (y < N) {
-              var x = 0
-              while (x < N) {
-                var s = 0L
-                var r = 0
-                while (r < N) {
-                  var c = 0
-                  while (c < N) {
-                    s += d(r * 8 + c) * K(r * 8 + y) * K(c * 8 + x)
-                    c += 1
-                  }
-                  r += 1
-                }
-                val p = ((s + RoundBias) >> 24) - (1L << 18) + 128
-                pix(y * N + x) = math.max(0L, math.min(255L, p)).toInt
-                x += 1
-              }
-              y += 1
-            }
             // remaining bytes must close with EOI (pad bits allowed)
             var e = br.pos
             var seen = false
@@ -1669,7 +1677,7 @@ object Multimodal {
               if (u8(e) == 0xff && u8(e + 1) == 0xd9) seen = true else e += 1
             }
             require(seen, s"doc $id: missing EOI")
-            return (w, h, d, pix)
+            return (w, h, zz, q)
           case _ => // APPn/COM/etc: skip by length
             pos += u16(pos)
         }
@@ -1729,21 +1737,20 @@ object Multimodal {
   }
 
   /** Registered query: JPEG ENCODE → DECODE round-trip through the
-    * general entropy encoder — the decoded stream's quantized
-    * coefficients are recovered exactly (d = v·Q, so the division is
-    * lossless) and re-encoded through the real Huffman/stuffing/
-    * marker framing, then decoded again. Coefficients are unchanged
-    * by construction (the entropy layer is lossless — the spec pins
-    * it), so the SAME oracle as [[jpegDecode]] checks the whole
-    * encode→decode loop under the driver gate. */
+    * general entropy encoder — the decoded stream's quantized zigzag
+    * coefficients (read through [[JpegCodec.entropyDecode]], which
+    * skips the IDCT the re-decode would redo anyway) are re-encoded
+    * through the real Huffman/stuffing/marker framing, then decoded
+    * again. Coefficients are unchanged by construction (the entropy
+    * layer is lossless — the spec pins it), so the SAME oracle as
+    * [[jpegDecode]] checks the whole encode→decode loop under the
+    * driver gate. */
   def jpegRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     jpegTable(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, m) =>
-        val (_, _, dd, _) = JpegCodec.pixels(id, m)
-        val zz = Array.tabulate(64)(k =>
-          (dd(JpegCodec.ZZ(k)) / JpegCodec.QNat(JpegCodec.ZZ(k))).toInt)
+        val (_, _, zz, _) = JpegCodec.entropyDecode(id, m)
         JpegCodec.decode(id, JpegCodec.encode(zz))
       }))
       .toDF().orderBy("doc_id")
