@@ -785,8 +785,10 @@ object Events {
     * session ordinal crosses it, and because the oracle would share
     * the encoding, both engines would agree on the wrong histogram —
     * wrong-but-green (the r15 advice trap). A struct key removes the
-    * trap but measured ~35% slower end-to-end (the 16-byte key rides
-    * the exploded bin join and the pair rollup). So the key is a
+    * trap but measured ~25% slower end-to-end (best-of-4 3.40 s vs
+    * 2.74 s at sf0.1 — the A/B recorded in SCALE.md's round-16
+    * section; the 16-byte key rides the exploded bin join and the
+    * pair rollup). So the key is a
     * DATA-DERIVED stride: `stride = max(session_id) + 1` (1-row
     * broadcast), which makes `user·stride + session` injective BY
     * CONSTRUCTION — session_id < stride always — at long-key cost;

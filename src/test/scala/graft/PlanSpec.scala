@@ -1324,6 +1324,35 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("interval-key overflow guard RAISES instead of aliasing") {
+    // the guard at Events.sessionIntervals is a raise_error branch
+    // that had never been fired by a test (r16 verdict): drive it
+    // with a user_id at Long.MaxValue — stride here is 2 (one
+    // session, max(session_id)+1), so the bound
+    // (Long.Max − 1) div 2 is far below the id and the key
+    // user·stride + session WOULD overflow. The raise must surface,
+    // not a silently wrapped negative key.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Core.tempDir("graft-overflow-events")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        Long.MaxValue, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        Long.MaxValue, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[Exception] {
+      graft.operators.Events.intervalOverlap(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("interval key would overflow")),
+      s"expected the overflow raise, got: ${messages(ex).mkString(" | ")}")
+    Core.releaseCaches()
+  }
+
   test("Kneser-Ney probabilities are discounted below MLE yet stay in (0, 1)") {
     val rows = graft.operators.TrainingFilters.kneserNey(spark, sf).collect()
     assert(rows.length == 20)
