@@ -169,7 +169,11 @@ object Bench {
       // default because the driver's own bench always runs BEFORE
       // its BENCH_r{N}.json exists.
       val rPat = "BENCH_r(\\d+)\\.json".r
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      // Defensive parse: a malformed SPARK_GRAFT_ROUND must not crash
+      // the bench after all timing work is done — fall through to the
+      // max+1 inference instead.
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
         .orElse(Option(new java.io.File(".").listFiles).toSeq.flatten
           .flatMap(f => f.getName match {
             case rPat(n) => Some(n.toInt)

@@ -169,8 +169,15 @@ object SparkEntry {
     // interval-contribution rolling distinct: the explode-×7 +
     // two-stage countDistinct family (r14)
     "events_rolling_distinct",
-    // multimodal
-    "multimodal_features",
+    // multimodal — r17: multimodal_mjpeg_decode admitted (1.311 s
+    // min-of-2 at sf0.1 across two JVMs — the multi-frame
+    // container-walk + per-frame transform-decode family: 3 baseline
+    // JPEG entropy decodes + integer IDCTs per row plus the RIFF/idx1
+    // validation; no other benched query times a transform codec).
+    // multimodal_features demoted to fund it: its byte-stub
+    // partition-local fold (0.322 s) is the plan shape every REAL
+    // codec decode (gif above, mjpeg here) already times.
+    "multimodal_mjpeg_decode",
     // pipeline — bin_pack is the one sortWithinPartitions +
     // per-partition imperative fold family in the catalog (r14)
     "pipeline_corpus_prep", "pipeline_full", "pipeline_mix_weights",

@@ -575,6 +575,115 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Goertzel bin energies localize a pure tone to its own bin") {
+    // a 16-sample tone at bin k must put essentially all its energy
+    // in bin k's Goertzel output — the SPECTRAL property, beyond the
+    // fixed-point parity the oracle pins
+    for (k <- 1 to 3) {
+      val fr = Array.tabulate[Short](16)(n =>
+        math.round(20000.0 * math.cos(2 * math.Pi * k * n / 16)).toShort)
+      val e = Multimodal.GoertzelC.map(c => Multimodal.goertzel(fr, c))
+      for (j <- 0 until 3 if j != k - 1)
+        assert(e(k - 1) > 100L * e(j),
+          s"tone at bin $k leaked: energies ${e.toSeq}")
+    }
+    // silence has zero energy everywhere
+    val zero = new Array[Short](16)
+    assert(Multimodal.GoertzelC.forall(c => Multimodal.goertzel(zero, c) == 0L))
+  }
+
+  test("MJPEG clip stats are exactly the frame-by-frame fold of the JPEG codec") {
+    // decode the container, then recompute every stat from the THREE
+    // per-frame JPEGs directly — the container walk must add nothing
+    // and lose nothing
+    for (text <- Seq("hello world", "a", "The quick brown fox! 0123456789")) {
+      val avi = Multimodal.AviCodec.encodeFixture(11L, text)
+      val st = Multimodal.AviCodec.decode(11L, avi)
+      assert(st.n_frames == 3 && st.width == 8 && st.height == 8)
+      val frames = (0 until 3).map { f =>
+        Multimodal.JpegCodec.pixels(11L, Multimodal.JpegCodec.encode(
+          Multimodal.JpegCodec.frameCoefficients(text, f)))
+      }
+      assert(st.dc0_dequant == frames(0)._3(0))
+      val pix = frames.map(_._4)
+      assert(st.px_sum == pix.map(_.map(_.toLong).sum).sum)
+      assert(st.px_min == pix.map(_.min).min.toLong)
+      assert(st.px_max == pix.map(_.max).max.toLong)
+      val motion = (1 until 3).map { f =>
+        (0 until 64).map(i => math.abs(pix(f)(i) - pix(f - 1)(i)).toLong).sum
+      }.sum
+      assert(st.motion_abs == motion, s"motion for '$text'")
+      // consecutive frames differ by construction (the rule shifts) —
+      // except a length-1 text, where every shift reads the same byte
+      if (text.length > 1) assert(motion > 0, s"frames identical for '$text'")
+    }
+  }
+
+  private def fccIndex(a: Array[Byte], fcc: String, from: Int = 0): Int = {
+    val p = fcc.getBytes("US-ASCII")
+    (from to a.length - 4).find(i =>
+      a(i) == p(0) && a(i + 1) == p(1) && a(i + 2) == p(2) && a(i + 3) == p(3)).get
+  }
+
+  test("MJPEG container frames decode through the JDK's own ImageIO") {
+    // walk the '00dc' chunks with an independent in-test scan and
+    // hand each payload to ImageIO — a foreign conforming decoder
+    // must accept every frame the container carries
+    val avi = Multimodal.AviCodec.encodeFixture(12L, "zebra 42!")
+    def le32(p: Int): Int =
+      (avi(p) & 0xff) | ((avi(p + 1) & 0xff) << 8) |
+        ((avi(p + 2) & 0xff) << 16) | ((avi(p + 3) & 0xff) << 24)
+    var p = fccIndex(avi, "movi") + 4
+    var n = 0
+    while (n < 3) {
+      assert(new String(avi, p, 4, "US-ASCII") == "00dc")
+      val len = le32(p + 4)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(avi, p + 8, len))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8,
+        s"ImageIO rejected frame $n")
+      p += 8 + len + (len % 2)
+      n += 1
+    }
+  }
+
+  test("MJPEG decoder rejects structural inconsistencies loudly") {
+    val good = Multimodal.AviCodec.encodeFixture(13L, "hello world")
+    // stale idx1 offset: entry 0's dwChunkOffset at idx1+8 (header) +8
+    val idx = good.clone()
+    val e0 = fccIndex(idx, "idx1") + 8 + 8
+    idx(e0) = (idx(e0) + 2).toByte
+    val ex1 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decode(13L, idx))
+    assert(ex1.getMessage.contains("idx1 entry 0 offset/size stale"))
+    // avih frame count lies: dwTotalFrames at avih+8 (header) +16
+    val cnt = good.clone()
+    val t0 = fccIndex(cnt, "avih") + 8 + 16
+    cnt(t0) = 2
+    val ex2 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decode(13L, cnt))
+    assert(ex2.getMessage.contains("frame count disagreement"))
+    // a non-MJPG stream handler must be refused, not misdecoded
+    val xvid = good.clone()
+    val h0 = fccIndex(xvid, "strh") + 8 + 4
+    "XVID".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => xvid(h0 + i) = b }
+    val ex3 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decode(13L, xvid))
+    assert(ex3.getMessage.contains("not vids/MJPG"))
+  }
+
+  test("every synthesized AVI decodes under the driver-shaped run") {
+    val decoded = Multimodal.mjpegDecode(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(decoded.count() == n)
+    decoded.collect().foreach { r =>
+      assert(r.getAs[Long]("n_frames") == 3)
+      val (mn, mx) = (r.getAs[Long]("px_min"), r.getAs[Long]("px_max"))
+      assert(mn >= 0 && mx <= 255 && mn <= mx)
+      assert(r.getAs[Long]("motion_abs") >= 0)
+    }
+  }
+
   test("every synthesized QOI round-trips through the real decoder") {
     val decoded = Multimodal.qoiDecode(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
