@@ -1152,11 +1152,13 @@ object Dedup {
       .select(col("a"), col("b"), col("na").as("nation"))
   }
 
-  def goldenRecords(s: SparkSession, d: String): DataFrame = {
-    val cust = cached(Tables(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")))
-    val pairs = erEdges(cust, customerStrip(s, d)).select("a", "b")
-    val (labels, _) = connectedComponents(pairs)
+  /** The survivorship tail of [[goldenRecords]] over any (v, lbl)
+    * label frame — factored so the streaming twin
+    * ([[graft.streaming.Streams.streamErGolden]]) derives its
+    * read-time report through the IDENTICAL plan and one oracle
+    * serves both. */
+  private[graft] def goldenSurvivorship(
+      cust: DataFrame, labels: DataFrame): DataFrame = {
     val labeled = cust
       .join(labels, col("c_custkey") === col("v"), "left")
       .select(col("c_custkey"),
@@ -1171,6 +1173,33 @@ object Dedup {
       .select(col("cluster_id"), col("n_members"),
         (-col("g.negk")).as("golden_custkey"), col("g.bal").as("golden_acctbal"))
       .orderBy("cluster_id")
+  }
+
+  /** Per-frame ER blocking rows for the incremental/streaming match
+    * path: the corpus-adaptive affix strip + codegen'd deletion-1
+    * neighborhood of each record's name core, one row per (record,
+    * neighborhood hash), with the core and nation carried along for
+    * the exact-verify step. The strip is the DATASET's (memoized
+    * [[customerStrip]]) — in a live pipeline it's a config constant
+    * derived the same way — so per-batch blocking keys agree with
+    * the batch run's no matter how records are scattered across
+    * micro-batches. */
+  private[graft] def erBlockRows(
+      s: SparkSession, d: String, frame: DataFrame): DataFrame = {
+    val core = applyStrip(col("c_name"), customerStrip(s, d))
+    frame
+      .select(col("c_custkey"), col("c_nationkey"), core.as("core"))
+      .select(col("c_custkey"), col("c_nationkey"), col("core"),
+        explode(array_distinct(
+          graft.plans.TextHashes.deletionHashes(col("core")))).as("h"))
+  }
+
+  def goldenRecords(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")))
+    val pairs = erEdges(cust, customerStrip(s, d)).select("a", "b")
+    val (labels, _) = connectedComponents(pairs)
+    goldenSurvivorship(cust, labels)
   }
 
   /** Duplicate-cluster SIZE histogram — the one-page report every
@@ -1944,6 +1973,40 @@ object Dedup {
     * [[dupClusters]] converges to). Must appear under
     * `WITH RECURSIVE`. Shared with the leakage-aware split oracle in
     * [[Pipeline]]. */
+  /** Oracle for [[goldenRecords]] AND its streaming twin
+    * ([[graft.streaming.Streams.streamErGolden]]): the incremental
+    * match-edge + CC maintenance converges to the batch components
+    * regardless of arrival order, and both report through
+    * [[goldenSurvivorship]], so ONE recursive-closure +
+    * survivorship-ranking oracle serves both. */
+  private[graft] val oGoldenRecordsSql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      |  FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |    AND a.c_nationkey = b.c_nationkey
+      |    AND levenshtein(a.c_name, b.c_name) <= 1),
+      |e AS (SELECT ka AS src, kb AS dst FROM pr
+      |      UNION SELECT kb, ka FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |lab AS (
+      |  SELECT c.c_custkey, COALESCE(cc.cluster_id, c.c_custkey) AS cluster_id,
+      |    c.c_acctbal
+      |  FROM customer c LEFT JOIN cc ON cc.k = c.c_custkey),
+      |ranked AS (
+      |  SELECT cluster_id, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM lab)
+      |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
+      |  c_acctbal AS golden_acctbal
+      |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   private[graft] val oClusterChain: String =
     s"""${oPairIntersect(oWordSets)},
        |pr AS MATERIALIZED (SELECT doc_a, doc_b FROM p
@@ -2221,33 +2284,7 @@ object Dedup {
         |ORDER BY b.c_custkey""".stripMargin)),
     // oracle: all-pairs D<=1 edges + recursive min-label closure +
     // window-based survivorship (the naive spellings the engine avoids)
-    Q("er_golden_records", goldenRecords, Some(
-      """WITH RECURSIVE pr AS (
-        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
-        |  FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        |    AND a.c_nationkey = b.c_nationkey
-        |    AND levenshtein(a.c_name, b.c_name) <= 1),
-        |e AS (SELECT ka AS src, kb AS dst FROM pr
-        |      UNION SELECT kb, ka FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-        |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
-        |lab AS (
-        |  SELECT c.c_custkey, COALESCE(cc.cluster_id, c.c_custkey) AS cluster_id,
-        |    c.c_acctbal
-        |  FROM customer c LEFT JOIN cc ON cc.k = c.c_custkey),
-        |ranked AS (
-        |  SELECT cluster_id, c_custkey, c_acctbal,
-        |    row_number() OVER (PARTITION BY cluster_id
-        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
-        |  FROM lab)
-        |SELECT cluster_id, n_members, c_custkey AS golden_custkey,
-        |  c_acctbal AS golden_acctbal
-        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    Q("er_golden_records", goldenRecords, Some(oGoldenRecordsSql)),
     // oracle: the recursive-closure labels + the built-in
     // jaro_winkler_similarity the engine expression is bit-pinned to,
     // quantized through the identical floor(x * 1e6)

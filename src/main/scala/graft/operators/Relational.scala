@@ -718,6 +718,40 @@ object Relational {
          |ORDER BY rf, ls""".stripMargin)
   }
 
+  /** TPC-DS-style 8-set reporting cube (r16 verdict stretch): revenue
+    * by order-year × customer-nation × order-priority across the FULL
+    * grouping lattice — the channel × cohort × time report shape
+    * TPC-DS's rollup queries (q27/q36/q67) run, where a single fact
+    * pass feeds every aggregation level and `GROUPING_ID` labels the
+    * level. [[groupingSets]] is the 3-set version over one table;
+    * this is the 8-set star version: fact (orders) joins the
+    * dimension (customer → nation, nation broadcast) ONCE, then one
+    * Expand ×8 feeds one partial+final aggregate — never eight scans
+    * (PlanSpec pins the single orders scan + Expand).
+    *
+    * Scale: Expand multiplies rows ×8 BEFORE the exchange, but
+    * partial aggregation collapses each set to its group cardinality
+    * map-side, so the shuffle carries ~|years×nations×priorities|
+    * rows per set, not ×8 fact rows. */
+  def groupingSetsDs8(s: SparkSession, d: String): DataFrame = {
+    val f = ord(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("priority"), dec(col("o_totalprice")).as("rev"))
+      .join(cust(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+    f.cube(col("yr"), col("n_name"), col("priority"))
+      .agg(grouping_id().as("gid"), sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("gid").cast("long").as("gid"),
+        coalesce(col("yr").cast("long"), lit(-1L)).as("yr"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("priority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n_orders"))
+      .orderBy("gid", "yr", "nation", "priority")
+  }
+
   /** TPC-H Q5-style local-supplier volume: the six-table regional
     * revenue join. The region filter collapses to a handful of nation
     * keys that BROADCAST into the supplier join, so fact rows from
@@ -1585,6 +1619,23 @@ object Relational {
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rf, ls""".stripMargin)),
+    // oracle: GROUPING() bits composed in Spark's grouping_id() order
+    // (leftmost dim = highest bit); decimal sum, double only in the
+    // final projection
+    Q("grouping_sets_ds8", groupingSetsDs8, Some(
+      s"""SELECT CAST(4 * GROUPING(yr) + 2 * GROUPING(n_name)
+         |    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+         |  coalesce(CAST(yr AS BIGINT), -1) AS yr,
+         |  coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice,
+         |        n_name
+         |      FROM orders JOIN customer ON o_custkey = c_custkey
+         |        JOIN nation ON c_nationkey = n_nationkey)
+         |GROUP BY CUBE (yr, n_name, o_orderpriority)
+         |ORDER BY gid, yr, nation, priority""".stripMargin)),
     Q("cube_sales", cubeSales, Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Core._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators a large-scale LLM training-data pipeline
@@ -432,8 +432,15 @@ object TrainingFilters {
     * and shuffles them at corpus scale); only the 1-row type total is
     * an explicit broadcast. The report is a c123-ordered top-20
     * TakeOrdered. */
-  def kneserNeyTrigram(s: SparkSession, d: String): DataFrame = {
-    val tg = docs(s, d)
+  /** The six Kneser–Ney trigram statistics of a document frame — ALL
+    * rollups of the ONE trigram-count table (token stream read once):
+    * (c123, ctx12, mid23, mid2, cont3, tt2). Factored so the full-LM
+    * report ([[kneserNeyTrigram]]) and the held-out scorer
+    * ([[knPerplexity]], which trains on the 80% split only) build the
+    * identical model. */
+  private def knTrigramTables(docFrame: DataFrame): (DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tg = docFrame
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
       .select(explode(transform(sequence(lit(1), size(col("t")) - 2), g =>
@@ -451,6 +458,11 @@ object TrainingFilters {
       .agg(sum("n_mid").as("n_mid2"), count(lit(1)).as("n_types2"))
     val cont3 = mid23.groupBy("w3").agg(count(lit(1)).as("n_prec3"))
     val tt2 = mid23.agg(count(lit(1)).as("tt2"))
+    (c123, ctx12, mid23, mid2, cont3, tt2)
+  }
+
+  def kneserNeyTrigram(s: SparkSession, d: String): DataFrame = {
+    val (c123, ctx12, mid23, mid2, cont3, tt2) = knTrigramTables(docs(s, d))
     val D = lit(0.75)
     val pKn2 =
       ((col("n_mid").cast("double") - D) / col("n_mid2").cast("double")) +
@@ -469,6 +481,111 @@ object TrainingFilters {
             col("p_kn2")).as("p_kn3"))
       .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
       .limit(20)
+  }
+
+  /** Fixed-point −log2: q ∈ [1, 2^30] encodes the probability
+    * p = q/2^30; returns ⌊−log2(p)·2^20⌋-style Q20 bits via the
+    * classic shift-and-square binary logarithm — integer part from
+    * the top set bit, then 20 squaring steps each emitting one
+    * fraction bit. NO transcendental anywhere: the cross-engine
+    * contract allows only the correctly-rounded IEEE ops (+,−,×,÷,
+    * sqrt), and log() carries no bit guarantee between JVM libm and
+    * DuckDB's — so the logarithm itself is a FIXED integer op
+    * sequence both engines replay (the IDCT-kernel discipline
+    * applied to the log). x < 2^31 throughout, so x² < 2^62 never
+    * overflows a long on either engine. */
+  private[graft] def nllQ20(q: Column): Column = {
+    // il = floor(log2 q): the highest k with q >> k > 0
+    val il = (size(filter(sequence(lit(0), lit(30)),
+      k => call_function("shiftright", q, k) > 0)) - 1).cast("long")
+    // normalize into [2^30, 2^31), then 20 square-and-shift rounds
+    val x0 = call_function("shiftleft", q, (lit(30L) - il).cast("int"))
+    val frac = aggregate(
+      sequence(lit(1), lit(20)),
+      struct(x0.as("x"), lit(0L).as("f")),
+      (st, _) => {
+        val xx = call_function("shiftright",
+          st.getField("x") * st.getField("x"), lit(30))
+        struct(
+          when(xx >= lit(2147483648L), call_function("shiftright", xx, lit(1)))
+            .otherwise(xx).as("x"),
+          when(xx >= lit(2147483648L), st.getField("f") * 2 + 1)
+            .otherwise(st.getField("f") * 2).as("f"))
+      },
+      st => st.getField("f"))
+    (lit(30L) - il) * lit(1048576L) - frac
+  }
+
+  /** HELD-OUT Kneser–Ney perplexity per source — the quality-gate
+    * consumer the LM family exists for (perplexity filtering à la
+    * CCNet/Wenzek '20: score every candidate document under an LM
+    * trained on trusted text; high-perplexity sources get
+    * down-weighted). Train/held-out follow the [[Pipeline.hashSplit]]
+    * discipline (content-hash buckets, 80/20), the model is the SAME
+    * six-statistic trigram build as [[kneserNeyTrigram]] on the train
+    * split only, and scoring LEFT-joins held-out trigrams so unseen
+    * events take the Chen–Goodman back-off chain: unseen trigram →
+    * λ(w1w2)·P₂, unseen context → P₂, unseen (w2,w3) → λ(w2)·Pcont,
+    * unseen w3 → the 2⁻²⁰ floor. The report is log2-domain
+    * (bits/token): perplexity = 2^bits needs pow(), which has no
+    * cross-engine bit guarantee — bits_per_token is one exact
+    * division of two integers, and nll_q20_total pins the fold
+    * integer-exactly. n_unseen proves the back-off path runs.
+    *
+    * Scale: the model tables are vocabulary-keyed rollups of the one
+    * train-split trigram table; scoring is five left equi-joins on
+    * (word…) keys — AQE broadcasts them at driver SF, shuffles at
+    * corpus scale — and the Q20 log fold is 20 integer ops per
+    * DISTINCT (source, trigram), never per occurrence. */
+  def knPerplexity(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val bucket = polyHash(col("text")) % 100
+    val (c123, ctx12, mid23, mid2, cont3, tt2) =
+      knTrigramTables(all.filter(bucket < 80))
+    val ht = all.filter(bucket >= 80)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2), g =>
+          struct(element_at(col("t"), g).as("w1"),
+            element_at(col("t"), g + 1).as("w2"),
+            element_at(col("t"), g + 2).as("w3")))).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"), col("b.w3"))
+      .groupBy("source", "w1", "w2", "w3").agg(count(lit(1)).as("n"))
+    val D = lit(0.75)
+    val pcont = coalesce(col("n_prec3"), lit(0L)).cast("double") /
+      col("tt2").cast("double")
+    val lam2 = D * col("n_types2").cast("double") / col("n_mid2").cast("double")
+    val p2 = when(col("n_mid2").isNull, pcont)
+      .when(col("n_mid").isNull, lam2 * pcont)
+      .otherwise(((col("n_mid").cast("double") - D) /
+        col("n_mid2").cast("double")) + lam2 * pcont)
+    val lam12 = D * col("n_follow12").cast("double") / col("c12").cast("double")
+    val p3g = when(col("c12").isNull, col("p2"))
+      .when(col("c123").isNull, lam12 * col("p2"))
+      .otherwise(((col("c123").cast("double") - D) /
+        col("c12").cast("double")) + lam12 * col("p2"))
+    val q = greatest(least(
+      floor(greatest(p3g, lit(9.5367431640625e-7)) * lit(1073741824.0)),
+      lit(1073741824L)), lit(1L))
+    ht.join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(mid23, Seq("w2", "w3"), "left")
+      .join(mid2, Seq("w2"), "left")
+      .join(cont3, Seq("w3"), "left")
+      .crossJoin(broadcast(tt2))
+      .withColumn("p2", p2)
+      .select(col("source"), col("n"), col("c123"), nllQ20(q).as("nll"))
+      .groupBy("source")
+      .agg(
+        sum("n").as("n_scored"),
+        sum(when(col("c123").isNull, col("n")).otherwise(lit(0L))).as("n_unseen"),
+        sum(col("nll") * col("n")).as("nll_q20_total"))
+      .select(col("source"), col("n_scored"), col("n_unseen"),
+        col("nll_q20_total"),
+        (col("nll_q20_total").cast("double") /
+          (col("n_scored") * lit(1048576L)).cast("double")).as("bits_per_token"))
+      .orderBy("source")
   }
 
   // -------------------------------------------------------------------
@@ -664,5 +781,92 @@ object TrainingFilters {
          |    + (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE))
          |      * p_kn2 AS p_kn3
          |FROM j ORDER BY c123 DESC, w1, w2, w3 LIMIT 20""".stripMargin)),
+    // oracle: the identical 80/20 content-hash split, the identical
+    // six-statistic train-split model, the identical back-off CASE
+    // chain (branch order mirrored), and the identical Q20
+    // shift-and-square log fold — so n_scored/n_unseen/nll_q20_total
+    // are integer-exact and bits_per_token is one shared division
+    Q("lm_kn_perplexity", knPerplexity, Some(
+      s"""WITH tr AS (
+         |  SELECT text FROM documents WHERE ${oPolyHash("text")} % 100 < 80),
+         |ho AS (
+         |  SELECT source, text FROM documents
+         |  WHERE ${oPolyHash("text")} % 100 >= 80),
+         |t AS (SELECT $oTok AS t FROM tr),
+         |tg AS (SELECT t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
+         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS g
+         |             FROM t WHERE len(t) >= 3)),
+         |c123 AS MATERIALIZED (
+         |  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+         |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |            COUNT(*) AS n_follow12 FROM c123 GROUP BY 1, 2),
+         |mid23 AS MATERIALIZED (
+         |  SELECT w2, w3, COUNT(*) AS n_mid FROM c123 GROUP BY 1, 2),
+         |mid2 AS (SELECT w2, CAST(SUM(n_mid) AS BIGINT) AS n_mid2,
+         |           COUNT(*) AS n_types2 FROM mid23 GROUP BY 1),
+         |cont3 AS (SELECT w3, COUNT(*) AS n_prec3 FROM mid23 GROUP BY 1),
+         |tt2 AS (SELECT COUNT(*) AS tt2 FROM mid23),
+         |hts AS (SELECT source, $oTok AS t FROM ho),
+         |ht AS (SELECT source, t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
+         |       FROM (SELECT source, t,
+         |               unnest(generate_series(1, len(t) - 2)) AS g
+         |             FROM hts WHERE len(t) >= 3)),
+         |htc AS (SELECT source, w1, w2, w3, COUNT(*) AS n
+         |        FROM ht GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT source, n, c123, c12, n_follow12,
+         |    CASE WHEN n_mid2 IS NULL
+         |           THEN (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |         WHEN n_mid IS NULL
+         |           THEN (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
+         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |         ELSE ((CAST(n_mid AS DOUBLE) - 7.5e-1) / CAST(n_mid2 AS DOUBLE))
+         |           + (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
+         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |    END AS p2
+         |  FROM htc LEFT JOIN c123 USING (w1, w2, w3)
+         |    LEFT JOIN ctx12 USING (w1, w2)
+         |    LEFT JOIN mid23 USING (w2, w3)
+         |    LEFT JOIN mid2 USING (w2)
+         |    LEFT JOIN cont3 USING (w3)
+         |    CROSS JOIN tt2),
+         |p AS (
+         |  SELECT source, n, c123,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         WHEN c123 IS NULL
+         |           THEN (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
+         |         ELSE ((CAST(c123 AS DOUBLE) - 7.5e-1) / CAST(c12 AS DOUBLE))
+         |           + (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
+         |    END AS p3
+         |  FROM j),
+         |qq AS (
+         |  SELECT source, n, c123,
+         |    GREATEST(LEAST(CAST(FLOOR(
+         |      GREATEST(p3, 9.5367431640625e-7) * 1073741824e0) AS BIGINT),
+         |      1073741824), 1) AS q
+         |  FROM p),
+         |lg AS (
+         |  SELECT source, n, c123, q,
+         |    length(list_filter(range(0, 31), k -> (q >> k) > 0)) - 1 AS il
+         |  FROM qq),
+         |st AS (
+         |  SELECT source, n, c123, il,
+         |    list_reduce(
+         |      list_prepend([q << (30 - il), CAST(0 AS BIGINT)],
+         |        list_transform(range(20),
+         |          i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+         |      (a, b) -> CASE WHEN ((a[1]*a[1]) >> 30) >= 2147483648
+         |                THEN [((a[1]*a[1]) >> 30) >> 1, a[2]*2 + 1]
+         |                ELSE [(a[1]*a[1]) >> 30, a[2]*2] END) AS fs
+         |  FROM lg),
+         |nl AS (SELECT source, n, c123,
+         |         (30 - il) * 1048576 - fs[2] AS nll FROM st)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_scored,
+         |  CAST(SUM(CASE WHEN c123 IS NULL THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_unseen,
+         |  CAST(SUM(nll * n) AS BIGINT) AS nll_q20_total,
+         |  (CAST(SUM(nll * n) AS DOUBLE) / CAST(SUM(n) * 1048576 AS DOUBLE))
+         |    AS bits_per_token
+         |FROM nl GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -1302,6 +1302,20 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("DS8 cube: one orders scan feeds all eight grouping sets via Expand") {
+    val df = Relational.groupingSetsDs8(spark, sf)
+    val s = formatted(df)
+    // the whole point of the lattice spelling: eight aggregation
+    // levels, ONE fact pass — a second orders scan means the cube
+    // regressed to per-set subqueries
+    val oScans = s.split("\n").count(_.contains("orders.parquet"))
+    assert(oScans == 1, s"orders scanned $oScans times:\n${s.take(800)}")
+    assert(s.contains("Expand"), s.take(800))
+    // partial+final aggregate around the exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
+    Core.releaseCaches()
+  }
+
   test("interval identity is collision-free at ANY session ordinal (struct key)") {
     // the r15 advice trap: a user_id*1e6+session_id key aliases
     // (u=1, sid=2_000_000) with (u=3, sid=0) — and an oracle sharing

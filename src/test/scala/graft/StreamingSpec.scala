@@ -85,6 +85,33 @@ class StreamingSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("streaming ER converges to the batch golden records from scattered arrival") {
+    import org.apache.spark.sql.functions._
+    val batchRows = graft.operators.Dedup.goldenRecords(spark, sf).collect().toSeq
+    // the adversarial premise first: the stream scatters with
+    // repartition(4, c_custkey), so a member lands in micro-batch
+    // pmod(hash(key), 4). cluster_id (min member) and golden_custkey
+    // are both MEMBERS of the cluster — a cluster whose two named
+    // members hash to different buckets provably spans micro-batches,
+    // forcing the incremental path to FUSE clusters formed in earlier
+    // batches rather than only grow fresh ones.
+    def bucket(k: Long): Int = {
+      val b = Seq(k).toDF("k").select(pmod(hash(col("k")), lit(4)).as("b"))
+        .head().getInt(0)
+      b
+    }
+    val spanning = batchRows.filter { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val gk = r.getAs[Long]("golden_custkey")
+      cid != gk && bucket(cid) != bucket(gk)
+    }
+    assert(spanning.nonEmpty,
+      "no batch cluster spans two scatter buckets — the replay is not adversarial")
+    val streamed = Streams.streamErGolden(spark, sf).collect().toSeq
+    assert(streamed == batchRows)
+    Core.releaseCaches()
+  }
+
   test("streaming rolling distinct's set state folds to the batch report") {
     val streamed = Streams.streamRollingDistinct(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq

@@ -141,4 +141,44 @@ class TrainingFiltersSpec extends SparkSpec {
       assert(stems.contains(expect), s"missing stem $expect in $stems")
     }
   }
+
+  test("Q20 integer log2 is exact on powers of two and monotone between them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // q = 2^(30-b) encodes p = 2^-b: the fold must return EXACTLY
+    // b·2^20 — the shift-and-square recurrence emits all-zero
+    // fraction bits for a power of two
+    val qs = (0 to 20).map(b => (b.toLong, 1L << (30 - b)))
+    val rows = qs.toDF("b", "q")
+      .select(col("b"), graft.operators.TrainingFilters.nllQ20(col("q")).as("nll"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nll") == r.getAs[Long]("b") * 1048576L, r.toString)
+    }
+    // strictly between two powers the result is strictly between the
+    // endpoints (monotonicity of the fold); q = 3·2^28 → −log2(3/4)
+    val mid = Seq(3L << 28).toDF("q")
+      .select(graft.operators.TrainingFilters.nllQ20(col("q")).as("nll"))
+      .head().getAs[Long]("nll")
+    // −log2(3/4) = 0.415037…; Q20 truncation of the 20-bit fold
+    assert(mid > 0 && mid < 1048576L, mid.toString)
+    assert(math.abs(mid / 1048576.0 - 0.4150375) < 2e-6, mid.toString)
+  }
+
+  test("held-out KN perplexity exercises the back-off and stays within the floor bound") {
+    val rows = graft.operators.TrainingFilters.knPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the 2^-20 probability floor caps any trigram's cost at 20 bits
+    rows.foreach { r =>
+      val bits = r.getAs[Double]("bits_per_token")
+      assert(bits > 0.0 && bits <= 20.0, r.toString)
+      assert(r.getAs[Long]("nll_q20_total") <=
+        r.getAs[Long]("n_scored") * 20L * 1048576L, r.toString)
+      assert(r.getAs[Long]("n_unseen") <= r.getAs[Long]("n_scored"), r.toString)
+    }
+    // the whole point: unseen trigrams must exist and take the
+    // back-off path, not vanish from scoring
+    assert(rows.map(_.getAs[Long]("n_unseen")).sum > 0)
+    Core.releaseCaches()
+  }
 }
