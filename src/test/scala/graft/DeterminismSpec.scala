@@ -72,6 +72,18 @@ class DeterminismSpec extends SparkSpec {
     // unchanged ≤85 budget. stream_interval_overlap (6.41 s) stays
     // correctness-only: upsert-loop shape already timed by
     // stream_ann_upsert over the benched interval tail.
+    // +1/−1 (r17) admit multimodal_mjpeg_decode (1.311 s min-of-2 at
+    // sf0.1 across two JVMs — the multi-frame container-walk +
+    // per-frame transform-decode family: 3 entropy decodes + integer
+    // IDCTs per row plus RIFF/idx1 validation; no other benched query
+    // times a transform codec); demote multimodal_features (0.322 s
+    // byte-stub fold — its partition-local-decode plan shape is timed
+    // by every real codec). The round's other additions stay
+    // correctness-only: lm_kn_perplexity's join chain is
+    // lm_kn_trigram's own, stream_er_golden's per-batch loop is the
+    // stream_dedup_clusters/stream_ann_upsert shape, grouping_sets_ds8
+    // is cube_sales' Expand+agg, multimodal_audio_spectral is the
+    // gif/mjpeg mapPartitions decode family.
     assert(SparkEntry.benchSet.size <= 85)
     assert(SparkEntry.benchQueries.nonEmpty)
   }
