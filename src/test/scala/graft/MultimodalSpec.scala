@@ -647,6 +647,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI container round-trips arbitrary frame counts, including odd-length frames") {
+    // the fixture always writes 3 frames; the container itself must
+    // hold for any count, and odd-length JPEG payloads must exercise
+    // the RIFF even-padding path in both the writer and the walker
+    val rnd = new scala.util.Random(17)
+    var sawOdd = false
+    for (_ <- 0 until 10) {
+      val n = 1 + rnd.nextInt(4)
+      val frames = (0 until n).map { _ =>
+        val zz = Array.tabulate(64)(k =>
+          if (k == 0) rnd.nextInt(120) - 60 else rnd.nextInt(7) - 3)
+        Multimodal.JpegCodec.encode(zz)
+      }
+      sawOdd ||= frames.exists(_.length % 2 == 1)
+      val st = Multimodal.AviCodec.decode(99L, Multimodal.AviCodec.encode(frames))
+      assert(st.n_frames == n && st.width == 8 && st.height == 8)
+      val pix = frames.map(fb => Multimodal.JpegCodec.pixels(99L, fb)._4)
+      assert(st.px_sum == pix.map(_.map(_.toLong).sum).sum)
+      val motion = (1 until n).map { f =>
+        (0 until 64).map(i => math.abs(pix(f)(i) - pix(f - 1)(i)).toLong).sum
+      }.sum
+      assert(st.motion_abs == motion)
+    }
+    assert(sawOdd, "no trial produced an odd-length frame; pad path untested")
+  }
+
   test("MJPEG decoder rejects structural inconsistencies loudly") {
     val good = Multimodal.AviCodec.encodeFixture(13L, "hello world")
     // stale idx1 offset: entry 0's dwChunkOffset at idx1+8 (header) +8
