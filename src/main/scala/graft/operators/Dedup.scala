@@ -1681,31 +1681,64 @@ object Dedup {
     * identically in both engines. Scale: candidates are the nation
     * block equi-join (never all-pairs), the m/u frame is 1 row
     * broadcast back, and the queue is a top-k. */
-  def erFellegiSunter(s: SparkSession, d: String): DataFrame = {
-    val cust = Tables(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("balb"),
-        expr("substring(c_name, length(c_name), 1)").as("lc"))
-    val a = cust.toDF("ka", "na", "nat", "sega", "balba", "lca")
-    val b = cust.toDF("kb", "nb", "natb", "segb", "balbb", "lcb")
-    val pairs = cached(a.join(b,
-        col("nat") === col("natb") && col("ka") < col("kb"))
-      .select(col("ka"), col("kb"),
+  /** The Fellegi–Sunter record projection (comparison-vector fields)
+    * — shared by the batch query and the streaming twin. */
+  private[graft] def fsRecords(frame: DataFrame): DataFrame =
+    frame.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("balb"),
+      expr("substring(c_name, length(c_name), 1)").as("lc"))
+
+  /** (ka, kb, is_match, g1..g3) for every same-nation pair of a × b,
+    * key-normalized (ka < kb). `ordered = true` is the batch
+    * self-join spelling (a = b, dedup by key order); the streaming
+    * twin joins DISJOINT frames with `ordered = false` — every
+    * cross-frame pair appears exactly once, and the features are
+    * symmetric, so normalization only touches the key order. */
+  private[graft] def fsPairFeatures(
+      a: DataFrame, b: DataFrame, ordered: Boolean): DataFrame = {
+    val aa = fsRecords(a).toDF("ka", "na", "nat", "sega", "balba", "lca")
+    val bb = fsRecords(b).toDF("kb", "nb", "natb", "segb", "balbb", "lcb")
+    val cond =
+      if (ordered) col("nat") === col("natb") && col("ka") < col("kb")
+      else col("nat") === col("natb")
+    aa.join(bb, cond)
+      .select(
+        least(col("ka"), col("kb")).as("pa"),
+        greatest(col("ka"), col("kb")).as("pb"),
         when(levenshtein(col("na"), col("nb")) <= 1, 1L).otherwise(0L)
           .as("is_match"),
         when(col("sega") === col("segb"), 1L).otherwise(0L).as("g1"),
         when(col("balba") === col("balbb"), 1L).otherwise(0L).as("g2"),
-        when(col("lca") === col("lcb"), 1L).otherwise(0L).as("g3")))
-    val mu = pairs.agg(
-      sum("is_match").as("nm"),
-      (count(lit(1)) - sum("is_match")).as("nu"),
-      sum(col("is_match") * col("g1")).as("am1"),
-      sum(col("is_match") * col("g2")).as("am2"),
-      sum(col("is_match") * col("g3")).as("am3"),
-      sum((lit(1L) - col("is_match")) * col("g1")).as("au1"),
-      sum((lit(1L) - col("is_match")) * col("g2")).as("au2"),
-      sum((lit(1L) - col("is_match")) * col("g3")).as("au3"))
+        when(col("lca") === col("lcb"), 1L).otherwise(0L).as("g3"))
+      .withColumnRenamed("pa", "ka").withColumnRenamed("pb", "kb")
+  }
+
+  /** The eight FS sufficient statistics of a pair frame — ADDITIVE
+    * over disjoint pair sets, which is what makes the streaming twin
+    * a pure fold: state(t+1) = state(t) + fsMu(new pairs). */
+  private[graft] def fsMu(pairs: DataFrame): DataFrame = pairs.agg(
+    sum("is_match").as("nm"),
+    (count(lit(1)) - sum("is_match")).as("nu"),
+    sum(col("is_match") * col("g1")).as("am1"),
+    sum(col("is_match") * col("g2")).as("am2"),
+    sum(col("is_match") * col("g3")).as("am3"),
+    sum((lit(1L) - col("is_match")) * col("g1")).as("au1"),
+    sum((lit(1L) - col("is_match")) * col("g2")).as("au2"),
+    sum((lit(1L) - col("is_match")) * col("g3")).as("au3"))
+
+  /** Merge two 1-row FS statistic frames (column-wise sums). */
+  private[graft] def fsMuMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      sum("nm").as("nm"), sum("nu").as("nu"),
+      sum("am1").as("am1"), sum("am2").as("am2"), sum("am3").as("am3"),
+      sum("au1").as("au1"), sum("au2").as("au2"), sum("au3").as("au3"))
+
+  /** The FS scoring tail — Laplace-smoothed m/u likelihood ratios,
+    * review queue of the top-20 non-match pairs by weight. Factored
+    * so the streaming twin reports through the IDENTICAL plan over
+    * its maintained state and one oracle serves both. */
+  private[graft] def fsTail(pairs: DataFrame, mu: DataFrame): DataFrame = {
     def m(k: Int) = (col(s"am$k").cast("double") + lit(1.0)) /
       (col("nm").cast("double") + lit(2.0))
     def u(k: Int) = (col(s"au$k").cast("double") + lit(1.0)) /
@@ -1718,6 +1751,12 @@ object Dedup {
         (r(1) * r(2) * r(3)).as("weight"))
       .orderBy(col("weight").desc, col("ka"), col("kb"))
       .limit(20)
+  }
+
+  def erFellegiSunter(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables(s, d, "customer")
+    val pairs = cached(fsPairFeatures(cust, cust, ordered = true))
+    fsTail(pairs, fsMu(pairs))
   }
 
   /** Measured pair-recall of the hyperplane-LSH near-dup path against
@@ -1973,6 +2012,57 @@ object Dedup {
     * [[dupClusters]] converges to). Must appear under
     * `WITH RECURSIVE`. Shared with the leakage-aware split oracle in
     * [[Pipeline]]. */
+  /** Oracle for [[erFellegiSunter]] AND its streaming twin
+    * ([[graft.streaming.Streams.streamErFellegi]]): the maintained
+    * sufficient statistics are additive over the exactly-once pair
+    * log, so the stream converges to the batch recomputation and
+    * ONE oracle serves both. */
+  private[graft] val oFellegiSunterSql: String =
+    """WITH c AS (
+        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb,
+        |    substring(c_name, length(c_name), 1) AS lc
+        |  FROM customer),
+        |p AS MATERIALIZED (
+        |  SELECT a.k AS ka, b.k AS kb,
+        |    CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN 1 ELSE 0 END AS is_match,
+        |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS g3
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k),
+        |mu AS (SELECT
+        |    CAST(SUM(is_match) AS BIGINT) AS nm,
+        |    CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS nu,
+        |    CAST(SUM(is_match * g1) AS BIGINT) AS am1,
+        |    CAST(SUM(is_match * g2) AS BIGINT) AS am2,
+        |    CAST(SUM(is_match * g3) AS BIGINT) AS am3,
+        |    CAST(SUM((1 - is_match) * g1) AS BIGINT) AS au1,
+        |    CAST(SUM((1 - is_match) * g2) AS BIGINT) AS au2,
+        |    CAST(SUM((1 - is_match) * g3) AS BIGINT) AS au3
+        |  FROM p)
+        |SELECT ka, kb,
+        |  CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+        |  CAST(g3 AS BIGINT) AS g3,
+        |  (CASE WHEN g1 = 1
+        |     THEN ((CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
+        |   * CASE WHEN g2 = 1
+        |     THEN ((CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END)
+        |   * CASE WHEN g3 = 1
+        |     THEN ((CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / ((CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
+        |     ELSE (1e0 - (CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
+        |        / (1e0 - (CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
+        |  AS weight
+        |FROM p, mu WHERE is_match = 0
+        |ORDER BY weight DESC, ka, kb LIMIT 20""".stripMargin
+
   /** Oracle for [[goldenRecords]] AND its streaming twin
     * ([[graft.streaming.Streams.streamErGolden]]): the incremental
     * match-edge + CC maintenance converges to the batch components
@@ -2546,51 +2636,7 @@ object Dedup {
     // oracle: the same blocked pass, integer agreement counts, and
     // the identical smoothed-ratio product (e-notation literals; both
     // engines truncate integer division toward zero, checked)
-    Q("er_fellegi_sunter", erFellegiSunter, Some(
-      """WITH c AS (
-        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-        |    c_mktsegment AS seg,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb,
-        |    substring(c_name, length(c_name), 1) AS lc
-        |  FROM customer),
-        |p AS MATERIALIZED (
-        |  SELECT a.k AS ka, b.k AS kb,
-        |    CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN 1 ELSE 0 END AS is_match,
-        |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g1,
-        |    CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g2,
-        |    CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS g3
-        |  FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k),
-        |mu AS (SELECT
-        |    CAST(SUM(is_match) AS BIGINT) AS nm,
-        |    CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS nu,
-        |    CAST(SUM(is_match * g1) AS BIGINT) AS am1,
-        |    CAST(SUM(is_match * g2) AS BIGINT) AS am2,
-        |    CAST(SUM(is_match * g3) AS BIGINT) AS am3,
-        |    CAST(SUM((1 - is_match) * g1) AS BIGINT) AS au1,
-        |    CAST(SUM((1 - is_match) * g2) AS BIGINT) AS au2,
-        |    CAST(SUM((1 - is_match) * g3) AS BIGINT) AS au3
-        |  FROM p)
-        |SELECT ka, kb,
-        |  CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
-        |  CAST(g3 AS BIGINT) AS g3,
-        |  (CASE WHEN g1 = 1
-        |     THEN ((CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / ((CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
-        |     ELSE (1e0 - (CAST(am1 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / (1e0 - (CAST(au1 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
-        |   * CASE WHEN g2 = 1
-        |     THEN ((CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / ((CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
-        |     ELSE (1e0 - (CAST(am2 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / (1e0 - (CAST(au2 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END)
-        |   * CASE WHEN g3 = 1
-        |     THEN ((CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / ((CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0))
-        |     ELSE (1e0 - (CAST(am3 AS DOUBLE) + 1e0) / (CAST(nm AS DOUBLE) + 2e0))
-        |        / (1e0 - (CAST(au3 AS DOUBLE) + 1e0) / (CAST(nu AS DOUBLE) + 2e0)) END
-        |  AS weight
-        |FROM p, mu WHERE is_match = 0
-        |ORDER BY weight DESC, ka, kb LIMIT 20""".stripMargin)),
+    Q("er_fellegi_sunter", erFellegiSunter, Some(oFellegiSunterSql)),
     // oracle norms are precomputed ONCE per vector (a MATERIALIZED
     // sqrt-of-self-dot CTE) instead of re-folded per pair — the same
     // IEEE sequence (fold → sqrt → product → divide), so the cosine

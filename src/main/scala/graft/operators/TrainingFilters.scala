@@ -627,7 +627,106 @@ object TrainingFilters {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + registered-domain dedup accounting — the
+    * web-corpus hygiene step CCNet/RefinedWeb-class pipelines run
+    * before ANY content dedup: the same page arrives under dozens of
+    * URL spellings (case-shifted scheme/host, explicit default port,
+    * tracking parameters, fragments, parameter order), and
+    * canonicalizing first turns an expensive content comparison into
+    * an exact key match. The corpus has no URL column, so the fixture
+    * is PLANTED in-query byte-identically on both engines (the
+    * [[piiScrub]] discipline): each doc gets a deliberately messy URL
+    * — uppercase scheme/host, explicit :443, utm_-prefixed/ref/id tracking
+    * params around a real `lang` param, a fragment — whose canonical
+    * form collapses to (source, doc_id % 7), so every domain carries
+    * genuine duplicate-URL mass the rollup must find.
+    *
+    * Canonicalization (identical op sequence both engines): drop the
+    * fragment, split authority/path/query, lowercase scheme+host,
+    * strip the default port, drop tracking params (utm_*, ref, id)
+    * and re-sort the survivors, reassemble. Registered domain = the
+    * last two host labels.
+    *
+    * Scale: pure per-row codegen'd string expressions fused into the
+    * scan (zero extra passes) + one domain-keyed rollup with a
+    * distinct over canonical URLs — at corpus scale the distinct
+    * shuffles canonical-URL HASHES, never page content. */
+  def urlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val trackRe = "^(utm_[a-z]+|ref|id)="
+    val raw = concat(
+      lit("HTTPS://WWW."), col("source"), lit("-Example.COM:443/Docs/"),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("?utm_source=feed&lang=en&ref="),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("&id="), col("doc_id").cast("string"), lit("#sec"))
+    val noFrag = substring_index(raw, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = substring_index(noFrag, "?", -1)
+    val proto = lower(substring_index(base, "://", 1))
+    val rest = substring_index(base, "://", -1)
+    val hostport = substring_index(rest, "/", 1)
+    val path = regexp_replace(rest, "^[^/]*", "")
+    val host = lower(regexp_replace(hostport, ":443$", ""))
+    val kept = array_join(
+      array_sort(filter(split(query, "&"), p => !p.rlike(trackRe))), "&")
+    val canon = concat(proto, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+    val domain = concat(
+      element_at(split(host, "\\."), -2), lit("."),
+      element_at(split(host, "\\."), -1))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), domain.as("domain"), canon.as("canon"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_urls"),
+        (count(lit(1)) - countDistinct(col("canon"))).as("n_dup_docs"),
+        min("canon").as("sample_url"))
+      .orderBy("domain")
+  }
+
   def queries: Seq[Q] = Seq(
+    // oracle: the identical plant → canonicalize op sequence —
+    // fragment cut, authority split, lowercase scheme/host, default
+    // port strip, tracking-param filter + re-sort, reassembly — in
+    // the shared regex/string dialect (anchored patterns only, so
+    // Spark's replace-all and DuckDB's replace-first agree)
+    Q("filter_url_canonical", urlCanonicalize, Some {
+      val trackRe = "^(utm_[a-z]+|ref|id)="
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    'HTTPS://WWW.' || source || '-Example.COM:443/Docs/' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&lang=en&ref=' ||
+         |      CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST(doc_id AS VARCHAR)
+         |      || '#sec' AS u
+         |  FROM documents),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(split_part(split_part(split_part(u, '#', 1), '?', 1), '://', 1)) AS proto,
+         |    split_part(split_part(split_part(u, '#', 1), '?', 1), '://', 2) AS rest,
+         |    split_part(split_part(u, '#', 1), '?', 2) AS query
+         |  FROM raw),
+         |canon AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(split_part(rest, '/', 1), ':443$$', '')) AS host,
+         |    proto || '://' ||
+         |      lower(regexp_replace(split_part(rest, '/', 1), ':443$$', '')) ||
+         |      regexp_replace(rest, '^[^/]*', '') ||
+         |      CASE WHEN length(array_to_string(list_sort(list_filter(
+         |               string_split(query, '&'),
+         |               p -> NOT regexp_matches(p, '$trackRe'))), '&')) > 0
+         |           THEN '?' || array_to_string(list_sort(list_filter(
+         |               string_split(query, '&'),
+         |               p -> NOT regexp_matches(p, '$trackRe'))), '&')
+         |           ELSE '' END AS canon
+         |  FROM parts)
+         |SELECT string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         |    AS domain,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT canon) AS n_urls,
+         |  COUNT(*) - COUNT(DISTINCT canon) AS n_dup_docs,
+         |  MIN(canon) AS sample_url
+         |FROM canon GROUP BY 1 ORDER BY domain""".stripMargin
+    }),
     Q("filter_pii_scrub", piiScrub, Some {
       val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
       val phoneRe = "555-[0-9]{4}"

@@ -1137,6 +1137,69 @@ object Streams {
       s.read.parquet(curLabels.get))
   }
 
+  /** Streaming FELLEGI–SUNTER linkage — the ER matrix's second member
+    * ([[streamErGolden]] maintains graph labels; this maintains the
+    * OTHER state class: additive sufficient statistics). The eight
+    * m/u sums are additive over disjoint pair sets, so the standing
+    * state is one 8-long row folded forward per batch, plus the
+    * exactly-once pair log (the review-queue candidates a production
+    * linkage job persists anyway). Exactly-once pairing: each batch
+    * pairs against STRICTLY OLDER slices (partition-column filter
+    * `b < batchId` — retry-safe even after the batch's own slice is
+    * written) plus its key-ordered internal pairs; cross-batch pairs
+    * appear when their later member arrives, never twice. The
+    * read-time report runs the batch scoring tail
+    * ([[graft.operators.Dedup.fsTail]]) over the maintained state, so
+    * `er_fellegi_sunter`'s oracle serves both.
+    *
+    * Scale: state is 8 longs; the pair log is nation-blocked exactly
+    * like the batch query (bounded by block density); versioned state
+    * files make batch retries idempotent (a replayed batch recomputes
+    * from the previous version, like [[streamSpanIngest]]). */
+  def streamErFellegi(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val srcDir = graft.Core.tempDir("graft-fs-src")
+    graft.Tables(s, d, "customer")
+      .repartition(4, col("c_custkey"))
+      .write.mode("overwrite").parquet(srcDir)
+    val sch = s.read.parquet(srcDir).schema
+    val recsLog = graft.Core.tempDir("graft-fs-recs")
+    val pairLog = graft.Core.tempDir("graft-fs-pairs")
+    val muRoot = graft.Core.tempDir("graft-fs-mu")
+    @volatile var curMu: Option[String] = None
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$recsLog/b=$batchId")
+        val inPairs = Dedup.fsPairFeatures(batch, batch, ordered = true)
+        val newPairs =
+          if (batchId == 0) inPairs
+          else {
+            val older = s.read.parquet(recsLog)
+              .filter(col("b") < batchId).drop("b")
+            Dedup.fsPairFeatures(batch, older, ordered = false)
+              .unionByName(inPairs)
+          }
+        newPairs.write.mode("overwrite").parquet(s"$pairLog/b=$batchId")
+        val muBatch = Dedup.fsMu(
+          s.read.parquet(s"$pairLog/b=$batchId"))
+        val muNext = curMu match {
+          case None => muBatch
+          case Some(p) => Dedup.fsMuMerge(s.read.parquet(p), muBatch)
+        }
+        val next = s"$muRoot/v$batchId"
+        muNext.write.mode("overwrite").parquet(next)
+        curMu = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamErFellegi")
+    Dedup.fsTail(
+      s.read.parquet(pairLog).drop("b"),
+      s.read.parquet(curMu.get))
+  }
+
   /** Streaming verbatim-SPAN ingest dedup — the ExactSubstr member
     * of the ingest-dedup family ([[streamDedupExact]] by content
     * hash, [[streamDedupNeardup]] by MinHash bands,
@@ -2019,6 +2082,11 @@ object Streams {
     // recursive-closure oracle serves both
     Q("stream_er_golden", streamErGolden, Some(
       graft.operators.Dedup.oGoldenRecordsSql)),
+    // the maintained m/u statistics are additive over the
+    // exactly-once pair log, so the stream converges to the batch
+    // recomputation — er_fellegi_sunter's oracle serves both
+    Q("stream_er_fellegi", streamErFellegi, Some(
+      graft.operators.Dedup.oFellegiSunterSql)),
     // admission is a pure function of the final gram counts, so the
     // batch recomputation IS the streaming end state
     Q("stream_span_ingest", streamSpanIngest, Some(

@@ -112,6 +112,16 @@ class StreamingSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("streaming FS statistics fold to the batch review queue exactly") {
+    // additive sufficient statistics + exactly-once pairing must
+    // reproduce the batch m/u weights BIT-exactly (identical op
+    // sequence over identical integer sums), not approximately
+    val streamed = Streams.streamErFellegi(spark, sf).collect().toSeq
+    val batch = graft.operators.Dedup.erFellegiSunter(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    Core.releaseCaches()
+  }
+
   test("streaming rolling distinct's set state folds to the batch report") {
     val streamed = Streams.streamRollingDistinct(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq

@@ -142,6 +142,34 @@ class TrainingFiltersSpec extends SparkSpec {
     }
   }
 
+  test("URL canonicalization strips every messiness class and accounts duplicates") {
+    val rows = graft.operators.TrainingFilters.urlCanonicalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[String]("sample_url")
+      // lowercase scheme+host, default port gone, fragment gone,
+      // tracking params gone, the real param kept
+      assert(u.startsWith("https://www."), u)
+      assert(!u.contains(":443") && !u.contains("#"), u)
+      assert(!u.contains("utm_") && !u.contains("ref=") && !u.contains("id="), u)
+      assert(u.endsWith("?lang=en"), u)
+      // scheme+host lowercase; the PATH stays case-preserved ("/Docs/")
+      // because URL paths are case-sensitive per RFC 3986 — only the
+      // authority is case-insensitive
+      val hostEnd = u.indexOf('/', "https://".length)
+      val authority = u.substring(0, hostEnd)
+      assert(authority == authority.toLowerCase, u)
+      assert(u.substring(hostEnd).contains("/Docs/"), u)
+      // the plant collapses doc_id to doc_id % 7, so duplicates MUST
+      // exist and the accounting must balance
+      assert(r.getAs[Long]("n_urls") <= 7L, r.toString)
+      assert(r.getAs[Long]("n_dup_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_urls"), r.toString)
+      assert(r.getAs[Long]("n_dup_docs") > 0, r.toString)
+    }
+    Core.releaseCaches()
+  }
+
   test("Q20 integer log2 is exact on powers of two and monotone between them") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
