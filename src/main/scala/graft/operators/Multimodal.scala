@@ -435,16 +435,23 @@ object Multimodal {
     * an ordered list_reduce over each frame's samples — state is the
     * [s1, s2] pair, the step and the power expression carry the same
     * coefficient literals and the same bias-corrected division. */
+  /** DuckDB spelling of the [[goertzel]] fold over a BIGINT list
+    * column named `xs` — shared by the spectral and A/V-demux
+    * oracles. */
+  private def oGzFold(c: Long): String =
+    s"""list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(xs, x -> [x, CAST(0 AS BIGINT)])),
+       |      (a, b) -> [b[1] + (($c * a[1] + $GzBias) // 4096) - $GzBiasShifted - a[2],
+       |                 a[1]])""".stripMargin
+  /** The matching power expression over the final [s1, s2] state. */
+  private def oGzPower(c: Long, st: String): String =
+    s"$st[1]*$st[1] + $st[2]*$st[2] - " +
+      s"((($c * $st[1] + $GzBias) // 4096) - $GzBiasShifted) * $st[2]"
+
   private def oSpectralSql: String = {
-    def fold(c: Long): String =
-      s"""list_reduce(
-         |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
-         |        list_transform(xs, x -> [x, CAST(0 AS BIGINT)])),
-         |      (a, b) -> [b[1] + (($c * a[1] + $GzBias) // 4096) - $GzBiasShifted - a[2],
-         |                 a[1]])""".stripMargin
-    def power(c: Long, st: String): String =
-      s"$st[1]*$st[1] + $st[2]*$st[2] - " +
-        s"((($c * $st[1] + $GzBias) // 4096) - $GzBiasShifted) * $st[2]"
+    def fold(c: Long): String = oGzFold(c)
+    def power(c: Long, st: String): String = oGzPower(c, st)
     s"""WITH pay AS (
        |  SELECT doc_id,
        |    substring(repeat(text, $WavDataBytes // length(text) + 1), 1, $WavDataBytes) AS p
@@ -1868,6 +1875,11 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Demuxed A/V clip statistics — one row per two-stream AVI. */
+  final case class AviAvStats(
+      doc_id: Long, n_video_frames: Long, n_audio_chunks: Long,
+      px_sum: Long, motion_abs: Long, pcm_abs_sum: Long, e2_total: Long)
+
   /** Decoded MJPEG clip statistics — one row per AVI container. */
   final case class MjpegStats(
       doc_id: Long, n_frames: Long, width: Long, height: Long,
@@ -1916,11 +1928,11 @@ object Multimodal {
       b.array()
     }
 
-    /** avih main header: 10 fps, AVIF_HASINDEX, 1 stream, 8×8. */
-    private def avih(nFrames: Int): Array[Byte] = {
+    /** avih main header: 10 fps, AVIF_HASINDEX, 8×8. */
+    private def avih(nFrames: Int, streams: Int = 1): Array[Byte] = {
       val b = le(56)
       b.putInt(100000).putInt(0).putInt(0).putInt(0x10)
-        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(streams).putInt(0)
         .putInt(W).putInt(H)
       b.array() // 4 reserved dwords stay zero
     }
@@ -2108,6 +2120,239 @@ object Multimodal {
       MjpegStats(id, frames.length.toLong, w.toLong, h.toLong,
         dc0, pxSum, pxMin, pxMax, motion)
     }
+
+    // ---- interleaved A/V (two-stream) container ----
+
+    /** Samples per '01wb' audio chunk (one chunk rides next to each
+      * video frame). */
+    val AudioChunkSamples = 16
+
+    /** strh for the PCM16 audio stream: 'auds', handler 0, rate =
+      * samples/sec with scale 1, dwLength = total samples. */
+    private def strhAuds(totalSamples: Int): Array[Byte] = {
+      val b = le(56)
+      b.put(fcc("auds")).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(44100).putInt(0).putInt(totalSamples)
+        .putInt(0).putInt(-1).putInt(2) // dwSampleSize = block align
+      b.array() // rcFrame stays zero for audio
+    }
+    /** strf for audio = WAVEFORMATEX: PCM, mono, 44.1 kHz, 16-bit. */
+    private def strfAuds(): Array[Byte] = {
+      val b = le(16)
+      b.putShort(1).putShort(1).putInt(44100).putInt(88200)
+        .putShort(2).putShort(16)
+      b.array()
+    }
+
+    /** Assemble a TWO-stream AVI: '00dc' JPEG frames interleaved with
+      * '01wb' PCM16 chunks, both streams declared in hdrl, every
+      * chunk indexed in idx1. */
+    private[graft] def encodeAv(
+        frames: Seq[Array[Byte]], audio: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.length == audio.length, "one audio chunk per frame")
+      val totalSamples = audio.map(_.length / 2).sum
+      val hdrl = list("hdrl",
+        chunk("avih", avih(frames.length, streams = 2)) ++
+          list("strl", chunk("strh", strh(frames.length)) ++
+            chunk("strf", strf())) ++
+          list("strl", chunk("strh", strhAuds(totalSamples)) ++
+            chunk("strf", strfAuds())))
+      val ordered = frames.zip(audio).flatMap { case (f, a) =>
+        Seq(("00dc", f), ("01wb", a))
+      }
+      var off = 4
+      val entries = ordered.map { case (ck, payload) =>
+        val e = (ck, off, payload.length)
+        off += 8 + payload.length + (payload.length % 2)
+        e
+      }
+      val movi = list("movi",
+        ordered.toArray.flatMap { case (ck, p) => chunk(ck, p) })
+      val idx = le(16 * ordered.length)
+      entries.foreach { case (ck, o, n) =>
+        idx.put(fcc(ck)).putInt(0x10).putInt(o).putInt(n)
+      }
+      val body = hdrl ++ movi ++ chunk("idx1", idx.array())
+      val out = le(12 + body.length)
+      out.put(fcc("RIFF")).putInt(4 + body.length).put(fcc("AVI ")).put(body)
+      out.array()
+    }
+
+    /** documents → interleaved A/V fixture: the MJPEG frames of
+      * [[encodeFixture]] plus one 16-sample PCM16 chunk per frame,
+      * samples = the text's bytes cycled (the WAV fixture rule) —
+      * chunk c carries bytes [32c, 32c+32). */
+    private[graft] def encodeAvFixture(id: Long, text: String): Array[Byte] = {
+      require(text.nonEmpty && text.forall(_ < 0x80),
+        s"media fixture requires non-empty ASCII text; got doc_id=$id")
+      val frames = (0 until Frames).map(f =>
+        JpegCodec.encode(JpegCodec.frameCoefficients(text, f)))
+      val bytes = text.getBytes("US-ASCII")
+      val pcm = Array.tabulate(Frames * AudioChunkSamples * 2)(
+        i => bytes(i % bytes.length))
+      val audio = (0 until Frames).map(c =>
+        java.util.Arrays.copyOfRange(pcm,
+          c * AudioChunkSamples * 2, (c + 1) * AudioChunkSamples * 2))
+      encodeAv(frames, audio)
+    }
+
+    /** Demux + decode the two-stream container: validate BOTH strl
+      * declarations (vids/MJPG and auds/PCM16-mono), walk the
+      * interleaved movi, cross-check idx1 against the ordered chunk
+      * sequence, JPEG-decode every video frame, PCM-fold + Goertzel
+      * every audio chunk. Strict like [[decode]]. */
+    def decodeAv(id: Long, a: Array[Byte]): AviAvStats = {
+      def u8(p: Int): Int = a(p) & 0xff
+      def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+      def u32(p: Int): Int = u16(p) | (u16(p + 2) << 16)
+      def four(p: Int): String = new String(a, p, 4, "US-ASCII")
+      require(a.length >= 12 && four(0) == "RIFF", s"doc $id: not RIFF")
+      require(u32(4) == a.length - 8, s"doc $id: RIFF size mismatch")
+      require(four(8) == "AVI ", s"doc $id: not AVI")
+      var streams = -1; var totalFrames = -1; var w = -1; var h = -1
+      var vidsOk = false; var strfVidsOk = false
+      var audsOk = false; var strfAudsOk = false
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var moviFcc = -1
+      var idxOk = false
+
+      def walkStrl(from: Int, until: Int): Unit = {
+        var p = from
+        var kind = ""
+        while (p + 8 <= until) {
+          val len = u32(p + 4)
+          four(p) match {
+            case "strh" =>
+              require(len >= 56, s"doc $id: short strh")
+              kind = four(p + 8)
+              kind match {
+                case "vids" =>
+                  require(four(p + 12) == "MJPG",
+                    s"doc $id: video stream is not MJPG")
+                  vidsOk = true
+                case "auds" => audsOk = true
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"doc $id: unsupported stream type $other")
+              }
+            case "strf" =>
+              if (kind == "vids") {
+                require(four(p + 8 + 16) == "MJPG",
+                  s"doc $id: biCompression != MJPG")
+                strfVidsOk = true
+              } else if (kind == "auds") {
+                require(u16(p + 8) == 1 && u16(p + 8 + 2) == 1 &&
+                  u16(p + 8 + 14) == 16,
+                  s"doc $id: audio is not 16-bit mono PCM")
+                strfAudsOk = true
+              }
+            case _ =>
+          }
+          p += 8 + len + (len % 2)
+        }
+      }
+      def walkHdrl(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val len = u32(p + 4)
+          four(p) match {
+            case "avih" =>
+              require(len >= 56, s"doc $id: short avih")
+              totalFrames = u32(p + 8 + 16)
+              streams = u32(p + 8 + 24)
+              w = u32(p + 8 + 32); h = u32(p + 8 + 36)
+            case "LIST" if four(p + 8) == "strl" =>
+              walkStrl(p + 12, p + 8 + len)
+            case _ =>
+          }
+          p += 8 + len + (len % 2)
+        }
+      }
+
+      var pos = 12
+      while (pos + 8 <= a.length) {
+        val len = u32(pos + 4)
+        require(len >= 0 && pos + 8 + len <= a.length,
+          s"doc $id: truncated chunk at $pos")
+        four(pos) match {
+          case "LIST" =>
+            four(pos + 8) match {
+              case "hdrl" => walkHdrl(pos + 12, pos + 8 + len)
+              case "movi" =>
+                moviFcc = pos + 8
+                var p = pos + 12
+                while (p + 8 <= pos + 8 + len) {
+                  val flen = u32(p + 4)
+                  val ck = four(p)
+                  require(ck == "00dc" || ck == "01wb",
+                    s"doc $id: unexpected movi chunk $ck")
+                  chunks += ((ck, p, flen))
+                  p += 8 + flen + (flen % 2)
+                }
+              case _ =>
+            }
+          case "idx1" =>
+            require(moviFcc > 0 && chunks.nonEmpty,
+              s"doc $id: idx1 before movi")
+            require(len == 16 * chunks.length,
+              s"doc $id: idx1 has ${len / 16} entries for ${chunks.length} chunks")
+            var i = 0
+            while (i < chunks.length) {
+              val e = pos + 8 + 16 * i
+              val (ck, cpos, clen) = chunks(i)
+              require(four(e) == ck && (u32(e + 4) & 0x10) != 0,
+                s"doc $id: idx1 entry $i ckid/flags wrong")
+              require(u32(e + 8) == cpos - moviFcc && u32(e + 12) == clen,
+                s"doc $id: idx1 entry $i offset/size stale")
+              i += 1
+            }
+            idxOk = true
+          case _ =>
+        }
+        pos += 8 + len + (len % 2)
+      }
+      require(vidsOk && strfVidsOk, s"doc $id: missing MJPG stream headers")
+      require(audsOk && strfAudsOk, s"doc $id: missing PCM stream headers")
+      require(streams == 2, s"doc $id: expected 2 streams, avih says $streams")
+      require(idxOk, s"doc $id: missing idx1")
+      val vChunks = chunks.filter(_._1 == "00dc")
+      val aChunks = chunks.filter(_._1 == "01wb")
+      require(totalFrames == vChunks.length,
+        s"doc $id: avih says $totalFrames video frames, movi has ${vChunks.length}")
+
+      var pxSum = 0L; var motion = 0L
+      var prev: Array[Int] = null
+      vChunks.foreach { case (_, cpos, clen) =>
+        val fb = java.util.Arrays.copyOfRange(a, cpos + 8, cpos + 8 + clen)
+        val (fw, fh, _, pix) = JpegCodec.pixels(id, fb)
+        require(fw == w && fh == h,
+          s"doc $id: frame is ${fw}x$fh, container says ${w}x$h")
+        var i = 0
+        while (i < pix.length) {
+          pxSum += pix(i)
+          if (prev != null) motion += math.abs(pix(i) - prev(i))
+          i += 1
+        }
+        prev = pix
+      }
+      var absSum = 0L; var e2 = 0L; var nSamples = 0L
+      aChunks.foreach { case (_, cpos, clen) =>
+        require(clen % 2 == 0, s"doc $id: odd PCM chunk length")
+        val smp = new Array[Short](clen / 2)
+        var i = 0
+        while (i < smp.length) {
+          smp(i) = ((a(cpos + 8 + 2 * i) & 0xff) |
+            (a(cpos + 8 + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        nSamples += smp.length
+        smp.foreach(v => absSum += math.abs(v.toLong))
+        e2 += goertzel(smp, GoertzelC(1))
+      }
+      AviAvStats(id, vChunks.length.toLong, aChunks.length.toLong,
+        pxSum, motion, absSum, e2)
+    }
   }
 
   /** documents → REAL binary AVI/MJPEG clips
@@ -2194,6 +2439,110 @@ object Multimodal {
        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
        |  dc0_dequant, px_sum, px_min, px_max, motion_abs
        |FROM dc JOIN ps USING (doc_id) JOIN mo USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** documents → interleaved two-stream A/V containers
+    * ([[AviCodec.encodeAvFixture]]). */
+  def aviAvTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, AviCodec.encodeAvFixture(id, t))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** Registered query: real A/V DEMUX — the capstone combining the
+    * round's two codecs: a two-stream AVI ('vids'/MJPG + 'auds'/PCM16
+    * declared in separate strl lists, '00dc'/'01wb' chunks
+    * interleaved in movi, every chunk idx1-indexed) demuxed strictly,
+    * each video frame through the full baseline-JPEG path, each audio
+    * chunk through the PCM fold + the bin-2 Goertzel energy — the
+    * decode a real multimodal ingest pipeline runs on clip columns.
+    * Same batched partition-local shape as [[mjpegDecode]]. */
+  def aviDemux(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    aviAvTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, m) => AviCodec.decodeAv(id, m)
+      }))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Oracle for [[aviDemux]]: the video half replays the per-frame
+    * coefficient rule → integer IDCT (the [[oMjpegStatsSql]] CTEs);
+    * the audio half replays the cycled-byte PCM rule with the shared
+    * Goertzel fold per 16-sample chunk. */
+  private def oAviDemuxSql: String = {
+    val zzL = JpegCodec.ZZ.mkString("[", ", ", "]")
+    val qzL = JpegCodec.ZZ.map(JpegCodec.QNat).mkString("[", ", ", "]")
+    val kL = JpegCodec.K.mkString("[", ", ", "]")
+    val nf = AviCodec.Frames
+    val audioBytes = nf * AviCodec.AudioChunkSamples * 2
+    val c2 = GoertzelC(1)
+    s"""WITH cf AS MATERIALIZED (
+       |  SELECT doc_id, f, k,
+       |    CASE WHEN k = 0
+       |         THEN ascii(substring(text, (f % length(text)) + 1, 1)) - 64
+       |         ELSE (ascii(substring(text, ((k * 7 + f) % length(text)) + 1, 1)) % 7) - 3
+       |    END AS v
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(range(0, $nf)) AS f) tf,
+       |    LATERAL (SELECT unnest(range(0, 64)) AS k) tk),
+       |d AS (
+       |  SELECT doc_id, f, CAST(v * qz[k + 1] AS BIGINT) AS dd,
+       |    zz[k + 1] // 8 AS r, zz[k + 1] % 8 AS c
+       |  FROM cf, (SELECT $zzL AS zz, $qzL AS qz)),
+       |px AS (
+       |  SELECT doc_id, f, y, x,
+       |    CAST(SUM(dd * kk[r * 8 + y + 1] * kk[c * 8 + x + 1]) AS BIGINT) AS s
+       |  FROM d, (SELECT $kL AS kk),
+       |    LATERAL (SELECT unnest(range(0, 8)) AS y) t1,
+       |    LATERAL (SELECT unnest(range(0, 8)) AS x) t2
+       |  GROUP BY 1, 2, 3, 4),
+       |pv AS MATERIALIZED (
+       |  SELECT doc_id, f, y, x,
+       |    GREATEST(0, LEAST(255,
+       |      ((s + 4398054899712) // 16777216) - 262144 + 128)) AS p
+       |  FROM px),
+       |mo AS (
+       |  SELECT a.doc_id, CAST(SUM(ABS(b.p - a.p)) AS BIGINT) AS motion_abs
+       |  FROM pv a JOIN pv b
+       |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
+       |      AND a.y = b.y AND a.x = b.x
+       |  GROUP BY 1),
+       |ps AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum
+       |       FROM pv GROUP BY 1),
+       |pay AS (
+       |  SELECT doc_id,
+       |    substring(repeat(text, $audioBytes // length(text) + 1), 1, $audioBytes) AS p
+       |  FROM documents),
+       |smp AS (
+       |  SELECT doc_id, j, j // ${AviCodec.AudioChunkSamples} AS chunk,
+       |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+       |  FROM (
+       |    SELECT doc_id, j,
+       |      ascii(substring(p, 2*j + 1, 1)) + 256 * ascii(substring(p, 2*j + 2, 1)) AS v
+       |    FROM pay,
+       |      LATERAL (SELECT unnest(range(0, ${nf * AviCodec.AudioChunkSamples})) AS j) t)),
+       |au AS (
+       |  SELECT doc_id, chunk, list(CAST(smp AS BIGINT) ORDER BY j) AS xs,
+       |    CAST(SUM(ABS(smp)) AS BIGINT) AS ab
+       |  FROM smp GROUP BY 1, 2),
+       |ae AS (
+       |  SELECT doc_id, chunk, ab, ${oGzFold(c2)} AS g
+       |  FROM au),
+       |aa AS (
+       |  SELECT doc_id, CAST(SUM(ab) AS BIGINT) AS pcm_abs_sum,
+       |    CAST(SUM(${oGzPower(c2, "g")}) AS BIGINT) AS e2_total
+       |  FROM ae GROUP BY 1)
+       |SELECT doc_id, CAST($nf AS BIGINT) AS n_video_frames,
+       |  CAST($nf AS BIGINT) AS n_audio_chunks,
+       |  px_sum, motion_abs, pcm_abs_sum, e2_total
+       |FROM ps JOIN mo USING (doc_id) JOIN aa USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -2601,6 +2950,11 @@ object Multimodal {
     // motion join — the engine's only route to these integers is the
     // real AVI walk + per-frame entropy decode
     Q("multimodal_mjpeg_decode", mjpegDecode, Some(oMjpegStatsSql)),
+    // oracle: the MJPEG video replay + the cycled-byte PCM replay
+    // with the shared Goertzel fold per 16-sample chunk — the
+    // engine's only route to these integers is the real two-stream
+    // demux
+    Q("multimodal_avi_demux", aviDemux, Some(oAviDemuxSql)),
     // oracle: the png-decode oracle VERBATIM — the round-trip through
     // the general encoder (filtered scanlines, stored-block DEFLATE,
     // CRC chunks) must leave every pixel, and so every stat, unchanged

@@ -698,6 +698,55 @@ class MultimodalSpec extends SparkSpec {
     assert(ex3.getMessage.contains("not vids/MJPG"))
   }
 
+  test("A/V demux agrees with the video-only container and the direct PCM fold") {
+    for (text <- Seq("hello world", "The quick brown fox! 0123456789")) {
+      val av = Multimodal.AviCodec.decodeAv(21L,
+        Multimodal.AviCodec.encodeAvFixture(21L, text))
+      // video half: the SAME frames ride both containers, so the
+      // two-stream demux must reproduce the single-stream stats
+      val mj = Multimodal.AviCodec.decode(21L,
+        Multimodal.AviCodec.encodeFixture(21L, text))
+      assert(av.n_video_frames == 3 && av.n_audio_chunks == 3)
+      assert(av.px_sum == mj.px_sum && av.motion_abs == mj.motion_abs)
+      // audio half: recompute from the cycled text bytes directly
+      val bytes = text.getBytes("US-ASCII")
+      val pcm = Array.tabulate(3 * 16 * 2)(i => bytes(i % bytes.length))
+      val smp = Array.tabulate(3 * 16)(i =>
+        ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+      assert(av.pcm_abs_sum == smp.map(v => math.abs(v.toLong)).sum)
+      val e2 = smp.grouped(16)
+        .map(fr => Multimodal.goertzel(fr, Multimodal.GoertzelC(1))).sum
+      assert(av.e2_total == e2)
+    }
+  }
+
+  test("A/V demux rejects stream-declaration lies loudly") {
+    val good = Multimodal.AviCodec.encodeAvFixture(22L, "hello world")
+    // audio strf claims non-PCM: wFormatTag at strf payload offset 0.
+    // the audio strf is the SECOND strf fourcc in the file
+    val fmt = good.clone()
+    val f2 = fccIndex(fmt, "strf", fccIndex(fmt, "strf") + 4) + 8
+    fmt(f2) = 2
+    val ex1 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decodeAv(22L, fmt))
+    assert(ex1.getMessage.contains("not 16-bit mono PCM"))
+    // avih lies about the stream count
+    val sc = good.clone()
+    val s0 = fccIndex(sc, "avih") + 8 + 24
+    sc(s0) = 1
+    val ex2 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decodeAv(22L, sc))
+    assert(ex2.getMessage.contains("expected 2 streams"))
+    // idx1 entry for an audio chunk claims the wrong ckid: entry 1
+    // (the first '01wb') at idx1 payload offset 16
+    val ck = good.clone()
+    val e1 = fccIndex(ck, "idx1") + 8 + 16
+    "00dc".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => ck(e1 + i) = b }
+    val ex3 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decodeAv(22L, ck))
+    assert(ex3.getMessage.contains("ckid/flags wrong"))
+  }
+
   test("every synthesized AVI decodes under the driver-shaped run") {
     val decoded = Multimodal.mjpegDecode(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
