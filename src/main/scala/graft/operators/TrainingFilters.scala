@@ -438,9 +438,12 @@ object TrainingFilters {
     * report ([[kneserNeyTrigram]]) and the held-out scorer
     * ([[knPerplexity]], which trains on the 80% split only) build the
     * identical model. */
-  private def knTrigramTables(docFrame: DataFrame): (DataFrame, DataFrame,
-      DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tg = docFrame
+  /** The raw (w1, w2, w3, c123) trigram-count table of a document
+    * frame — the ONE table every KN statistic rolls up from, and the
+    * exact state a streaming LM trainer maintains (counts are
+    * additive, so per-batch merge is a groupBy-sum fold). */
+  private[graft] def trigramCounts(docFrame: DataFrame): DataFrame =
+    docFrame
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
       .select(explode(transform(sequence(lit(1), size(col("t")) - 2), g =>
@@ -448,8 +451,18 @@ object TrainingFilters {
           element_at(col("t"), g + 1).as("w2"),
           element_at(col("t"), g + 2).as("w3")))).as("b"))
       .select(col("b.w1"), col("b.w2"), col("b.w3"))
-    val c123 = cached(tg.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c123")))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+
+  private def knTrigramTables(docFrame: DataFrame): (DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame, DataFrame) =
+    knStatsFromC123(trigramCounts(docFrame))
+
+  /** The six KN statistics as rollups of an already-built trigram
+    * count table — shared by the doc-frame path above and the
+    * streaming twin, whose c123 arrives as maintained state. */
+  private[graft] def knStatsFromC123(c123raw: DataFrame): (DataFrame,
+      DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c123 = cached(c123raw)
     val ctx12 = c123.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n_follow12"))
     val mid23 = cached(c123.groupBy("w2", "w3")
@@ -540,9 +553,19 @@ object TrainingFilters {
   def knPerplexity(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
     val bucket = polyHash(col("text")) % 100
-    val (c123, ctx12, mid23, mid2, cont3, tt2) =
-      knTrigramTables(all.filter(bucket < 80))
-    val ht = all.filter(bucket >= 80)
+    knPerplexityScore(
+      trigramCounts(all.filter(bucket < 80)), all.filter(bucket >= 80))
+  }
+
+  /** The held-out scorer over ANY trigram-count table — factored so
+    * the streaming twin ([[graft.streaming.Streams.streamLmPerplexity]],
+    * whose counts arrive as maintained state) reports through the
+    * IDENTICAL model-build + back-off + Q20 fold and one oracle
+    * serves both. */
+  private[graft] def knPerplexityScore(
+      c123raw: DataFrame, held: DataFrame): DataFrame = {
+    val (c123, ctx12, mid23, mid2, cont3, tt2) = knStatsFromC123(c123raw)
+    val ht = held
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 3)
       .select(col("source"),
@@ -683,6 +706,94 @@ object TrainingFilters {
         min("canon").as("sample_url"))
       .orderBy("domain")
   }
+
+  /** Oracle for [[knPerplexity]] AND its streaming twin
+    * ([[graft.streaming.Streams.streamLmPerplexity]]): trigram
+    * counts are additive, so the maintained state equals the batch
+    * count table and the shared scoring tail makes ONE oracle
+    * serve both. */
+  private[graft] val oKnPerplexitySql: String =
+    s"""WITH tr AS (
+         |  SELECT text FROM documents WHERE ${oPolyHash("text")} % 100 < 80),
+         |ho AS (
+         |  SELECT source, text FROM documents
+         |  WHERE ${oPolyHash("text")} % 100 >= 80),
+         |t AS (SELECT $oTok AS t FROM tr),
+         |tg AS (SELECT t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
+         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS g
+         |             FROM t WHERE len(t) >= 3)),
+         |c123 AS MATERIALIZED (
+         |  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+         |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |            COUNT(*) AS n_follow12 FROM c123 GROUP BY 1, 2),
+         |mid23 AS MATERIALIZED (
+         |  SELECT w2, w3, COUNT(*) AS n_mid FROM c123 GROUP BY 1, 2),
+         |mid2 AS (SELECT w2, CAST(SUM(n_mid) AS BIGINT) AS n_mid2,
+         |           COUNT(*) AS n_types2 FROM mid23 GROUP BY 1),
+         |cont3 AS (SELECT w3, COUNT(*) AS n_prec3 FROM mid23 GROUP BY 1),
+         |tt2 AS (SELECT COUNT(*) AS tt2 FROM mid23),
+         |hts AS (SELECT source, $oTok AS t FROM ho),
+         |ht AS (SELECT source, t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
+         |       FROM (SELECT source, t,
+         |               unnest(generate_series(1, len(t) - 2)) AS g
+         |             FROM hts WHERE len(t) >= 3)),
+         |htc AS (SELECT source, w1, w2, w3, COUNT(*) AS n
+         |        FROM ht GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT source, n, c123, c12, n_follow12,
+         |    CASE WHEN n_mid2 IS NULL
+         |           THEN (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |         WHEN n_mid IS NULL
+         |           THEN (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
+         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |         ELSE ((CAST(n_mid AS DOUBLE) - 7.5e-1) / CAST(n_mid2 AS DOUBLE))
+         |           + (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
+         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
+         |    END AS p2
+         |  FROM htc LEFT JOIN c123 USING (w1, w2, w3)
+         |    LEFT JOIN ctx12 USING (w1, w2)
+         |    LEFT JOIN mid23 USING (w2, w3)
+         |    LEFT JOIN mid2 USING (w2)
+         |    LEFT JOIN cont3 USING (w3)
+         |    CROSS JOIN tt2),
+         |p AS (
+         |  SELECT source, n, c123,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         WHEN c123 IS NULL
+         |           THEN (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
+         |         ELSE ((CAST(c123 AS DOUBLE) - 7.5e-1) / CAST(c12 AS DOUBLE))
+         |           + (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
+         |    END AS p3
+         |  FROM j),
+         |qq AS (
+         |  SELECT source, n, c123,
+         |    GREATEST(LEAST(CAST(FLOOR(
+         |      GREATEST(p3, 9.5367431640625e-7) * 1073741824e0) AS BIGINT),
+         |      1073741824), 1) AS q
+         |  FROM p),
+         |lg AS (
+         |  SELECT source, n, c123, q,
+         |    length(list_filter(range(0, 31), k -> (q >> k) > 0)) - 1 AS il
+         |  FROM qq),
+         |st AS (
+         |  SELECT source, n, c123, il,
+         |    list_reduce(
+         |      list_prepend([q << (30 - il), CAST(0 AS BIGINT)],
+         |        list_transform(range(20),
+         |          i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+         |      (a, b) -> CASE WHEN ((a[1]*a[1]) >> 30) >= 2147483648
+         |                THEN [((a[1]*a[1]) >> 30) >> 1, a[2]*2 + 1]
+         |                ELSE [(a[1]*a[1]) >> 30, a[2]*2] END) AS fs
+         |  FROM lg),
+         |nl AS (SELECT source, n, c123,
+         |         (30 - il) * 1048576 - fs[2] AS nll FROM st)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_scored,
+         |  CAST(SUM(CASE WHEN c123 IS NULL THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_unseen,
+         |  CAST(SUM(nll * n) AS BIGINT) AS nll_q20_total,
+         |  (CAST(SUM(nll * n) AS DOUBLE) / CAST(SUM(n) * 1048576 AS DOUBLE))
+         |    AS bits_per_token
+         |FROM nl GROUP BY source ORDER BY source""".stripMargin
 
   def queries: Seq[Q] = Seq(
     // oracle: the identical plant → canonicalize op sequence —
@@ -885,87 +996,6 @@ object TrainingFilters {
     // chain (branch order mirrored), and the identical Q20
     // shift-and-square log fold — so n_scored/n_unseen/nll_q20_total
     // are integer-exact and bits_per_token is one shared division
-    Q("lm_kn_perplexity", knPerplexity, Some(
-      s"""WITH tr AS (
-         |  SELECT text FROM documents WHERE ${oPolyHash("text")} % 100 < 80),
-         |ho AS (
-         |  SELECT source, text FROM documents
-         |  WHERE ${oPolyHash("text")} % 100 >= 80),
-         |t AS (SELECT $oTok AS t FROM tr),
-         |tg AS (SELECT t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
-         |       FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS g
-         |             FROM t WHERE len(t) >= 3)),
-         |c123 AS MATERIALIZED (
-         |  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
-         |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
-         |            COUNT(*) AS n_follow12 FROM c123 GROUP BY 1, 2),
-         |mid23 AS MATERIALIZED (
-         |  SELECT w2, w3, COUNT(*) AS n_mid FROM c123 GROUP BY 1, 2),
-         |mid2 AS (SELECT w2, CAST(SUM(n_mid) AS BIGINT) AS n_mid2,
-         |           COUNT(*) AS n_types2 FROM mid23 GROUP BY 1),
-         |cont3 AS (SELECT w3, COUNT(*) AS n_prec3 FROM mid23 GROUP BY 1),
-         |tt2 AS (SELECT COUNT(*) AS tt2 FROM mid23),
-         |hts AS (SELECT source, $oTok AS t FROM ho),
-         |ht AS (SELECT source, t[g] AS w1, t[g+1] AS w2, t[g+2] AS w3
-         |       FROM (SELECT source, t,
-         |               unnest(generate_series(1, len(t) - 2)) AS g
-         |             FROM hts WHERE len(t) >= 3)),
-         |htc AS (SELECT source, w1, w2, w3, COUNT(*) AS n
-         |        FROM ht GROUP BY 1, 2, 3, 4),
-         |j AS (
-         |  SELECT source, n, c123, c12, n_follow12,
-         |    CASE WHEN n_mid2 IS NULL
-         |           THEN (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
-         |         WHEN n_mid IS NULL
-         |           THEN (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
-         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
-         |         ELSE ((CAST(n_mid AS DOUBLE) - 7.5e-1) / CAST(n_mid2 AS DOUBLE))
-         |           + (7.5e-1 * CAST(n_types2 AS DOUBLE) / CAST(n_mid2 AS DOUBLE))
-         |             * (CAST(COALESCE(n_prec3, 0) AS DOUBLE) / CAST(tt2 AS DOUBLE))
-         |    END AS p2
-         |  FROM htc LEFT JOIN c123 USING (w1, w2, w3)
-         |    LEFT JOIN ctx12 USING (w1, w2)
-         |    LEFT JOIN mid23 USING (w2, w3)
-         |    LEFT JOIN mid2 USING (w2)
-         |    LEFT JOIN cont3 USING (w3)
-         |    CROSS JOIN tt2),
-         |p AS (
-         |  SELECT source, n, c123,
-         |    CASE WHEN c12 IS NULL THEN p2
-         |         WHEN c123 IS NULL
-         |           THEN (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
-         |         ELSE ((CAST(c123 AS DOUBLE) - 7.5e-1) / CAST(c12 AS DOUBLE))
-         |           + (7.5e-1 * CAST(n_follow12 AS DOUBLE) / CAST(c12 AS DOUBLE)) * p2
-         |    END AS p3
-         |  FROM j),
-         |qq AS (
-         |  SELECT source, n, c123,
-         |    GREATEST(LEAST(CAST(FLOOR(
-         |      GREATEST(p3, 9.5367431640625e-7) * 1073741824e0) AS BIGINT),
-         |      1073741824), 1) AS q
-         |  FROM p),
-         |lg AS (
-         |  SELECT source, n, c123, q,
-         |    length(list_filter(range(0, 31), k -> (q >> k) > 0)) - 1 AS il
-         |  FROM qq),
-         |st AS (
-         |  SELECT source, n, c123, il,
-         |    list_reduce(
-         |      list_prepend([q << (30 - il), CAST(0 AS BIGINT)],
-         |        list_transform(range(20),
-         |          i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
-         |      (a, b) -> CASE WHEN ((a[1]*a[1]) >> 30) >= 2147483648
-         |                THEN [((a[1]*a[1]) >> 30) >> 1, a[2]*2 + 1]
-         |                ELSE [(a[1]*a[1]) >> 30, a[2]*2] END) AS fs
-         |  FROM lg),
-         |nl AS (SELECT source, n, c123,
-         |         (30 - il) * 1048576 - fs[2] AS nll FROM st)
-         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_scored,
-         |  CAST(SUM(CASE WHEN c123 IS NULL THEN n ELSE 0 END) AS BIGINT)
-         |    AS n_unseen,
-         |  CAST(SUM(nll * n) AS BIGINT) AS nll_q20_total,
-         |  (CAST(SUM(nll * n) AS DOUBLE) / CAST(SUM(n) * 1048576 AS DOUBLE))
-         |    AS bits_per_token
-         |FROM nl GROUP BY source ORDER BY source""".stripMargin)),
+    Q("lm_kn_perplexity", knPerplexity, Some(oKnPerplexitySql)),
   )
 }

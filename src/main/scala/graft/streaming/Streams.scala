@@ -1137,6 +1137,56 @@ object Streams {
       s.read.parquet(curLabels.get))
   }
 
+  /** Streaming LM-STATISTICS maintenance — the streaming twin of the
+    * r17 perplexity quality gate: a production LM-based filter trains
+    * its count model on a stream of trusted text, and the state a
+    * streaming trainer actually maintains is exactly the raw trigram
+    * count table (counts are additive, so the per-batch fold is a
+    * groupBy-sum merge — the [[streamSpanIngest]] count-state family
+    * applied to the LM). TRAIN-split documents (the same 80% content-
+    * hash bucket as the batch query) arrive hash-scattered; each
+    * batch's trigram counts merge forward into versioned state; at
+    * read time the maintained table feeds the IDENTICAL model build +
+    * back-off + Q20 fold ([[graft.operators.TrainingFilters
+    * .knPerplexityScore]]) over the held-out split, so
+    * `lm_kn_perplexity`'s oracle serves both.
+    *
+    * Scale: state is the trigram VOCABULARY (counts), which grows
+    * ≪ corpus (Heaps' law); the per-batch merge shuffles only new
+    * batch counts against the matching state partitions — at
+    * production scale a vocabulary-partitioned MERGE. */
+  def streamLmPerplexity(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TrainingFilters
+    val bucket = polyHash(col("text")) % 100
+    val srcDir = graft.Core.tempDir("graft-lm-src")
+    graft.Tables(s, d, "documents").filter(bucket < 80)
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val sch = s.read.parquet(srcDir).schema
+    val stateRoot = graft.Core.tempDir("graft-lm-state")
+    @volatile var curState: Option[String] = None
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = TrainingFilters.trigramCounts(batch)
+        val merged = curState match {
+          case None => counts
+          case Some(p) => s.read.parquet(p).unionByName(counts)
+            .groupBy("w1", "w2", "w3").agg(sum(col("c123")).as("c123"))
+        }
+        val next = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        curState = Some(next)
+      }
+      .start()
+    awaitAndLog(q, "streamLmPerplexity")
+    TrainingFilters.knPerplexityScore(
+      s.read.parquet(curState.get),
+      graft.Tables(s, d, "documents").filter(bucket >= 80))
+  }
+
   /** Streaming FELLEGI–SUNTER linkage — the ER matrix's second member
     * ([[streamErGolden]] maintains graph labels; this maintains the
     * OTHER state class: additive sufficient statistics). The eight
@@ -2087,6 +2137,11 @@ object Streams {
     // recomputation — er_fellegi_sunter's oracle serves both
     Q("stream_er_fellegi", streamErFellegi, Some(
       graft.operators.Dedup.oFellegiSunterSql)),
+    // trigram counts are additive, so the maintained state equals
+    // the batch count table and the shared scoring tail makes
+    // lm_kn_perplexity's oracle serve both
+    Q("stream_lm_perplexity", streamLmPerplexity, Some(
+      graft.operators.TrainingFilters.oKnPerplexitySql)),
     // admission is a pure function of the final gram counts, so the
     // batch recomputation IS the streaming end state
     Q("stream_span_ingest", streamSpanIngest, Some(

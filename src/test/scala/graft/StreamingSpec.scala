@@ -122,6 +122,18 @@ class StreamingSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("streaming trigram-count state scores held-out perplexity at batch parity") {
+    // the maintained state is the raw count table (additive under any
+    // batch split), and the read-time report runs the identical model
+    // build + Q20 fold — so every column, including the double
+    // bits_per_token, must match the batch run bit-exactly
+    val streamed = Streams.streamLmPerplexity(spark, sf).collect().toSeq
+    val batch = graft.operators.TrainingFilters.knPerplexity(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+    Core.releaseCaches()
+  }
+
   test("streaming rolling distinct's set state folds to the batch report") {
     val streamed = Streams.streamRollingDistinct(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
