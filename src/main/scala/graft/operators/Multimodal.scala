@@ -2121,6 +2121,36 @@ object Multimodal {
         dc0, pxSum, pxMin, pxMax, motion)
     }
 
+    /** The raw '00dc' frame payloads of a single-stream container —
+      * a light movi walk for [[Multimodal.mjpegRoundtrip]], which
+      * re-encodes them through the full writer ([[decode]] performs
+      * the strict validation on both sides of the trip). */
+    private[graft] def videoFramePayloads(
+        id: Long, a: Array[Byte]): Seq[Array[Byte]] = {
+      def u8(p: Int): Int = a(p) & 0xff
+      def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+      def u32(p: Int): Int = u16(p) | (u16(p + 2) << 16)
+      def four(p: Int): String = new String(a, p, 4, "US-ASCII")
+      require(a.length >= 12 && four(0) == "RIFF" && four(8) == "AVI ",
+        s"doc $id: not AVI")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = 12
+      while (pos + 8 <= a.length) {
+        val len = u32(pos + 4)
+        if (four(pos) == "LIST" && four(pos + 8) == "movi") {
+          var p = pos + 12
+          while (p + 8 <= pos + 8 + len) {
+            val flen = u32(p + 4)
+            if (four(p) == "00dc")
+              out += java.util.Arrays.copyOfRange(a, p + 8, p + 8 + flen)
+            p += 8 + flen + (flen % 2)
+          }
+        }
+        pos += 8 + len + (len % 2)
+      }
+      out.toSeq
+    }
+
     // ---- interleaved A/V (two-stream) container ----
 
     /** Samples per '01wb' audio chunk (one chunk rides next to each
@@ -2440,6 +2470,33 @@ object Multimodal {
        |  dc0_dequant, px_sum, px_min, px_max, motion_abs
        |FROM dc JOIN ps USING (doc_id) JOIN mo USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Registered query: MJPEG ENCODE → DECODE round-trip through the
+    * GENERAL container writer — each clip's frames are pulled back
+    * out of the container, entropy-decoded to their quantized
+    * coefficients, re-encoded through the real per-frame Huffman
+    * framing AND the real AVI assembly (hdrl/movi/idx1 built from
+    * DECODED data, not the fixture), then strictly decoded again.
+    * Frame coefficients are unchanged by construction (the entropy
+    * layer is lossless — the JPEG round-trip pins it) and the
+    * container carries them faithfully, so the SAME oracle as
+    * [[mjpegDecode]] checks the whole writer under the driver gate
+    * — the container-level extension of the jpeg/png round-trip
+    * discipline. */
+  def mjpegRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mjpegTable(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, m) =>
+        val rebuilt = AviCodec.encode(
+          AviCodec.videoFramePayloads(id, m).map { fb =>
+            val (_, _, zz, _) = JpegCodec.entropyDecode(id, fb)
+            JpegCodec.encode(zz)
+          })
+        AviCodec.decode(id, rebuilt)
+      }))
+      .toDF().orderBy("doc_id")
   }
 
   /** documents → interleaved two-stream A/V containers
@@ -2955,6 +3012,10 @@ object Multimodal {
     // engine's only route to these integers is the real two-stream
     // demux
     Q("multimodal_avi_demux", aviDemux, Some(oAviDemuxSql)),
+    // oracle: mjpeg_decode's VERBATIM — the round-trip through the
+    // real per-frame entropy encoder + the real container assembly
+    // must leave every frame coefficient, and so every stat, unchanged
+    Q("multimodal_mjpeg_roundtrip", mjpegRoundtrip, Some(oMjpegStatsSql)),
     // oracle: the png-decode oracle VERBATIM — the round-trip through
     // the general encoder (filtered scanlines, stored-block DEFLATE,
     // CRC chunks) must leave every pixel, and so every stat, unchanged
