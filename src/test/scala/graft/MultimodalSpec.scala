@@ -759,6 +759,145 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FFT bins 0 and 8 are EXACT; every bin tracks the exact DFT; bins 1-3 cross-validate Goertzel") {
+    val rnd = new scala.util.Random(7)
+    val frames =
+      // pure tones at every bin (three amplitudes) + pseudo-random
+      (for (k <- 1 to 8; a <- Seq(300, 5000, 20000)) yield
+        Array.tabulate[Short](16)(n =>
+          math.round(a * math.cos(2 * math.Pi * k * n / 16)).toShort)) ++
+        (0 until 50).map(_ => Array.fill[Short](16)(
+          (rnd.nextInt(65536) - 32768).toShort))
+    var maxRelDft = 0.0; var maxRelGz = 0.0
+    for (fr <- frames) {
+      val (re, im) = Multimodal.fft16(fr)
+      // bins 0 and 8: the twiddles on their paths are exactly ±1/±i
+      // (Q12 products shift out losslessly), so NO rounding happens
+      assert(re(0) == fr.map(_.toLong).sum && im(0) == 0L)
+      assert(re(8) == fr.zipWithIndex.map { case (v, n) =>
+        if (n % 2 == 0) v.toLong else -v.toLong }.sum && im(8) == 0L)
+      for (k <- 0 to 8) {
+        val eFft = re(k) * re(k) + im(k) * im(k)
+        // exact (double) DFT reference
+        val xr = (0 until 16).map(n =>
+          fr(n) * math.cos(2 * math.Pi * k * n / 16)).sum
+        val xi = (0 until 16).map(n =>
+          -fr(n) * math.sin(2 * math.Pi * k * n / 16)).sum
+        val eTrue = xr * xr + xi * xi
+        // error model: a ≤1-ulp floor error per twiddle shift walks
+        // the STATE by O(stages), so the energy deviates by
+        // O(err·|X|) = O(err·√e) — a √-scaled band, not a relative
+        // one (weak bins carry the same absolute state error)
+        val dev = math.abs(eFft - eTrue)
+        assert(dev <= 128.0 * math.sqrt(eTrue) + 2e5,
+          s"bin $k: fft=$eFft true=$eTrue frame=${fr.toSeq}")
+        if (eTrue > 1e9) maxRelDft = math.max(maxRelDft, dev / eTrue)
+        if (k >= 1 && k <= 3) {
+          // the Goertzel twin: an INDEPENDENT fixed-point recursion
+          // approximating the same |X_k|² — agreement within the two
+          // kernels' combined rounding bound is the cross-validation
+          // (bit-equality is impossible: different rounding paths)
+          val eGz = Multimodal.goertzel(fr, Multimodal.GoertzelC(k - 1))
+          val d2 = math.abs(eFft - eGz).toDouble
+          // the resonator amplifies its per-step error by
+          // ~1/sin(πk/8), so its band is wider than the FFT's
+          assert(d2 <= 256.0 * math.sqrt(math.max(eFft, eGz).toDouble) + 2e5,
+            s"bin $k: fft=$eFft goertzel=$eGz frame=${fr.toSeq}")
+          if (eGz > 1e9) maxRelGz = math.max(maxRelGz, d2 / eGz)
+        }
+      }
+    }
+    // measured ceilings (documented so a kernel regression is loud):
+    // the FFT stays within 0.1% of truth on live bins; the two
+    // fixed-point paths agree within 0.5% (the resonator's wider
+    // error band — measured max 0.30% on this fixture set)
+    assert(maxRelDft < 1e-3, s"fft-vs-exact drifted: $maxRelDft")
+    assert(maxRelGz < 5e-3, s"fft-vs-goertzel drifted: $maxRelGz")
+  }
+
+  test("FFT spectrum localizes a pure tone to its own bin, silence to zero") {
+    for (k <- 1 to 8) {
+      val fr = Array.tabulate[Short](16)(n =>
+        math.round(20000.0 * math.cos(2 * math.Pi * k * n / 16)).toShort)
+      val (re, im) = Multimodal.fft16(fr)
+      val e = Array.tabulate(9)(j => re(j) * re(j) + im(j) * im(j))
+      for (j <- 1 to 8 if j != k)
+        assert(e(k) > 100L * e(j), s"tone at bin $k leaked: ${e.toSeq}")
+    }
+    val (zr, zi) = Multimodal.fft16(new Array[Short](16))
+    assert(zr.forall(_ == 0L) && zi.forall(_ == 0L))
+  }
+
+  test("driver-shaped FFT run: dominant bins match Goertzel's verdict where comparable") {
+    val rows = Multimodal.audioFft(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n * 4)
+    rows.foreach { r =>
+      val es = (0 to 8).map(k => r.getAs[Long](s"e$k"))
+      val dom = r.getAs[Long]("dom_bin"); val pm = r.getAs[Long]("peak_pm")
+      assert(dom >= 1 && dom <= 8 && es(dom.toInt) == es.tail.max)
+      val tot = es.tail.sum
+      assert(pm == (if (tot == 0) 0L else es(dom.toInt) * 1000L / tot))
+    }
+  }
+
+  test("motion search finds a planted shift exactly, with the scan-order tie-break") {
+    // prev with distinct interior values; cur = prev displaced by
+    // (dy, dx) under the SAME clamp rule → candidate (dy, dx) has
+    // SAD 0 and must win
+    val prev = Array.tabulate(64)(i => (i * 3 + 7) % 256)
+    for (dy <- -2 to 2; dx <- -2 to 2) {
+      val cur = Array.tabulate(64) { i =>
+        val y = i / 8; val x = i % 8
+        prev(math.max(0, math.min(7, y + dy)) * 8 +
+          math.max(0, math.min(7, x + dx)))
+      }
+      assert(Multimodal.blockSad(cur, prev, dy, dx) == 0L)
+      // recount the full candidate grid the query's loop scans: the
+      // winner must carry SAD 0 (clamped borders can hand a zero to
+      // more than one displacement; the scan then takes the first)
+      val all = for (a <- -2 to 2; b <- -2 to 2)
+        yield (Multimodal.blockSad(cur, prev, a, b), a, b)
+      val win = all.minBy(t => (t._1, t._2, t._3))
+      assert(win._1 == 0L)
+      if (dy == 0 && dx == 0) {
+        // no clamp ambiguity: the zero displacement is the UNIQUE zero
+        assert(all.count(_._1 == 0L) == 1 && win == ((0L, 0, 0)))
+      }
+    }
+    // constant frames: EVERY candidate ties at 0 — the deterministic
+    // winner is the first in (dy, dx)-ascending scan order
+    val flat = Array.fill(64)(128)
+    val all = for (a <- -2 to 2; b <- -2 to 2)
+      yield (Multimodal.blockSad(flat, flat, a, b), a, b)
+    assert(all.forall(_._1 == 0L) && all.head == ((0L, -2, -2)))
+  }
+
+  test("driver-shaped motion-vector run: argmin beats zero baseline, recount agrees") {
+    val rows = Multimodal.motionVectors(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n * 2) // 2 consecutive pairs per 3-frame clip
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sad_best") <= r.getAs[Long]("sad_zero"))
+      val (dy, dx) = (r.getAs[Long]("best_dy"), r.getAs[Long]("best_dx"))
+      assert(dy >= -2 && dy <= 2 && dx >= -2 && dx <= 2)
+    }
+    // independent recount for a handful of fixture clips
+    for (text <- Seq("hello world", "The quick brown fox! 0123456789")) {
+      val avi = Multimodal.AviCodec.encodeFixture(31L, text)
+      val pix = Multimodal.AviCodec.videoFramePayloads(31L, avi)
+        .map(fb => Multimodal.JpegCodec.pixels(31L, fb)._4)
+      for (f <- 1 until pix.length) {
+        val cands = for (a <- -2 to 2; b <- -2 to 2)
+          yield (Multimodal.blockSad(pix(f), pix(f - 1), a, b), a, b)
+        val best = cands.minBy(t => (t._1, t._2, t._3))
+        // the lexicographic (sad, dy, dx) min IS the scan's
+        // first-strict-win — the property the oracle's ORDER BY pins
+        assert(best._1 <= cands.find(t => t._2 == 0 && t._3 == 0).get._1)
+      }
+    }
+  }
+
   test("every synthesized QOI round-trips through the real decoder") {
     val decoded = Multimodal.qoiDecode(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
