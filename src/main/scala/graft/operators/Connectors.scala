@@ -232,6 +232,73 @@ object Connectors {
   def compaction(s: SparkSession, d: String): DataFrame =
     compactionWithDirs(s, d)._1
 
+  /** The point-probe key set for [[bloomSkip]]: a deterministic mix
+    * of likely-present keys (small multiples of 37 — customer keys
+    * are dense from 1) and certainly-absent keys (≥ 10⁹, far past any
+    * driver SF's key space). Shared with the oracle literal. */
+  private[graft] val BloomProbes: Seq[Long] =
+    (1 to 8).map(_ * 37L) ++ (1 to 4).map(1000000000L + _)
+
+  /** Parquet BLOOM-FILTER file skipping (r17 verdict item #7) — the
+    * data-skipping axis [[compactionWithDirs]]' footer stats cannot
+    * cover: the compacted layout sorts by `o_orderkey`, so every
+    * file's min/max range on `o_custkey` spans essentially the whole
+    * key domain (SourceSpec measures it) and range stats prune
+    * NOTHING for customer point probes. Writing a bloom filter on
+    * `o_custkey` (per-write parquet option, no session mutation)
+    * gives each row group a probabilistic membership summary the
+    * reader consults on equality probes: absent keys skip whole row
+    * groups (no false negatives, ~1% false positives at the declared
+    * NDV). The registered result is the point-probe report over the
+    * bloom-written copy — present probes return exact counts/sums,
+    * absent probes return zero rows — proving the rewrite lost
+    * nothing; SourceSpec pins the physical claims (filters present in
+    * the footers, absent keys answered "definitely not" while ranges
+    * cannot exclude them).
+    *
+    * Scale: at 100 TB the bloom bitsets ride in the footers (~1 MB
+    * per 128 MB row group at NDV 10⁶), and a point probe touches only
+    * the row groups whose filter fires — the difference between
+    * scanning a lake and reading a handful of pages. */
+  def bloomSkipWithDir(s: SparkSession, d: String): (DataFrame, String) = {
+    import s.implicits._
+    val dir = tmp("graft-bloom")
+    Tables(s, d, "orders")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      // parquet-mr OMITS the bloom filter when a chunk stays fully
+      // dictionary-encoded (the dictionary is already an exact
+      // membership filter, and the reader uses it for the same
+      // row-group skip). Driver-SF custkey cardinality fits a
+      // dictionary page, so the bloom path would silently never be
+      // exercised; disabling dictionary on the ONE probe column
+      // forces the bloom representation — at production NDV the
+      // dictionary overflows to plain encoding and the bloom filter
+      // appears without this override.
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(s"$dir/t")
+    val t = s.read.parquet(s"$dir/t")
+    // the IN probe pushes to the scan (PushedFilters, PlanSpec) where
+    // the parquet reader's row-group filter consults the bloom bitset
+    val agg = t.filter(col("o_custkey").isin(BloomProbes: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Core.dsum(col("o_totalprice")).as("sum_price"))
+    val report = BloomProbes.toDF("probe")
+      .join(agg, col("probe") === col("o_custkey"), "left")
+      .select(col("probe"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_price"))
+      .orderBy("probe")
+    (report, s"$dir/t")
+  }
+
+  def bloomSkip(s: SparkSession, d: String): DataFrame =
+    bloomSkipWithDir(s, d)._1
+
   /** Z-order (Morton) clustering digest: rank-normalize `l_orderkey`
     * and `l_partkey` to 16-bit grids, interleave the bits into one
     * 32-bit code, and report row count + both keys' min/max per
@@ -632,6 +699,21 @@ object Connectors {
          |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
          |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
          |FROM m GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    }),
+    // oracle: the same probe literals against the ORIGINAL orders
+    // table — a green row proves the bloom-written copy answers point
+    // probes identically (present keys exact, absent keys empty)
+    Q("maint_bloom_skip", bloomSkip, Some {
+      val pl = BloomProbes.mkString("[", ", ", "]")
+      s"""WITH probes AS (SELECT CAST(unnest($pl) AS BIGINT) AS probe),
+         |agg AS (
+         |  SELECT o_custkey, COUNT(*) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |  FROM orders WHERE o_custkey IN (SELECT probe FROM probes)
+         |  GROUP BY 1)
+         |SELECT probe, COALESCE(n_orders, 0) AS n_orders, sum_price
+         |FROM probes LEFT JOIN agg ON probe = o_custkey
+         |ORDER BY probe""".stripMargin
     }),
     Q("connector_compaction", compaction, Some(
       """SELECT o_orderpriority, COUNT(*) AS n,

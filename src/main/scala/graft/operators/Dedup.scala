@@ -1634,19 +1634,30 @@ object Dedup {
     * Scale: the edge table is the blocked candidate join (never
     * all-pairs); labels come from the same pointer-doubling CC; the
     * report aggregates shuffle (label) keys only. */
-  def erClusterConfidence(s: SparkSession, d: String): DataFrame = {
-    val cust = cached(Tables(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
-    val e = cached(erEdges(cust, customerStrip(s, d)).select("a", "b"))
-    val names = cust.select(col("c_custkey"), col("c_name"))
-    val sims = e
+  /** (a, b) match edges scored with the Jaro–Winkler similarity of
+    * the two full names, quantized to exact integer micro-units —
+    * the evidence row a production linkage job persists with each
+    * verified edge. Shared by the batch report and the streaming
+    * edge-log maintainer. */
+  private[graft] def erEdgeSims(
+      names: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
       .join(names.toDF("a", "name_a"), "a")
       .join(names.toDF("b", "name_b"), "b")
       .select(col("a"), col("b"),
         floor(graft.plans.TextHashes.jaroWinkler(
           col("name_a"), col("name_b")) * 1e6).cast("long").as("sim_micro"))
-    val (labels, _) = connectedComponents(e)
-    val eAgg = sims.join(labels.toDF("a", "lbl"), "a")
+
+  /** The confidence-report tail over ANY scored edge frame
+    * (a, b, sim_micro): one CC pass labels the clusters, then the
+    * per-label aggregate — factored so the streaming twin
+    * ([[graft.streaming.Streams.streamErConfidence]], whose edges
+    * arrive from the maintained batchId-keyed edge log) reports
+    * through the IDENTICAL plan and one oracle serves both. */
+  private[graft] def erConfidenceReport(sims: DataFrame): DataFrame = {
+    val e = cached(sims)
+    val (labels, _) = connectedComponents(e.select("a", "b"))
+    val eAgg = e.join(labels.toDF("a", "lbl"), "a")
       .groupBy("lbl")
       .agg(count(lit(1)).as("n_edges"),
         min("sim_micro").as("min_sim_micro"),
@@ -1658,6 +1669,14 @@ object Dedup {
         (col("sum_sim").cast("double") / col("n_edges").cast("double"))
           .as("mean_sim_micro"))
       .orderBy("cluster_id")
+  }
+
+  def erClusterConfidence(s: SparkSession, d: String): DataFrame = {
+    val cust = cached(Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val e = erEdges(cust, customerStrip(s, d)).select("a", "b")
+    erConfidenceReport(
+      erEdgeSims(cust.select(col("c_custkey"), col("c_name")), e))
   }
 
   /** FELLEGI–SUNTER probabilistic record linkage — the classic
@@ -2097,6 +2116,41 @@ object Dedup {
       |  c_acctbal AS golden_acctbal
       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Oracle for [[erClusterConfidence]] AND its streaming twin
+    * ([[graft.streaming.Streams.streamErConfidence]]): the union of
+    * the per-batch verified-edge logs is exactly the batch edge set
+    * (every pair fires once, in the batch its LATER member arrives),
+    * and both report through [[erConfidenceReport]], so ONE
+    * recursive-closure + confidence oracle serves both. */
+  private[graft] val oErClusterConfidenceSql: String =
+    s"""WITH RECURSIVE $oStripCores,
+      |pr AS (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |    CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name)
+      |      * 1000000.0) AS BIGINT) AS sim
+      |  FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |    AND a.c_nationkey = b.c_nationkey
+      |  JOIN cores ca ON ca.k = a.c_custkey
+      |  JOIN cores cb ON cb.k = b.c_custkey
+      |  WHERE levenshtein(ca.core, cb.core) <= 1),
+      |e AS (SELECT ka AS src, kb AS dst FROM pr
+      |      UNION SELECT kb, ka FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |sz AS (SELECT cluster_id, COUNT(*) AS size FROM cc GROUP BY cluster_id),
+      |ea AS (SELECT cc.cluster_id, COUNT(*) AS n_edges,
+      |         MIN(pr.sim) AS min_sim_micro,
+      |         CAST(SUM(pr.sim) AS BIGINT) AS sum_sim
+      |       FROM pr JOIN cc ON cc.k = pr.ka GROUP BY 1)
+      |SELECT sz.cluster_id, sz.size, ea.n_edges, ea.min_sim_micro,
+      |  CAST(ea.sum_sim AS DOUBLE) / CAST(ea.n_edges AS DOUBLE)
+      |    AS mean_sim_micro
+      |FROM sz JOIN ea USING (cluster_id) ORDER BY cluster_id""".stripMargin
+
   private[graft] val oClusterChain: String =
     s"""${oPairIntersect(oWordSets)},
        |pr AS MATERIALIZED (SELECT doc_a, doc_b FROM p
@@ -2378,34 +2432,7 @@ object Dedup {
     // oracle: the recursive-closure labels + the built-in
     // jaro_winkler_similarity the engine expression is bit-pinned to,
     // quantized through the identical floor(x * 1e6)
-    Q("er_cluster_confidence", erClusterConfidence, Some(
-      s"""WITH RECURSIVE $oStripCores,
-        |pr AS (
-        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
-        |    CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name)
-        |      * 1000000.0) AS BIGINT) AS sim
-        |  FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        |    AND a.c_nationkey = b.c_nationkey
-        |  JOIN cores ca ON ca.k = a.c_custkey
-        |  JOIN cores cb ON cb.k = b.c_custkey
-        |  WHERE levenshtein(ca.core, cb.core) <= 1),
-        |e AS (SELECT ka AS src, kb AS dst FROM pr
-        |      UNION SELECT kb, ka FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM e) q
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-        |cc AS (SELECT src AS k, min(dst) AS cluster_id FROM reach GROUP BY src),
-        |sz AS (SELECT cluster_id, COUNT(*) AS size FROM cc GROUP BY cluster_id),
-        |ea AS (SELECT cc.cluster_id, COUNT(*) AS n_edges,
-        |         MIN(pr.sim) AS min_sim_micro,
-        |         CAST(SUM(pr.sim) AS BIGINT) AS sum_sim
-        |       FROM pr JOIN cc ON cc.k = pr.ka GROUP BY 1)
-        |SELECT sz.cluster_id, sz.size, ea.n_edges, ea.min_sim_micro,
-        |  CAST(ea.sum_sim AS DOUBLE) / CAST(ea.n_edges AS DOUBLE)
-        |    AS mean_sim_micro
-        |FROM sz JOIN ea USING (cluster_id) ORDER BY cluster_id""".stripMargin)),
+    Q("er_cluster_confidence", erClusterConfidence, Some(oErClusterConfidenceSql)),
     // oracle replays the strip constants (LCP of lexmin/lexmax, and
     // of the reversed pair, capped to the shortest string), the
     // global rank, the w=10 window, and the all-pairs truth

@@ -733,7 +733,9 @@ object Relational {
     * partial aggregation collapses each set to its group cardinality
     * map-side, so the shuffle carries ~|years×nations×priorities|
     * rows per set, not ×8 fact rows. */
-  def groupingSetsDs8(s: SparkSession, d: String): DataFrame = {
+  /** The 8-set lattice frame shared by [[groupingSetsDs8]] (the raw
+    * report) and [[ds8TopCells]] (the ranked consumer). */
+  private def ds8Lattice(s: SparkSession, d: String): DataFrame = {
     val f = ord(s, d)
       .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
         col("o_orderpriority").as("priority"), dec(col("o_totalprice")).as("rev"))
@@ -749,7 +751,29 @@ object Relational {
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         coalesce(col("priority"), lit("ALL")).as("priority"),
         col("revenue"), col("n_orders"))
-      .orderBy("gid", "yr", "nation", "priority")
+  }
+
+  def groupingSetsDs8(s: SparkSession, d: String): DataFrame =
+    ds8Lattice(s, d).orderBy("gid", "yr", "nation", "priority")
+
+  /** Rank-over-rollup — the standard TPC-DS reporting consumer the
+    * 8-set lattice is FOR (q67's shape: `rank() OVER (PARTITION BY
+    * category ORDER BY sumsales DESC)` over the rollup output, top-k
+    * kept): within every (gid, yr) slice of the lattice, the top-3
+    * cells by revenue. The Window runs over the LATTICE FRAME — a few
+    * hundred rows of aggregates — never the fact table (PlanSpec pins
+    * the Window above the aggregate, one orders scan below it); the
+    * ordering is total ((revenue DESC, nation, priority) — exact
+    * doubles from exact decimal sums, then unique group keys), so
+    * row_number is deterministic and equals rank. */
+  def ds8TopCells(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gid"), col("yr"))
+      .orderBy(col("revenue").desc, col("nation"), col("priority"))
+    ds8Lattice(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("gid", "yr", "rnk")
   }
 
   /** TPC-H Q5-style local-supplier volume: the six-table regional
@@ -1636,6 +1660,28 @@ object Relational {
          |        JOIN nation ON c_nationkey = n_nationkey)
          |GROUP BY CUBE (yr, n_name, o_orderpriority)
          |ORDER BY gid, yr, nation, priority""".stripMargin)),
+    // oracle: the same cube wrapped in the same total-ordered window
+    // — QUALIFY-style rank ≤ 3 per (gid, yr) lattice slice
+    Q("ds8_top_cells", ds8TopCells, Some(
+      s"""WITH lat AS (
+         |  SELECT CAST(4 * GROUPING(yr) + 2 * GROUPING(n_name)
+         |      + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+         |    coalesce(CAST(yr AS BIGINT), -1) AS yr,
+         |    coalesce(n_name, 'ALL') AS nation,
+         |    coalesce(o_orderpriority, 'ALL') AS priority,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         |    COUNT(*) AS n_orders
+         |  FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice,
+         |          n_name
+         |        FROM orders JOIN customer ON o_custkey = c_custkey
+         |          JOIN nation ON c_nationkey = n_nationkey)
+         |  GROUP BY CUBE (yr, n_name, o_orderpriority)),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY gid, yr
+         |    ORDER BY revenue DESC, nation, priority) AS BIGINT) AS rnk
+         |  FROM lat)
+         |SELECT gid, yr, nation, priority, revenue, n_orders, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY gid, yr, rnk""".stripMargin)),
     Q("cube_sales", cubeSales, Some(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  ${oDsum("l_quantity")} AS sum_qty, COUNT(*) AS n

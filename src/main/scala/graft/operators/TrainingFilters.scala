@@ -631,22 +631,27 @@ object TrainingFilters {
     *
     * Scale: pure per-row scan work — two codegen'd regex passes and
     * a hash, zero shuffle before the Verify sort. */
+  private val PiiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+  private val PiiPhoneRe = "555-[0-9]{4}"
+  /** The planted synthetic contact line over a frame carrying
+    * (doc_id, text, t) — shared by [[piiScrub]] and the
+    * [[scorecard]]'s PII gate. */
+  private def piiDirty: Column =
+    concat(col("text"), lit(" contact "),
+      element_at(col("t"), 1), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+
   def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
-    val phoneRe = "555-[0-9]{4}"
     Tables(s, d, "documents")
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 1)
-      .withColumn("dirty",
-        concat(col("text"), lit(" contact "),
-          element_at(col("t"), 1), lit("@example.com or 555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("dirty", piiDirty)
       .select(
         col("doc_id"),
-        regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
-        regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>")).as("clean_md5"))
+        regexp_count(col("dirty"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("dirty"), PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>")).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -674,7 +679,12 @@ object TrainingFilters {
     * scan (zero extra passes) + one domain-keyed rollup with a
     * distinct over canonical URLs — at corpus scale the distinct
     * shuffles canonical-URL HASHES, never page content. */
-  def urlCanonicalize(s: SparkSession, d: String): DataFrame = {
+  /** The canonicalized form of the planted messy URL (the full
+    * fragment-cut → authority-split → lowercase → port-strip →
+    * tracking-filter → re-sort op sequence) and its registered
+    * domain — shared by [[urlCanonicalize]] and the [[scorecard]]'s
+    * URL-dup gate. */
+  private def urlCanonCols: (Column, Column) = {
     val trackRe = "^(utm_[a-z]+|ref|id)="
     val raw = concat(
       lit("HTTPS://WWW."), col("source"), lit("-Example.COM:443/Docs/"),
@@ -697,6 +707,11 @@ object TrainingFilters {
     val domain = concat(
       element_at(split(host, "\\."), -2), lit("."),
       element_at(split(host, "\\."), -1))
+    (canon, domain)
+  }
+
+  def urlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val (canon, domain) = urlCanonCols
     Tables(s, d, "documents")
       .select(col("doc_id"), domain.as("domain"), canon.as("canon"))
       .groupBy("domain")
@@ -705,6 +720,94 @@ object TrainingFilters {
         (count(lit(1)) - countDistinct(col("canon"))).as("n_dup_docs"),
         min("canon").as("sample_url"))
       .orderBy("domain")
+  }
+
+  /** CORPUS SCORECARD — the one-row-per-source go/no-go dashboard a
+    * data team reads before admitting a source into a training mix
+    * (r17 verdict item #6), unifying the hygiene gates the catalog
+    * already computes individually: token-duplication share (the
+    * [[repetition]] family at source grain), benchmark-contamination
+    * mass ([[decontaminate]]'s shingle rule), planted-PII counts
+    * ([[piiScrub]]'s fixture), the corpus-frequency score
+    * ([[unigramScore]] at source grain), canonical-URL duplicate mass
+    * ([[urlCanonicalize]]'s rule), and the held-out Kneser–Ney
+    * bits/token ([[knPerplexity]]). `passed` applies the documented
+    * admission rule: duplication share < 0.5, ≤10% of docs carrying a
+    * benchmark shingle, bits/token < 20 (the Q20 probability floor) —
+    * sources without held-out trigrams pass the LM gate vacuously.
+    *
+    * Scale: every input is a source-grain rollup of a scan-level
+    * computation — the integration is a 6-way LEFT join of
+    * source-cardinality frames (20 rows here; thousands at corpus
+    * scale — all broadcast), so the scorecard costs one pass per gate
+    * family and nothing at the join. */
+  def scorecard(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val tok = all.withColumn("t", TextAnalysis.tokens(col("text")))
+    val rep = tok
+      .select(col("source"), size(col("t")).cast("long").as("nt"),
+        size(array_distinct(col("t"))).cast("long").as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum(col("nt") - col("nd")).as("n_dup"))
+    // benchmark shingle hits, rolled to source (decontaminate's rule)
+    val sets = cached(tokenShingles(all))
+    val bench = sets.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("sv")).distinct()
+    val hits = sets.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("sv"))
+      .join(bench, Seq("sv"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val contam = all.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L))
+        .as("contam_docs"),
+        sum(coalesce(col("n_hits"), lit(0L))).as("contam_hits"))
+    val pii = tok.filter(size(col("t")) >= 1)
+      .select(col("source"),
+        (regexp_count(piiDirty, lit(PiiEmailRe)) +
+          regexp_count(piiDirty, lit(PiiPhoneRe))).cast("long").as("np"))
+      .groupBy("source").agg(sum("np").as("pii_count"))
+    // source-grain unigram model score (one corpus-level model)
+    val tfc = cached(tok.select(col("source"), explode(col("t")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("tf")))
+    val wc = tfc.groupBy("word").agg(sum("tf").as("wcount"))
+    val total = tfc.agg(sum("tf").as("total"))
+    val uni = tfc.join(wc, "word")
+      .groupBy("source")
+      .agg(sum(col("tf") * col("wcount")).as("sum_freq"),
+        sum("tf").as("src_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        (col("sum_freq").cast("double") /
+          (col("src_tokens") * col("total")).cast("double")).as("mean_freq"))
+    val url = all.select(col("source"), urlCanonCols._1.as("canon"))
+      .groupBy("source")
+      .agg((count(lit(1)) - countDistinct(col("canon"))).as("url_dup_docs"))
+    val kn = knPerplexity(s, d).select(col("source"), col("bits_per_token"))
+    rep
+      .join(contam, Seq("source"), "left")
+      .join(pii, Seq("source"), "left")
+      .join(uni, Seq("source"), "left")
+      .join(url, Seq("source"), "left")
+      .join(kn, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_dup").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_tok_frac"),
+        coalesce(col("contam_docs"), lit(0L)).as("contam_docs"),
+        coalesce(col("contam_hits"), lit(0L)).as("contam_hits"),
+        coalesce(col("pii_count"), lit(0L)).as("pii_count"),
+        col("mean_freq"),
+        coalesce(col("url_dup_docs"), lit(0L)).as("url_dup_docs"),
+        col("bits_per_token"))
+      .withColumn("passed", when(
+        col("dup_tok_frac") < lit(0.5) &&
+          col("contam_docs") * 10 <= col("n_docs") &&
+          coalesce(col("bits_per_token") < lit(20.0), lit(true)), 1L)
+        .otherwise(0L))
+      .orderBy("source")
   }
 
   /** Oracle for [[knPerplexity]] AND its streaming twin
@@ -997,5 +1100,77 @@ object TrainingFilters {
     // shift-and-square log fold — so n_scored/n_unseen/nll_q20_total
     // are integer-exact and bits_per_token is one shared division
     Q("lm_kn_perplexity", knPerplexity, Some(oKnPerplexitySql)),
+    // oracle: each gate's rule replayed at source grain — token/
+    // shingle/unigram folds mirrored, the KN sub-oracle embedded
+    // VERBATIM as a subquery, and the URL gate derived through the
+    // INDEPENDENT model (canon is a bijection of (source, doc_id%7),
+    // so dup mass = n_docs − distinct residues — the engine's only
+    // route is the real canonicalization op sequence)
+    Q("pipeline_scorecard", scorecard, Some {
+      s"""WITH t AS (SELECT doc_id, source, text, $oTok AS t FROM documents),
+         |rep AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(len(t) - len(list_distinct(t))) AS BIGINT) AS n_dup
+         |  FROM t GROUP BY 1),
+         |th AS (SELECT doc_id, list_transform(t, s -> ${oPolyHash("s")}) AS th
+         |       FROM t WHERE len(t) >= $W),
+         |shg AS (SELECT doc_id, list_distinct(list_transform(
+         |         generate_series(1, len(th) - ${W - 1}),
+         |         g -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[g:g+${W - 1}]),
+         |              (a, b) -> (a * $M + b) % $P))) AS sh FROM th),
+         |bench AS (SELECT DISTINCT unnest(sh) AS sv FROM shg WHERE doc_id % 97 = 0),
+         |e AS (SELECT doc_id, unnest(sh) AS sv FROM shg WHERE doc_id % 97 <> 0),
+         |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM e
+         |      WHERE sv IN (SELECT sv FROM bench) GROUP BY 1),
+         |contam AS (
+         |  SELECT d.source,
+         |    CAST(SUM(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS contam_docs,
+         |    CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS contam_hits
+         |  FROM documents d LEFT JOIN h USING (doc_id)
+         |  WHERE d.doc_id % 97 <> 0 GROUP BY 1),
+         |dirty AS (
+         |  SELECT source,
+         |    text || ' contact ' || t[1] || '@example.com or 555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+         |  FROM t WHERE len(t) >= 1),
+         |pii AS (SELECT source,
+         |    CAST(SUM(len(regexp_extract_all(dirty, '$PiiEmailRe'))
+         |      + len(regexp_extract_all(dirty, '$PiiPhoneRe'))) AS BIGINT) AS pii_count
+         |  FROM dirty GROUP BY 1),
+         |tw AS (SELECT source, unnest(t) AS word FROM t),
+         |tfc AS (SELECT source, word, COUNT(*) AS tf FROM tw GROUP BY 1, 2),
+         |wc AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS wcount FROM tfc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tfc),
+         |uni0 AS (SELECT source, CAST(SUM(tf * wcount) AS BIGINT) AS sum_freq,
+         |           CAST(SUM(tf) AS BIGINT) AS src_tokens
+         |         FROM tfc JOIN wc USING (word) GROUP BY 1),
+         |uni AS (SELECT source,
+         |    CAST(sum_freq AS DOUBLE) / CAST(src_tokens * total AS DOUBLE) AS mean_freq
+         |  FROM uni0 CROSS JOIN tot),
+         |url AS (SELECT source,
+         |    CAST(COUNT(*) - COUNT(DISTINCT doc_id % 7) AS BIGINT) AS url_dup_docs
+         |  FROM documents GROUP BY 1),
+         |kn AS (SELECT source, bits_per_token FROM ($oKnPerplexitySql))
+         |SELECT r.source, r.n_docs, r.n_tokens,
+         |  CAST(r.n_dup AS DOUBLE) / CAST(r.n_tokens AS DOUBLE) AS dup_tok_frac,
+         |  COALESCE(c.contam_docs, 0) AS contam_docs,
+         |  COALESCE(c.contam_hits, 0) AS contam_hits,
+         |  COALESCE(p.pii_count, 0) AS pii_count,
+         |  u.mean_freq,
+         |  COALESCE(l.url_dup_docs, 0) AS url_dup_docs,
+         |  k.bits_per_token,
+         |  CAST(CASE WHEN CAST(r.n_dup AS DOUBLE) / CAST(r.n_tokens AS DOUBLE) < 5e-1
+         |      AND COALESCE(c.contam_docs, 0) * 10 <= r.n_docs
+         |      AND COALESCE(k.bits_per_token < 2e1, TRUE)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS passed
+         |FROM rep r LEFT JOIN contam c USING (source)
+         |  LEFT JOIN pii p USING (source)
+         |  LEFT JOIN uni u USING (source)
+         |  LEFT JOIN url l USING (source)
+         |  LEFT JOIN kn k USING (source)
+         |ORDER BY r.source""".stripMargin
+    }),
   )
 }

@@ -1250,6 +1250,74 @@ object Streams {
       s.read.parquet(curMu.get))
   }
 
+  /** Streaming ER match-EVIDENCE maintenance — the third member of
+    * the ER streaming matrix, closing its last read-time-report
+    * asymmetry (r17 verdict item: [[streamErGolden]] maintains labels
+    * but discards edge evidence after each CC fold, so cluster
+    * confidence could not derive at read time). The standing state is
+    * the batchId-keyed VERIFIED-EDGE LOG (the [[streamErFellegi]]
+    * pair-log pattern): per batch, the block join against the
+    * accumulated block log yields new candidate pairs, the exact
+    * levenshtein-1 + same-nation rule verifies them, and each
+    * verified edge is persisted WITH its Jaro–Winkler score — the
+    * evidence row a production linkage job logs for its review queue.
+    * Every pair fires exactly once (in the batch its LATER member
+    * arrives — the [[streamErGolden]] argument), so the log union IS
+    * the batch edge set. No per-batch CC: clusters are a REPORT-time
+    * derivation (one CC pass over the final log through
+    * [[graft.operators.Dedup.erConfidenceReport]], the shared batch
+    * tail), which is both the production design — match evidence is
+    * maintained incrementally, cluster membership is recomputed when
+    * the report is read — and the wall-clock answer to the r17
+    * finding that per-batch-CC twins must not multiply
+    * ([[streamErGolden]] already pays that cost once).
+    *
+    * Scale: per-batch work is hash equi-joins bounded by block
+    * density plus a name-keyed score join; state is edges + block
+    * rows, never pair history beyond the verified matches themselves;
+    * the report-time CC is O(log d) rounds over match edges only. */
+  def streamErConfidence(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val srcDir = graft.Core.tempDir("graft-erc-src")
+    graft.Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .repartition(4, col("c_custkey"))
+      .write.mode("overwrite").parquet(srcDir)
+    val sch = s.read.parquet(srcDir).schema
+    val blockLog = graft.Core.tempDir("graft-erc-blocks")
+    val edgeLog = graft.Core.tempDir("graft-erc-edges")
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = Dedup.erBlockRows(s, d, batch)
+        rows.write.mode("overwrite").parquet(s"$blockLog/b=$batchId")
+        val all = s.read.parquet(blockLog)
+          .select(col("c_custkey").as("b"), col("c_nationkey").as("nb"),
+            col("core").as("core_b"), col("h"))
+        val newEdges = rows
+          .select(col("c_custkey").as("a"), col("c_nationkey").as("na"),
+            col("core").as("core_a"), col("h"))
+          .join(all, Seq("h"))
+          .filter(col("a") =!= col("b") && col("na") === col("nb"))
+          .filter(levenshtein(col("core_a"), col("core_b"), 1) =!= -1)
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct()
+        // score at match time against the record store (srcDir is
+        // the stream's own source) and persist the evidence row;
+        // batchId-keyed so a replayed batch overwrites its own slice
+        Dedup.erEdgeSims(
+          s.read.parquet(srcDir).select(col("c_custkey"), col("c_name")),
+          newEdges)
+          .write.mode("overwrite").parquet(s"$edgeLog/bat=$batchId")
+      }
+      .start()
+    awaitAndLog(q, "streamErConfidence")
+    Dedup.erConfidenceReport(s.read.parquet(edgeLog).drop("bat"))
+  }
+
   /** Streaming verbatim-SPAN ingest dedup — the ExactSubstr member
     * of the ingest-dedup family ([[streamDedupExact]] by content
     * hash, [[streamDedupNeardup]] by MinHash bands,
@@ -2137,6 +2205,12 @@ object Streams {
     // recomputation — er_fellegi_sunter's oracle serves both
     Q("stream_er_fellegi", streamErFellegi, Some(
       graft.operators.Dedup.oFellegiSunterSql)),
+    // the union of the per-batch verified-edge logs is exactly the
+    // batch edge set (each pair fires once, when its later member
+    // arrives) and the report runs through the shared confidence
+    // tail — er_cluster_confidence's oracle serves both
+    Q("stream_er_confidence", streamErConfidence, Some(
+      graft.operators.Dedup.oErClusterConfidenceSql)),
     // trigram counts are additive, so the maintained state equals
     // the batch count table and the shared scoring tail makes
     // lm_kn_perplexity's oracle serve both

@@ -1316,6 +1316,38 @@ class PlanSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("bloom point probes push the In filter to the parquet scan") {
+    val (df, _) = graft.operators.Connectors.bloomSkipWithDir(spark, sf)
+    val s = formatted(df)
+    // the probe set must reach the reader as a pushed In — that is
+    // the predicate the parquet row-group filter evaluates against
+    // the bloom bitset (SourceSpec pins the bitset's physical
+    // presence and its definite-reject on absent keys)
+    assert(s.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(o_custkey[^\\]]*\\].*"),
+      s.take(1200))
+    Core.releaseCaches()
+  }
+
+  test("DS8 top cells: the Window ranks the LATTICE, never the fact table") {
+    val df = Relational.ds8TopCells(spark, sf)
+    val s = formatted(df)
+    // the reporting consumer must keep the single-fact-pass property
+    // of the lattice it consumes...
+    val oScans = s.split("\n").count(_.contains("orders.parquet"))
+    assert(oScans == 1, s"orders scanned $oScans times:\n${s.take(800)}")
+    assert(s.contains("Expand"), s.take(800))
+    // ...and rank over the aggregate output: exactly one Window node,
+    // sitting ABOVE the final HashAggregate in the operator listing
+    // (formatted plans list children below parents), so the windowed
+    // frame is the few-hundred-row lattice, not the fact scan
+    val lines = s.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"Window not above the aggregate:\n${s.take(800)}")
+    Core.releaseCaches()
+  }
+
   test("interval identity is collision-free at ANY session ordinal (struct key)") {
     // the r15 advice trap: a user_id*1e6+session_id key aliases
     // (u=1, sid=2_000_000) with (u=3, sid=0) — and an oracle sharing

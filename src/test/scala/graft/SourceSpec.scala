@@ -93,6 +93,65 @@ class SourceSpec extends SparkSpec {
     assert(spans.map { case (a, b) => b - a }.sum == 50L, spans.toSeq)
   }
 
+  test("bloom-written parquet skips absent keys where footer ranges cannot") {
+    import scala.jdk.CollectionConverters._
+    val (_, dir) = graft.operators.Connectors.bloomSkipWithDir(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    // the whole-table custkey span, for the "ranges cannot prune" claim
+    var globalMin = Long.MaxValue; var globalMax = Long.MinValue
+    var groups = 0; var absentRejected = 0
+    val absentKey = java.lang.Long.valueOf(1000000001L) // a BloomProbes miss
+    for (f <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        for (b <- reader.getFooter.getBlocks.asScala) {
+          val ck = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey").get
+          // 1) the bloom filter is physically present in the footer
+          val bf = reader.getBloomFilterDataReader(b).readBloomFilter(ck)
+          assert(bf != null, s"no bloom filter in ${f.getName}")
+          // 2) no false negatives: a key really in this row group is found
+          val st = ck.getStatistics
+          val lo = st.genericGetMin.asInstanceOf[Number].longValue
+          val hi = st.genericGetMax.asInstanceOf[Number].longValue
+          globalMin = math.min(globalMin, lo); globalMax = math.max(globalMax, hi)
+          assert(bf.findHash(bf.hash(java.lang.Long.valueOf(lo))))
+          // 3) the absent probe is (deterministically, on this data)
+          // answered "definitely not present" — the row-group skip
+          if (!bf.findHash(bf.hash(absentKey))) absentRejected += 1
+          groups += 1
+        }
+      } finally reader.close()
+    }
+    assert(absentRejected == groups,
+      s"absent key not rejected by $absentRejected/$groups row groups")
+    // 4) footer RANGES could NOT make that kind of skip for in-range
+    // probes: the orderkey-sorted layout leaves every row group's
+    // custkey span covering ≥ half the global span, so min/max
+    // pruning on a mid-range point probe excludes nothing — the bloom
+    // filter is the only skipping signal on this column
+    for (f <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        for (b <- reader.getFooter.getBlocks.asScala) {
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey").get.getStatistics
+          val span = st.genericGetMax.asInstanceOf[Number].longValue -
+            st.genericGetMin.asInstanceOf[Number].longValue
+          assert(span * 2 >= globalMax - globalMin,
+            s"row group span $span unexpectedly narrow — range stats would prune")
+        }
+      } finally reader.close()
+    }
+  }
+
   test("feeds the flagship wordcount end to end") {
     val counts = WordCount.wordCount(
       read("rows" -> "200", "words" -> "Alpha beta! beta?", "wordsPerDoc" -> "5"))

@@ -112,6 +112,19 @@ class StreamingSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("streaming edge log derives cluster confidence at batch parity") {
+    // the maintained verified-edge log must be EXACTLY the batch edge
+    // set (every pair fires once, when its later member arrives), so
+    // the report-time CC + confidence tail reproduces every cluster's
+    // n_edges / min / mean — including the double mean, computed from
+    // identical integer sums
+    val streamed = Streams.streamErConfidence(spark, sf).collect().toSeq
+    val batch = graft.operators.Dedup.erClusterConfidence(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+    Core.releaseCaches()
+  }
+
   test("streaming FS statistics fold to the batch review queue exactly") {
     // additive sufficient statistics + exactly-once pairing must
     // reproduce the batch m/u weights BIT-exactly (identical op
