@@ -161,7 +161,11 @@ object Bench {
     // when run from the repo root on the full bench set, so a
     // SPARK_GRAFT_BENCH_ONLY profiling subset can't masquerade as the
     // round's numbers.
-    if (only.isEmpty) {
+    // Guarded to the driver's scale point: an sf0.001 profiling lap
+    // once clobbered the round's committed sf0.1 per-query baseline
+    // (r18 inherited state) — the detail artifact is only meaningful
+    // at the SF the driver benches.
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
       // Round inference hazard: a manual rerun AFTER the driver has
       // already committed this round's BENCH_r{N}.json would label
       // its detail as round N+1. SPARK_GRAFT_ROUND pins the number

@@ -446,14 +446,22 @@ object Similarity {
       .select(col("clab"),
         transform(array_sort(col("cs")), x => x.getField("centroid")).as("cv"))
       .withColumn("cc", Vectors.dotd(col("cv"), col("cv")))
+      .agg(collect_list(struct(col("clab"), col("cv"), col("cc"))).as("cents"))
     val vx = embs(s, d)
       .select(col("vec_id"), col("label"), Vectors.toD(col("embedding")).as("embd"))
       .withColumn("xx", Vectors.dotd(col("embd"), col("embd")))
+    // map-side argmin over the one-row broadcast centroid array (the
+    // kmeansLoop spelling): identical dist expression and the same
+    // (dist, clab) struct order as the former min(struct) aggregate,
+    // so the confusion matrix is bit-identical — but the N-row
+    // Sort+Exchange+SortAggregate of the per-vector groupBy is gone;
+    // the only remaining shuffle carries the ≤ |labels|² cell tallies.
     vx.crossJoin(broadcast(cent))
-      .withColumn("dist",
-        col("xx") - lit(2.0) * Vectors.dotd(col("embd"), col("cv")) + col("cc"))
-      .groupBy("vec_id", "label")
-      .agg(min(struct(col("dist"), col("clab"))).as("m"))
+      .withColumn("m", array_min(transform(col("cents"), c =>
+        struct(
+          (col("xx") - lit(2.0) * Vectors.dotd(col("embd"), c.getField("cv"))
+            + c.getField("cc")).as("dist"),
+          c.getField("clab").as("clab")))))
       .groupBy(col("label"), col("m.clab").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "cluster")
@@ -525,16 +533,30 @@ object Similarity {
     val vx = cached(embs(s, d)
       .select(col("vec_id"), Vectors.toD(col("embedding")).as("embd"))
       .withColumn("xx", Vectors.dotd(col("embd"), col("embd"))))
-    // one assignment step: nearest centroid per vector (argmin is
-    // min(struct(dist, clab)) — ties break on cluster id, total order)
-    def assign(cw: DataFrame): DataFrame =
-      vx.crossJoin(broadcast(cw))
-        .withColumn("dist",
-          col("xx") - lit(2.0) * Vectors.dotd(col("embd"), col("cv")) + col("cc"))
-        .groupBy("vec_id")
-        // embd is constant within the group (k rows of one vector)
-        .agg(min(struct(col("dist"), col("clab"))).as("m"), first("embd").as("embd"))
+    // one assignment step: nearest centroid per vector, computed
+    // ENTIRELY map-side — the k centroids collapse to one array row
+    // that broadcasts, and the per-vector argmin is array_min over the
+    // per-centroid (dist, clab) structs. Same total order as the
+    // previous min(struct(dist, clab)) aggregate (field-by-field
+    // struct comparison, ties break on cluster id), and each dist is
+    // the identical ‖x‖² − 2·x·c + ‖c‖² expression, so the argmin is
+    // bit-identical and order-independent even though collect_list's
+    // array order is not deterministic. The previous aggregate
+    // spelling planned as BroadcastNestedLoopJoin (k× row expansion)
+    // → Sort → Exchange → SortAggregate (min-of-struct is not
+    // hash-aggregable) — a full shuffle of N embedding-carrying rows
+    // PER ROUND; this spelling shuffles nothing in the assignment.
+    def assign(cw: DataFrame): DataFrame = {
+      val cents = cw.agg(
+        collect_list(struct(col("clab"), col("cv"), col("cc"))).as("cents"))
+      vx.crossJoin(broadcast(cents))
+        .withColumn("m", array_min(transform(col("cents"), c =>
+          struct(
+            (col("xx") - lit(2.0) * Vectors.dotd(col("embd"), c.getField("cv"))
+              + c.getField("cc")).as("dist"),
+            c.getField("clab").as("clab")))))
         .select(col("vec_id"), col("m.clab").as("cl"), col("m.dist").as("dist"), col("embd"))
+    }
     // one update step: quantized-exact component means per cluster
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cl"), posexplode(col("embd")))
