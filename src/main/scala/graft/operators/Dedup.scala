@@ -171,15 +171,22 @@ object Dedup {
   def bloomIncremental(s: SparkSession, d: String): DataFrame = {
     val (m, k) = (256, 2)
     val h = polyHash(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-    val corpusH = docs(s, d).filter(col("doc_id") % 3 === 0)
-      .select(h.as("h")).distinct()
+    // cached (r18): corpusH feeds the filter build AND the verify
+    // semi-join; flagged feeds the dup confirmation AND the batch
+    // accounting. Uncached, plan specialization re-ran the documents
+    // scan + normalize + polyHash once per consumer (the plan showed
+    // FIVE documents.parquet scans); both frames are hash-column
+    // projections, orders of magnitude smaller than the corpus — the
+    // same pin [[bloomFprCurve]] already carries.
+    val corpusH = cached(docs(s, d).filter(col("doc_id") % 3 === 0)
+      .select(h.as("h")).distinct())
     val bf = corpusH.agg(graft.plans.Sketches.bloomAgg(col("h"), m, k).as("bf"))
-    val flagged = docs(s, d).filter(col("doc_id") % 2 === 0)
+    val flagged = cached(docs(s, d).filter(col("doc_id") % 2 === 0)
       .groupBy(h.as("h"))
       .agg(min("doc_id").as("doc_id"), min("source").as("source"))
       .crossJoin(broadcast(bf))
       .withColumn("maybe",
-        graft.plans.Sketches.bloomMightContain(col("bf"), col("h"), m, k))
+        graft.plans.Sketches.bloomMightContain(col("bf"), col("h"), m, k)))
     val confirmed = flagged.filter(col("maybe"))
       .join(corpusH, Seq("h"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_dup"))

@@ -740,9 +740,12 @@ object Events {
     * daily table). */
   def acfFromDaily(daily: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    // |days|-row frame: the deliberate tiny single-partition window
+    // |days|-row frame: the deliberate tiny single-partition window.
+    // cached: BOTH the (n, s) total and the deviation frame read idx —
+    // without the pin the events scan + daily rollup beneath it ran
+    // twice (r18; the plan showed two events.parquet scans).
     val byDay = Window.orderBy("day")
-    val idx = daily.withColumn("t", row_number().over(byDay).cast("long"))
+    val idx = cached(daily.withColumn("t", row_number().over(byDay).cast("long")))
     val tot = idx.agg(count(lit(1)).as("n"), sum("x").as("s"))
     val dev = cached(idx.crossJoin(broadcast(tot))
       .select(col("t"),
@@ -847,10 +850,25 @@ object Events {
     val deg = cand.select(col("ia").as("iid"))
       .unionByName(cand.select(col("ib").as("iid")))
       .groupBy("iid").agg(count(lit(1)).as("c"))
-    sess.join(deg, Seq("iid"), "left")
-      .select(coalesce(col("c"), lit(0L)).as("concurrency"))
-      .groupBy("concurrency").agg(count(lit(1)).as("n_sessions"))
-      .orderBy("concurrency")
+    // The zero-concurrency bucket used to ride a LeftOuter join of the
+    // FULL interval frame against deg — an extra iid shuffle + sort of
+    // both sides whose only purpose was counting the intervals deg
+    // missed. Count them arithmetically instead (r18, guide §2.4):
+    // every deg row is one interval with c ≥ 1 overlaps, so
+    // n_zero = |intervals| − |deg rows|, appended as a literal
+    // concurrency-0 bucket when positive. Bit-identical histogram —
+    // same buckets, same counts — with the interval-frame shuffle and
+    // the outer join gone; hist is cached because the n_nz rollup and
+    // the report both read it (tiny: one row per distinct concurrency).
+    val hist = cached(deg
+      .groupBy(col("c").as("concurrency")).agg(count(lit(1)).as("n_sessions")))
+    val nz = hist.agg(coalesce(sum("n_sessions"), lit(0L)).as("n_nz"))
+    val zero = sess.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(nz))
+      .select(lit(0L).as("concurrency"),
+        (col("n_total") - col("n_nz")).as("n_sessions"))
+      .filter(col("n_sessions") > 0)
+    hist.unionByName(zero).orderBy("concurrency")
   }
 
   /** PEAK LOAD — [[intervalOverlap]]'s time-axis twin: per hour bin,

@@ -26,7 +26,11 @@ object Pipeline {
 
   def corpusPrep(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-    val scored = Tables(s, d, "documents")
+    // cached (r18): the gated scan feeds BOTH the exact-dedup rollup
+    // and the survivor join — uncached, the regex-tokenizing gate ran
+    // twice (two documents.parquet scans in the plan). Same
+    // materialized-gated-corpus pin as [[fullPrep]].
+    val scored = cached(Tables(s, d, "documents")
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .withColumn("n_tokens", size(col("t")))
       .withColumn("stop_ratio",
@@ -41,7 +45,7 @@ object Pipeline {
       // queryExecution.observedMetrics / a QueryExecutionListener
       .observe("corpus_prep_gates",
         count(lit(1)).as("docs_after_gates"),
-        sum(col("n_tokens").cast("long")).as("tokens_after_gates"))
+        sum(col("n_tokens").cast("long")).as("tokens_after_gates")))
     // 2. exact dedup: canonical = min doc_id per content hash
     val canonical = scored
       .groupBy(md5(col("text").cast("binary")).as("h"))

@@ -144,6 +144,12 @@ object TextAnalysis {
     * (linear in corpus tokens); the bigram tally is a map-side
     * zip_with explode + partial agg + TakeOrdered(1). */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    // NOT cached, deliberately (r18 A/B): the tokenized frame feeds
+    // the top-bigram probe and the positional-index build, but pinning
+    // it (text + token arrays in memory) measured SLOWER than letting
+    // the second consumer re-scan (isolated min 1.83 s cached vs
+    // 1.56 s uncached at sf0.1) — the posting index `pos` below is
+    // already the cached artifact both probe sides share.
     val base = docs(s, d).withColumn("t", tokens(col("text")))
     val top = base
       .filter(size(col("t")) >= 2)
@@ -638,11 +644,19 @@ object TextAnalysis {
     // twice. Materializing TF between stages is also the production
     // shape: it is vocabulary×docs-sized, far smaller than the token
     // stream it summarizes.
+    // NO explicit repartition(term) here: the cached plan's root is
+    // AdaptiveSparkPlan, whose output partitioning is opaque to
+    // consumers (InMemoryTableScan reports unknown partitioning), so
+    // the df rollup and the scoring join re-exchange REGARDLESS — the
+    // repartition was a pure extra full-table shuffle at cache-build
+    // time (measured r18: its removal dropped the cached-plan Exchange
+    // count by one with consumer exchanges unchanged). The df branch's
+    // own exchange only carries partially-aggregated (term, df)
+    // sketches, vocabulary-bounded per partition.
     val tf = cached(base
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term")))
+      .agg(count(lit(1)).as("tf")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // doc count as a broadcast 1-row frame — no collect to the driver
     val nDf = docs(s, d).agg(count(lit(1)).as("n_docs"))

@@ -63,18 +63,29 @@ object TrainingFilters {
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
         size(array_distinct(col("t"))).as("n_distinct"))
-    // adjacent-pair explode; the (doc_id, bigram) count collapses
-    // map-side, the outer max is doc-cardinality
-    val perBigram = t
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        explode(transform(sequence(lit(1), col("n_tokens") - 1), g =>
-          concat_ws(" ", element_at(col("t"), g), element_at(col("t"), g + 1))))
-          .as("bigram"))
-      .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
-      .agg(count(lit(1)).as("c"))
-    perBigram
-      .groupBy("doc_id", "n_tokens", "n_distinct")
-      .agg(max("c").as("top_bigram_n"))
+    // top_bigram_n is a PER-DOCUMENT statistic, so it never needs an
+    // exchange (r18, guide §2.4): sort the doc's bigram array and take
+    // the longest run of equal adjacent elements — exactly
+    // max(count per bigram), the same integer the former
+    // explode → groupBy(doc_id, bigram) → max(c) rollup shuffled
+    // ~|tokens| rows to compute. Tokens are non-empty by construction
+    // (TextAnalysis.tokens filters ""), so no bigram can collide with
+    // the fold's "" seed. The whole profile is now map-side; the only
+    // exchange left is the ordered output's range partition.
+    val bigrams = array_sort(
+      transform(sequence(lit(1), col("n_tokens") - 1), g =>
+        concat_ws(" ", element_at(col("t"), g), element_at(col("t"), g + 1))))
+    val topRun = aggregate(
+      bigrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    t.withColumn("top_bigram_n", topRun)
       .select(
         col("doc_id"), col("n_tokens"),
         ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
@@ -354,9 +365,13 @@ object TrainingFilters {
     // cached: the bigram-count table feeds both the context rollup
     // and the probability join; plan specialization would otherwise
     // run the bigram explode once per consumer (see
-    // [[graft.operators.TextAnalysis.tfidfTop]])
-    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .repartition(col("w1")))
+    // [[graft.operators.TextAnalysis.tfidfTop]]). No repartition(w1)
+    // inside the cache: the cached root is AdaptiveSparkPlan, whose
+    // partitioning consumers cannot see, so it bought nothing and
+    // cost a full extra shuffle of the bigram table (the r18 tfidf
+    // finding); the c1 rollup's own exchange carries only
+    // partially-aggregated per-w1 sketches.
+    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     c12.join(c1, "w1")
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
@@ -390,8 +405,8 @@ object TrainingFilters {
         struct(element_at(col("t"), g).as("w1"),
           element_at(col("t"), g + 1).as("w2")))).as("b"))
       .select(col("b.w1"), col("b.w2"))
-    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .repartition(col("w1")))
+    // no repartition(w1) inside the cache — see [[bigramLm]]
+    val c12 = cached(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow"))
     val c2 = c12.groupBy("w2").agg(count(lit(1)).as("n_precede"))
