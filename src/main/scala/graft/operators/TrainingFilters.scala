@@ -350,9 +350,9 @@ object TrainingFilters {
     * frequent bigrams — the count-based model behind next-token
     * statistics and corpus-drift monitoring. The context totals
     * c(w1·) are derived FROM the bigram counts (sum over w2), so the
-    * token stream is read once; `repartition(w1)` lets the context
-    * aggregation and the join reuse one exchange (the TF-IDF idiom —
-    * the w1 side is vocabulary-sized and deliberately not broadcast).
+    * token stream is read once (the cached count table serves both
+    * consumers; the w1 side is vocabulary-sized and deliberately not
+    * broadcast at scale — AQE decides locally).
     * Exact integer counts; one final division. */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
     val bg = docs(s, d)

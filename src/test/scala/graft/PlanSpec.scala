@@ -612,13 +612,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(s).size == 1, s.take(900))
   }
 
-  test("repetition and unigram scoring aggregate partially before shuffling") {
-    for (df <- Seq(
-        TrainingFilters.repetition(spark, sf),
-        TrainingFilters.unigramScore(spark, sf))) {
-      val s = formatted(df)
-      assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
-    }
+  test("repetition computes per-doc stats map-side — no aggregation exchange") {
+    // r18: top_bigram_n folds over the doc's sorted bigram array, so
+    // the ONLY exchange is the ordered output's range partition — a
+    // hash exchange here means the (doc_id, bigram) shuffle regressed
+    val s = formatted(TrainingFilters.repetition(spark, sf))
+    assert(!s.contains("hashpartitioning"), s.take(800))
+    assert(!s.contains("HashAggregate"), s.take(800))
+    assert(s.contains("rangepartitioning"), s.take(800))
+  }
+
+  test("unigram scoring aggregates partially before shuffling") {
+    val s = formatted(TrainingFilters.unigramScore(spark, sf))
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(800))
   }
 
   test("source cap plans the bounded heap, never a per-source window sort") {
