@@ -713,9 +713,13 @@ object TextAnalysis {
     val ds = cached(docs(s, d).withColumn("t", tokens(col("text")))
       .select(col("doc_id"), size(col("t")).as("dl"), col("t")))
     val corpus = ds.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // filter INSIDE the array before exploding (r18, guide §2.3):
+    // only the query-term occurrences materialize as rows — the
+    // explode-then-filter spelling generated a row per corpus token
+    // first. Same rows survive, so tf is unchanged.
     val tf = ds
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isInCollection(qterms))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("t"), x => x.isInCollection(qterms))).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
