@@ -161,11 +161,24 @@ object Bench {
     // when run from the repo root on the full bench set, so a
     // SPARK_GRAFT_BENCH_ONLY profiling subset can't masquerade as the
     // round's numbers.
-    // Guarded to the driver's scale point: an sf0.001 profiling lap
-    // once clobbered the round's committed sf0.1 per-query baseline
-    // (r18 inherited state) — the detail artifact is only meaningful
-    // at the SF the driver benches.
-    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
+    // Guarded to the driver's scale point AND core count: an sf0.001
+    // profiling lap once clobbered the round's committed sf0.1
+    // per-query baseline (r18 inherited state), and the driver's own
+    // reduced-core scaling lap once landed as the NEXT round's
+    // "32-core" baseline (r18 verdict: an 8-core 73.9 s run written
+    // as BENCH_DETAIL_r19.json). The committed detail is only
+    // meaningful at the driver's bench configuration; both knobs stay
+    // env-overridable so a differently named data dir doesn't
+    // silently disable the write forever (the opposite failure mode).
+    val driverSf = sys.env.getOrElse("SPARK_GRAFT_DRIVER_SF", "sf0.1")
+    val driverCpus = sys.env.getOrElse("SPARK_GRAFT_DRIVER_CPUS", "32")
+    val isDriverShape =
+      new java.io.File(sfDir).getName == driverSf && cpus == driverCpus
+    if (only.isEmpty && !isDriverShape)
+      System.err.println(s"[bench] committed-detail write skipped: " +
+        s"sf=${new java.io.File(sfDir).getName} cpus=$cpus is not the " +
+        s"driver shape ($driverSf @ $driverCpus cpus)")
+    if (only.isEmpty && isDriverShape) {
       // Round inference hazard: a manual rerun AFTER the driver has
       // already committed this round's BENCH_r{N}.json would label
       // its detail as round N+1. SPARK_GRAFT_ROUND pins the number

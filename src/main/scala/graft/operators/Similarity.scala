@@ -546,6 +546,12 @@ object Similarity {
     // → Sort → Exchange → SortAggregate (min-of-struct is not
     // hash-aggregable) — a full shuffle of N embedding-carrying rows
     // PER ROUND; this spelling shuffles nothing in the assignment.
+    // PRECONDITION: cw is non-empty (update() always emits ≥1 cluster
+    // and every seed frame is literal). With an EMPTY cw the old
+    // crossJoin(broadcast(cw)) produced zero rows, while collect_list
+    // over zero rows yields one empty-array row and array_min returns
+    // null — N rows with null cl/dist. Don't reuse this helper on a
+    // possibly-empty centroid frame without filtering m.isNotNull.
     def assign(cw: DataFrame): DataFrame = {
       val cents = cw.agg(
         collect_list(struct(col("clab"), col("cv"), col("cc"))).as("cents"))

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   *    boilerplate scores high; both tails are filter candidates.
   *
   * Scale notes (100 TB):
-  *  - repetition: one explode keyed (doc_id, bigram) with map-side
-  *    partial counts, then a doc-cardinality max — no candidate pairs,
-  *    no joins, linear in token count.
+  *  - repetition: fully map-side — `array_sort` of the per-doc bigram
+  *    array + an `aggregate` fold over the longest equal-run (≡ the
+  *    max per-bigram count), linear in tokens per doc with NO
+  *    aggregation exchange; the only shuffle is the ordered output's
+  *    range partition.
   *  - decontamination: the benchmark shingle set is tiny next to the
   *    corpus (AQE broadcasts it); the corpus side ships only 8-byte
   *    shingle hashes per (doc, shingle) — document text never crosses

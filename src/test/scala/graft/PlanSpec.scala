@@ -551,11 +551,13 @@ class PlanSpec extends SparkSpec {
     // dfc + corpus totals are 1-to-3-row frames → broadcast, never SMJ
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
     assert(!s.contains("SortMergeJoin"), s.take(800))
-    // the query-term filter runs below the (doc,term) aggregate, so
-    // non-matching tokens never reach the exchange
+    // the query-term predicate lives INSIDE the explode's array
+    // argument (r18: explode(filter(t, ...))), so non-matching tokens
+    // never even become rows — strictly stronger than the previous
+    // standalone Filter-below-the-aggregate shape this test pinned
     val aggIdx = s.indexOf("HashAggregate")
-    val filterIdx = s.indexOf("Filter")
-    assert(aggIdx >= 0 && filterIdx >= 0)
+    assert(aggIdx >= 0, s.take(800))
+    assert(s.contains("explode(filter("), s.take(1500))
   }
 
   test("int8 quantization is map-side — no exchange except the result sort") {
