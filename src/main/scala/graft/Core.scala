@@ -88,6 +88,26 @@ object Core {
     while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
   }
 
+  /** Run `body` with AQE partition coalescing enabled, restoring the
+    * session's setting after. The session default is OFF because
+    * byte-targeted coalescing serializes compute-heavy small-byte
+    * stages (per-row LSH verification folds); loops and micro-batch
+    * bodies whose stages are all uniform narrow-row joins/aggregates
+    * (connected components, label maintenance) opt back in here —
+    * their kilobyte shuffles collapse to few tasks locally while the
+    * identical plan keeps full width at scale (the coalescing target
+    * is BYTES, not a tuned partition count). */
+  def withPartitionCoalescing[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Iterative loops (k-means, BPE, connected components) checkpoint
     * their state to a parquet LEAF every this-many rounds: caching
     * truncates per-round recompute but NOT the logical plan, so an

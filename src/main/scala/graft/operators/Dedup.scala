@@ -1373,39 +1373,52 @@ object Dedup {
     * under plain caching the analyzed tree grows ~3× per round and
     * Catalyst analysis diverges (measured this round: 6 lazily-nested
     * peels on the sf0.01 ER graph did not finish in 7 minutes;
-    * checkpointed rounds run in seconds). The per-round `count`
-    * doubles as the convergence test and the driver never holds rows.
+    * checkpointed rounds run in seconds). The convergence test (the
+    * surviving-edge count) is OBSERVED on the checkpoint write
+    * itself, so a round is exactly one action and the driver never
+    * holds rows.
     *
     * @return (surviving edges as a parquet-leaf frame, rounds run —
     *          counting the final no-op round that proved the fixpoint) */
   private[operators] def kcorePeel(
-      edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
-    val s = edges.sparkSession
-    val ckpt = graft.Core.tempDir("graft-kcore")
-    edges.write.mode("overwrite").parquet(s"$ckpt/r0")
-    var live = s.read.parquet(s"$ckpt/r0")
-    var n = live.count()
-    var r = 0
-    var converged = false
-    while (r < maxRounds && !converged) {
-      r += 1
-      val deg = live.select(col("a").as("v"))
-        .unionAll(live.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k).select("v")
-      live.join(keep.toDF("a"), Seq("a"), "left_semi")
-        .join(keep.toDF("b"), Seq("b"), "left_semi")
-        .write.mode("overwrite").parquet(s"$ckpt/r$r")
-      live = s.read.parquet(s"$ckpt/r$r")
-      val n2 = live.count()
-      converged = n2 == n
-      n = n2
+      edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) =
+    // same two r19 loop disciplines as [[connectedComponents]]: the
+    // convergence probe (surviving-edge count) rides each round's
+    // checkpoint write via Dataset.observe instead of a second
+    // count() action, and the loop's pure (long, long) hash
+    // joins/aggregates opt back in to byte-targeted partition
+    // coalescing (see Core.withPartitionCoalescing)
+    graft.Core.withPartitionCoalescing(edges.sparkSession) {
+      val s = edges.sparkSession
+      val ckpt = graft.Core.tempDir("graft-kcore")
+      val obs0 = org.apache.spark.sql.Observation("kcore-r0")
+      edges.observe(obs0, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$ckpt/r0")
+      var live = s.read.parquet(s"$ckpt/r0")
+      var n = obs0.get("n").asInstanceOf[Long]
+      var r = 0
+      var converged = false
+      while (r < maxRounds && !converged) {
+        r += 1
+        val deg = live.select(col("a").as("v"))
+          .unionAll(live.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= k).select("v")
+        val obs = org.apache.spark.sql.Observation(s"kcore-r$r")
+        live.join(keep.toDF("a"), Seq("a"), "left_semi")
+          .join(keep.toDF("b"), Seq("b"), "left_semi")
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$ckpt/r$r")
+        live = s.read.parquet(s"$ckpt/r$r")
+        val n2 = obs.get("n").asInstanceOf[Long]
+        converged = n2 == n
+        n = n2
+      }
+      // diagnostic parity with the [cc] log: separates more-rounds
+      // from slower-rounds when bench numbers drift
+      System.err.println(s"[kcore] peel rounds=$r edges=$n")
+      (live, r)
     }
-    // diagnostic parity with the [cc] log: separates more-rounds from
-    // slower-rounds when bench numbers drift
-    System.err.println(s"[kcore] peel rounds=$r edges=$n")
-    (live, r)
-  }
 
   /** k-core decomposition (k = 3) of the ER match graph — the third
     * structural diagnostic after [[triangles]] and the CC family: the
@@ -1855,6 +1868,21 @@ object Dedup {
     * @param pairs undirected edges, two id columns, each pair once.
     * @return (labels (v, lbl), rounds until fixpoint) */
   private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    // Scale-adaptive shuffle width for the label loop: the session
+    // disables AQE partition coalescing because compute-heavy
+    // small-byte stages (per-row LSH verification folds) serialize
+    // under it — but every CC exchange is a pure hash join/aggregate
+    // over (long, long) rows, exactly the uniform-narrow-row shape
+    // byte-targeted coalescing is FOR. A 10-round chain graph
+    // otherwise pays rounds × ~4 exchanges × full session width in
+    // fixed task overhead on kilobyte shuffles, while at 100 TB the
+    // same plan keeps full width (coalescing is bytes-driven).
+    // Restored after the loop so only its own plans see it.
+    graft.Core.withPartitionCoalescing(pairs.sparkSession)(
+      connectedComponentsLoop(pairs))
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame): (DataFrame, Int) = {
     val p2 = pairs.toDF("src", "dst")
     val edges = cached(p2.union(p2.select(col("dst"), col("src"))))
     // Head-start initialization: label0 = min(v, min neighbor) is
@@ -1924,13 +1952,22 @@ object Dedup {
           val s1 = step(labels, hop).select(col("v"), col("nl").as("lbl"))
           step(s1, hop)
         }
+      // convergence probe rides the checkpoint write itself
+      // (Dataset.observe → CollectMetrics): the previous spelling
+      // re-read the just-written parquet and ran a second aggregate
+      // ACTION per round just to learn the changed-count — on a
+      // 10-round chain graph that is 10 extra jobs of pure loop
+      // control. The observed sum is computed over exactly the rows
+      // the write materializes, so the probe is byte-identical.
+      val obs = org.apache.spark.sql.Observation(s"cc-r$rounds")
       stepped
         .select(col("v"), col("nl").as("lbl"),
           when(col("nl") < col("prev"), 1L).otherwise(0L).as("changed"))
+        .observe(obs, coalesce(sum(col("changed")), lit(0L)).as("delta"))
+        .select("v", "lbl")
         .write.mode("overwrite").parquet(s"$ckpt/r$rounds")
-      val next = pairs.sparkSession.read.parquet(s"$ckpt/r$rounds")
-      delta = next.agg(coalesce(sum("changed"), lit(0L))).first().getLong(0)
-      labels = next.select("v", "lbl")
+      delta = obs.get("delta").asInstanceOf[Long]
+      labels = pairs.sparkSession.read.parquet(s"$ckpt/r$rounds")
     }
     // diagnostic parity with the [stream]/[fuzzy-index] logs: round
     // counts separate more-rounds from slower-rounds in bench drift

@@ -985,18 +985,83 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Fold one micro-batch's NEW verified match edges into the
+    * standing (v, lbl) label table — the shared CC-maintenance step
+    * of [[streamDupClusters]] and [[streamErGolden]].
+    *
+    * Every endpoint first collapses to its CURRENT representative
+    * (its standing label; itself when first seen). An edge whose
+    * endpoints already share a component becomes a self-loop and is
+    * dropped, so connected components runs on the component-MERGE
+    * graph only — one node per TOUCHED representative — instead of
+    * the previous spelling's (all prior labels replayed as star
+    * edges) ∪ (new edges), whose vertex set was every vertex ever
+    * seen. Per-batch CC work is therefore proportional to the
+    * batch's own merges, never the accumulated state, and a batch
+    * whose edges all land inside existing components skips the CC
+    * and the state rewrite entirely (returns None; the caller keeps
+    * the standing pointer — the production MERGE-nothing fast path).
+    *
+    * Equivalence to full CC over (stars ∪ new): every standing label
+    * is the MIN vertex id of its component (CC's fixpoint), so
+    * lbl(v) ≤ v on every row. CC over the rep graph assigns each
+    * merged component the min of its touched reps — exactly the min
+    * vertex id over the union of their old components — and
+    * untouched reps keep their label through the left join; vertices
+    * first seen this batch enter the base as their own rep, and the
+    * min() fold cannot demote an existing label below them. */
+  private[graft] def foldEdgesIntoLabels(
+      prev: Option[DataFrame], newPairs: DataFrame): Option[DataFrame] =
+    prev match {
+      case None =>
+        val (labels, _) = graft.operators.Dedup.connectedComponents(newPairs)
+        Some(labels)
+      case Some(lb) =>
+        val np = newPairs.toDF("a", "b")
+        // cached: the emptiness probe below and CC's own edge cache
+        // both read this tiny frame; without the pin the candidate
+        // join + verify would run twice
+        val mapped = graft.Core.cached(np
+          .join(lb.select(col("v").as("a"), col("lbl").as("ra")), Seq("a"), "left")
+          .join(lb.select(col("v").as("b"), col("lbl").as("rb")), Seq("b"), "left")
+          .select(coalesce(col("ra"), col("a")).as("x"),
+            coalesce(col("rb"), col("b")).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct())
+        if (mapped.isEmpty) None
+        else {
+          val (moves, _) = graft.operators.Dedup.connectedComponents(mapped)
+          // standing labels ∪ the merge graph's vertices as their own
+          // rep (every rep r already appears in lb as (r, r); only
+          // first-seen vertices are genuinely new) — min() keeps the
+          // standing label wherever both exist (lbl ≤ v invariant)
+          val base = lb
+            .unionByName(mapped.select(col("a").as("v"))
+              .unionAll(mapped.select(col("b").as("v")))
+              .select(col("v"), col("v").as("lbl")))
+            .groupBy("v").agg(min("lbl").as("lbl"))
+          Some(base
+            .join(moves.select(col("v").as("r"), col("lbl").as("nl")),
+              col("lbl") === col("r"), "left")
+            .select(col("v"), coalesce(col("nl"), col("lbl")).as("lbl")))
+        }
+    }
+
   /** Streaming duplicate-CLUSTER maintenance — the TRANSITIVE member
     * of the ingest-dedup family: where [[streamDedupNeardup]] decides
     * per-document admission, this maintains the full cluster labeling
     * as documents arrive. Per micro-batch: shingle the batch, probe
     * the STANDING band index for candidates (new-vs-old and
     * new-vs-new in one join), verify with exact Jaccard against the
-    * standing shingle index, then RE-LABEL by running connected
-    * components over (previous labels as edges) ∪ (new verified
-    * pairs) — the label table is a collapsed, connectivity-
-    * equivalent quotient of all edges ever seen, so incremental CC
-    * over it converges to exactly the batch labeling regardless of
-    * arrival order (the oracle IS the batch recursive closure).
+    * standing shingle index, then RE-LABEL by folding the verified
+    * pairs into the standing labels ([[foldEdgesIntoLabels]]):
+    * endpoints collapse to their current representatives and
+    * connected components runs over the component-merge graph only —
+    * a connectivity-equivalent quotient, so the incremental labeling
+    * converges to exactly the batch labeling regardless of arrival
+    * order (the oracle IS the batch recursive closure).
     *
     * State = the three standing indexes a production incremental
     * dedup service keeps: band index (candidate generation), shingle
@@ -1041,15 +1106,15 @@ object Streams {
           .join(allSets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
           .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
           .select("a", "b")
-        // previous labels, replayed as (v, lbl) edges: a collapsed
-        // graph with identical connectivity over all prior vertices
-        val prevEdges = curLabels.map(p => s.read.parquet(p)
-          .filter(col("v") =!= col("lbl")).select(col("v").as("a"), col("lbl").as("b")))
-        val edges = prevEdges.fold(newPairs)(_.unionByName(newPairs))
-        val (labels, _) = Dedup.connectedComponents(edges)
-        val next = s"$labelRoot/v$batchId"
-        labels.write.mode("overwrite").parquet(next)
-        curLabels = Some(next)
+        // fold the verified pairs into the standing labels through
+        // the component-merge graph (see [[foldEdgesIntoLabels]]);
+        // a batch that merges nothing keeps the standing pointer
+        foldEdgesIntoLabels(curLabels.map(p => s.read.parquet(p)), newPairs)
+          .foreach { labels =>
+            val next = s"$labelRoot/v$batchId"
+            labels.write.mode("overwrite").parquet(next)
+            curLabels = Some(next)
+          }
       }
       .start()
     awaitAndLog(q, "streamDupClusters")
@@ -1070,10 +1135,11 @@ object Streams {
     * batch's corpus-adaptive deletion-blocking rows
     * ([[graft.operators.Dedup.erBlockRows]]) join the ACCUMULATED
     * block log for candidates, exact levenshtein-1 + same-nation
-    * verify yields new match edges, and the
-    * [[streamDupClusters]] CC-maintenance pattern folds them into the
-    * standing labels (previous labels replayed as collapsed edges —
-    * identical connectivity, graph size bounded by vertices). The
+    * verify yields new match edges, and the shared
+    * [[foldEdgesIntoLabels]] step folds them into the standing
+    * labels (endpoints collapse to their current representatives; CC
+    * runs over the component-merge graph only — identical
+    * connectivity, work bounded by the batch's merges). The
     * read-time report derives through the batch survivorship tail
     * ([[graft.operators.Dedup.goldenSurvivorship]]), so ONE oracle
     * serves batch and stream.
@@ -1118,16 +1184,15 @@ object Streams {
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
           .distinct()
-        // previous labels as (v, lbl) edges: collapsed graph with
-        // identical connectivity over all prior vertices
-        val prevEdges = curLabels.map(p => s.read.parquet(p)
-          .filter(col("v") =!= col("lbl"))
-          .select(col("v").as("a"), col("lbl").as("b")))
-        val edges = prevEdges.fold(newEdges)(_.unionByName(newEdges))
-        val (labels, _) = Dedup.connectedComponents(edges)
-        val next = s"$labelRoot/v$batchId"
-        labels.write.mode("overwrite").parquet(next)
-        curLabels = Some(next)
+        // fold the new match edges into the standing labels through
+        // the component-merge graph (see [[foldEdgesIntoLabels]]);
+        // a batch that merges nothing keeps the standing pointer
+        foldEdgesIntoLabels(curLabels.map(p => s.read.parquet(p)), newEdges)
+          .foreach { labels =>
+            val next = s"$labelRoot/v$batchId"
+            labels.write.mode("overwrite").parquet(next)
+            curLabels = Some(next)
+          }
       }
       .start()
     awaitAndLog(q, "streamErGolden")

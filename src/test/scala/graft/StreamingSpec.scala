@@ -112,6 +112,27 @@ class StreamingSpec extends SparkSpec {
     Core.releaseCaches()
   }
 
+  test("label fold runs CC on the component-merge graph only") {
+    def lbls(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // batch 0 (no standing labels): plain CC over the batch edges
+    val l0 = Streams.foldEdgesIntoLabels(
+      None, Seq((1L, 2L), (5L, 6L)).toDF("a", "b")).get
+    assert(lbls(l0) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a batch whose every edge lands inside an existing component
+    // maps to self-loops only: no merge, no state rewrite (None)
+    assert(Streams.foldEdgesIntoLabels(
+      Some(l0), Seq((2L, 1L)).toDF("a", "b")).isEmpty)
+    // a new-vertex chain (7–8) bridges the two standing components
+    // through members (2, 5): everything fuses to the global min,
+    // and the first-seen vertices are labeled too
+    val l2 = Streams.foldEdgesIntoLabels(
+      Some(l0), Seq((2L, 7L), (7L, 8L), (8L, 5L)).toDF("a", "b")).get
+    assert(lbls(l2) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+    Core.releaseCaches()
+  }
+
   test("streaming edge log derives cluster confidence at batch parity") {
     // the maintained verified-edge log must be EXACTLY the batch edge
     // set (every pair fires once, when its later member arrives), so
