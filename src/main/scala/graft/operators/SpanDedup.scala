@@ -79,7 +79,19 @@ object SpanDedup {
     * repeated K-gram, and the number of maximal repeated spans. */
   def repeatedSpans(s: SparkSession, d: String): DataFrame = {
     val ds = docs(s, d)
-    val stats = repStarts(grams(ds))
+    // gram SHARD (r19, guide §6): materialize the (doc_id, pos, g)
+    // projection once to disk and let both consumers — the
+    // corpus-wide repeated-gram rollup and the per-doc join-back —
+    // read the shard, instead of re-running the tokenize + gram
+    // explode per consumer (2 gram passes → 1). Disk, not memory:
+    // the shard is ~K× the corpus text (overlapping grams), which is
+    // the ExactSubstr production trade (its suffix-array shard is
+    // the same order) and exactly what an in-memory persist was
+    // rejected for in r18. The third documents pass below stays: the
+    // detector must emit zero-rows for gram-free docs, and that pass
+    // prunes to (doc_id, |tokens|).
+    val shard = graft.Core.ckptRound(grams(ds), "graft-gram-shard")
+    val stats = repStarts(shard)
       .select(col("doc_id"),
         (lit(K.toLong) + foldGaps(col("ps"),
           (a, b) => least(a - b, lit(K)).cast("long"))).as("dup"),

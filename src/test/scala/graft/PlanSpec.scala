@@ -363,8 +363,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("repeated-span dedup: gram shuffle + array folds, no Window, no cartesian") {
-    for (df <- Seq(SpanDedup.repeatedSpans(spark, sf),
-                   SpanDedup.spanClean(spark, sf),
+    for (df <- Seq(SpanDedup.spanClean(spark, sf),
                    SpanDedup.spanKeepFirst(spark, sf))) {
       val s = executed(df)
       // span reconstruction is per-document array math riding the
@@ -376,6 +375,19 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("Generate"))
       assert(s.contains("HashAggregate"))
     }
+    // the DETECTOR materializes the gram projection once (r19 disk
+    // shard): its report plan must read the shard leaf for BOTH gram
+    // consumers instead of re-running the tokenize + explode — so no
+    // Generate may remain, and the no-Window/no-cartesian discipline
+    // still holds
+    val det = SpanDedup.repeatedSpans(spark, sf)
+    val sDet = executed(det)
+    assert(!sDet.contains("Window"), sDet.take(500))
+    assert(!sDet.contains("CartesianProduct"))
+    assert(!sDet.contains("Generate"), sDet.take(800))
+    assert(sDet.contains("HashAggregate"))
+    assert(det.inputFiles.exists(_.contains("graft-gram-shard")),
+      det.inputFiles.take(3).mkString(", "))
   }
 
   test("incremental fuzzy match explodes only the batch side") {
