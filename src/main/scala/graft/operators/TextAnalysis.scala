@@ -745,9 +745,10 @@ object TextAnalysis {
   /** `text_bpe_train12`'s round count: past CkptEvery = 8, so the
     * registered query actually crosses a loop checkpoint. */
   private val DeepBpeRounds = 12
-  /** Token separator inside the per-doc merge state — a control char
-    * the cleaned token alphabet ([a-z0-9]) can never contain, so a
-    * separator collision is impossible by construction. */
+  /** Token separator inside the PAIR encoding (the round-winner key
+    * lhs<sep>rhs) and the oracle's string-state replay — a control
+    * char the cleaned token alphabet ([a-z0-9]) can never contain,
+    * so a separator collision is impossible by construction. */
   private val BpeSep = "\u0001"
 
   /** BPE tokenizer TRAINING — the real iterative merge loop, not the
@@ -758,10 +759,12 @@ object TextAnalysis {
     * GPT-2-style BPE performs. Output: the [[BpeRounds]] learned
     * merges in order, with their pre-merge pair counts.
     *
-    * The per-doc state is the separator-joined token string, so the
-    * merge step is one literal `replace` per doc (codegen'd,
-    * map-side) and pair extraction is a slice-zip over the re-split
-    * tokens — no per-row loops outside codegen. The winning pair is
+    * The per-doc state is the token ARRAY (r19 — previously a
+    * separator-joined string the pair scan re-split every round):
+    * pair extraction is a slice-zip directly over the state, and the
+    * merge step is a codegen'd map-side fold collecting the
+    * non-overlapping merge positions plus one rebuild transform — no
+    * per-row loops outside codegen. The winning pair is
     * collected to the driver (ONE row per round, the loop's control
     * decision — same class as the connected-components convergence
     * probe) and inlined as a literal rewrite pattern; re-joining it
@@ -803,22 +806,23 @@ object TextAnalysis {
   def bpeApply(s: SparkSession, d: String): DataFrame =
     bpeLoop(s, d)._1
       .select(col("doc_id"), col("n0").as("n_tokens_before"),
-        size(bpeFinalTokens(col("s"))).as("n_tokens_after"),
-        (col("n0") - size(bpeFinalTokens(col("s")))).as("n_saved"))
+        size(col("a")).as("n_tokens_after"),
+        (col("n0") - size(col("a"))).as("n_saved"))
       .orderBy("doc_id")
 
   /** The shared merge loop: (final per-doc state, merge table).
     *
-    * The per-doc state wraps EVERY token in separators —
-    * `␟tok1␟␟tok2␟` — so the literal merge pattern
-    * `␟lhs␟␟rhs␟ → ␟merged␟` is token-boundary-anchored: a pair can
-    * only match two complete adjacent tokens (a naive `lhs␟rhs`
-    * pattern on a single-separator state also matches mid-token,
-    * silently merging e.g. "soo·the | of·ten"), and because the
-    * pattern consumes both full wrappers, left-to-right
-    * non-overlapping replacement merges `a a a a → aa aa` and
-    * `a a a → aa a` — exactly GPT-2's per-scan semantics — without
-    * regex lookarounds (which DuckDB's RE2 oracle could not replay). */
+    * The per-doc state is the token array, so a merge can only fuse
+    * two complete adjacent tokens (the array is boundary-anchored by
+    * construction — the hazard the previous string state had to wrap
+    * every token in separators for), and the position fold's
+    * `i > last + 1` guard reproduces left-to-right non-overlapping
+    * replacement exactly: `a a a a → aa aa` and `a a a → aa a` —
+    * GPT-2's per-scan semantics. The DuckDB oracle replays the same
+    * semantics through its own separator-wrapped string state
+    * (`␟lhs␟␟rhs␟ → ␟merged␟` literal replace), which is provably the
+    * same merge: a just-merged token can never seed another match in
+    * the same scan on either side (merged = lhs+rhs ≠ lhs). */
   private def bpeLoop(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bpeLoopN(s, d, BpeRounds)
 
@@ -827,16 +831,13 @@ object TextAnalysis {
     * twice); registered queries always run [[BpeRounds]]. */
   private[graft] def bpeLoopN(
       s: SparkSession, d: String, bpeRounds: Int): (DataFrame, DataFrame) = {
-    val Sep2 = BpeSep + BpeSep
-    def retok(st: Column): Column = split(trim(st, BpeSep), Sep2)
     def pairs(t: Column): Column =
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(BpeSep), b))
     val base = cached(docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
-      .select(col("doc_id"), size(col("t")).as("n0"),
-        concat(lit(BpeSep), concat_ws(Sep2, col("t")), lit(BpeSep)).as("s")))
+      .select(col("doc_id"), size(col("t")).as("n0"), col("t").as("a")))
     var cur = base
     val winners = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to bpeRounds) {
@@ -852,7 +853,7 @@ object TextAnalysis {
       // Spark's command execution) degenerates with it (measured: a
       // 20-round train froze the driver for minutes inside
       // generateTreeString before this rewrite).
-      val top = cur.select(explode(pairs(retok(col("s")))).as("pair"))
+      val top = cur.select(explode(pairs(col("a"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
@@ -861,15 +862,37 @@ object TextAnalysis {
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         winners += ((r, pair, top(0).getLong(1)))
-        // literal boundary-anchored rewrite — the merge is a plain
-        // Project, so the chain between checkpoints stays linear and
-        // CollapseProject fuses the nested replaces into one
-        // codegen'd expression. cached: round r+1's pair scan reads
-        // this round's rewrite once, not the whole replay.
-        cur = cached(cur.select(col("doc_id"), col("n0"),
-          replace(col("s"),
-            lit(BpeSep + pair.replace(BpeSep, Sep2) + BpeSep),
-            lit(BpeSep + pair.replace(BpeSep, "") + BpeSep)).as("s")))
+        val Array(lhs, rhs) = pair.split(BpeSep, 2)
+        // left-to-right NON-OVERLAPPING merge over the token array —
+        // GPT-2's per-scan semantics, previously spelled as a
+        // boundary-anchored literal replace over a separator-joined
+        // string state: collect the merge positions with a fold
+        // (a position may merge only when the previous merge did not
+        // consume its left token: i > last + 1), then rebuild the
+        // array in one transform. A just-merged token can never seed
+        // another merge in the same round (merged = lhs+rhs ≠ lhs,
+        // rhs nonempty), so the single `last` guard is exact.
+        val ms = when(size(col("a")) >= 2,
+          aggregate(sequence(lit(1), size(col("a")) - 1),
+            struct(lit(-1).as("last"), array_repeat(lit(1), 0).as("ms")),
+            (st, i) => when(
+              element_at(col("a"), i) === lit(lhs) &&
+                element_at(col("a"), i + 1) === lit(rhs) &&
+                i > st.getField("last") + 1,
+              struct(i.as("last"),
+                concat(st.getField("ms"), array(i)).as("ms")))
+              .otherwise(st),
+            st => st.getField("ms")))
+          .otherwise(array_repeat(lit(1), 0))
+        cur = cached(cur
+          .withColumn("ms", ms)
+          .select(col("doc_id"), col("n0"),
+            flatten(transform(sequence(lit(1), size(col("a"))), j =>
+              when(array_contains(col("ms"), j),
+                array(lit(pair.replace(BpeSep, ""))))
+                .when(array_contains(col("ms"), j - 1),
+                  array_repeat(lit(""), 0))
+                .otherwise(array(element_at(col("a"), j))))).as("a")))
       }
       // parquet-leaf cut every CkptEvery rounds: a long vocab train
       // (thousands of merges) must not accumulate one rewrite
@@ -882,8 +905,6 @@ object TextAnalysis {
     import s.implicits._
     (cur, winners.toSeq.toDF("round", "pair", "cnt"))
   }
-  private[graft] def bpeFinalTokens(st: Column): Column =
-    split(trim(st, BpeSep), BpeSep + BpeSep)
 
   /** The oracle replay of [[bpeLoop]]: d0..dN rewrite states (doc_id
     * and pre-merge count carried through) and m1..mN round winners —
